@@ -1,0 +1,376 @@
+"""Engine-level tests for tfplus_tpu.kv.table.
+
+Mirrors the reference's C++ gtest (kv_variable_test.cc:68-457: InitRandomValues,
+Find, InsertOrUpdate, Import/ExportValues, ScatterUpdate, stats, Delete) and
+the raw-op python tests (py_ut/tests/test_kv_variable_ops.py:63-439).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfplus_tpu import kv
+from tfplus_tpu.utils import packing
+
+
+def ids(*xs):
+    return kv.encode_ids_np_to_device(np.array(xs, dtype=np.int64))
+
+
+def make_table(dim=8, capacity=256, **kw):
+    return kv.create(dim, capacity, seed=7, **kw)
+
+
+class TestHashing:
+    def test_encode_decode_roundtrip(self):
+        raw = np.array([0, 1, 2**31, 2**40 + 17, 2**63 + 5], dtype=np.uint64)
+        enc = kv.encode_ids_np_to_device(raw)
+        assert enc.shape == (5, 2)
+        dec = kv.decode_ids_np(np.asarray(enc))
+        np.testing.assert_array_equal(dec, raw)
+
+    def test_int32_encode(self):
+        enc = kv.encode_ids(jnp.array([3, 5, 7], dtype=jnp.int32))
+        assert enc.shape == (3, 2)
+        np.testing.assert_array_equal(np.asarray(enc[:, 1]), 0)
+
+    def test_shard_of_matches_mod(self):
+        raw = np.random.RandomState(0).randint(0, 2**63, size=100, dtype=np.int64)
+        enc = kv.encode_ids_np_to_device(raw)
+        for ns in (1, 2, 3, 4, 5, 8, 7):
+            got = np.asarray(kv.shard_of(enc, ns))
+            want = (raw.astype(np.uint64) % np.uint64(ns)).astype(np.int32)
+            np.testing.assert_array_equal(got, want, err_msg=f"ns={ns}")
+
+    def test_hash_spread(self):
+        raw = np.arange(10000, dtype=np.int64)
+        enc = kv.encode_ids_np_to_device(raw)
+        pos = np.asarray(kv.hashing.probe_start(enc, 16384))
+        # sequential ids should spread: no slot should collect many keys
+        _, counts = np.unique(pos, return_counts=True)
+        assert counts.max() <= 8
+
+
+class TestUnique:
+    def test_unique_with_counts(self):
+        q = ids(5, 3, 5, 5, 9, 3)
+        r = kv.unique_with_counts(q)
+        n_u = int(r.num_unique)
+        assert n_u == 3
+        uk = kv.decode_ids_np(np.asarray(r.unique_keys[:n_u]))
+        assert set(uk.tolist()) == {3, 5, 9}
+        # inverse maps every input position back to its id
+        inv = np.asarray(r.inverse)
+        all_u = kv.decode_ids_np(np.asarray(r.unique_keys))
+        np.testing.assert_array_equal(all_u[inv], [5, 3, 5, 5, 9, 3])
+        counts = {int(k): int(c) for k, c in
+                  zip(uk, np.asarray(r.counts)[:n_u])}
+        assert counts == {5: 3, 3: 2, 9: 1}
+
+    def test_unique_with_invalid(self):
+        q = ids(5, 3, 5)
+        valid = jnp.array([True, False, True])
+        r = kv.unique_with_counts(q, valid)
+        assert int(r.num_unique) == 1
+        assert int(np.asarray(r.counts)[0]) == 2
+
+    def test_unique_all_same(self):
+        q = ids(*([42] * 16))
+        r = kv.unique_with_counts(q)
+        assert int(r.num_unique) == 1
+        assert int(np.asarray(r.counts)[0]) == 16
+
+    def test_unique_all_distinct(self):
+        q = ids(*range(32))
+        r = kv.unique_with_counts(q)
+        assert int(r.num_unique) == 32
+        np.testing.assert_array_equal(np.asarray(r.counts), 1)
+
+
+class TestLookupInsert:
+    def test_insert_on_miss_and_find(self):
+        t = make_table()
+        q = ids(10, 20, 30)
+        res = kv.lookup_or_insert(t, q)
+        assert not bool(res.overflow)
+        assert int(kv.size(res.table)) == 3
+        # rows come from init pool: (pool[r1]+pool[r2])/2, deterministic per key
+        again = kv.lookup_or_zeros(res.table, q)
+        np.testing.assert_allclose(np.asarray(res.rows), np.asarray(again),
+                                   rtol=1e-6)
+
+    def test_init_value_semantics(self):
+        t = make_table()
+        q = ids(123)
+        res = kv.lookup_or_insert(t, q)
+        pool = np.asarray(t.init_pool)
+        r1, r2 = kv.hashing.init_row_indices(q, pool.shape[0])
+        want = (pool[int(r1[0])] + pool[int(r2[0])]) / 2
+        np.testing.assert_allclose(np.asarray(res.rows[0]), want, rtol=1e-6)
+
+    def test_lookup_or_zeros_on_miss(self):
+        t = make_table()
+        out = kv.lookup_or_zeros(t, ids(1, 2, 3))
+        np.testing.assert_array_equal(np.asarray(out), 0.0)
+        assert int(kv.size(t)) == 0  # no mutation
+
+    def test_lookup_with_init_no_insert(self):
+        t = make_table()
+        out = kv.lookup_with_init(t, ids(7))
+        assert np.abs(np.asarray(out)).sum() > 0
+        assert int(kv.size(t)) == 0
+
+    def test_frequency_counting(self):
+        t = make_table()
+        q = ids(10, 20)
+        res = kv.lookup_or_insert(t, q, counts=jnp.array([3, 1], jnp.int32))
+        t = res.table
+        res = kv.lookup_or_insert(t, q, counts=jnp.array([2, 5], jnp.int32))
+        counts = np.asarray(kv.get_count(res.table, q))
+        np.testing.assert_array_equal(counts, [5, 6])
+        assert int(kv.sum_freq(res.table)) == 11
+
+    def test_freq_saturates_uint16(self):
+        t = make_table()
+        q = ids(1)
+        res = kv.lookup_or_insert(t, q, counts=jnp.array([70000], jnp.int32))
+        assert int(kv.get_count(res.table, q)[0]) == 0xFFFF
+
+    def test_day_timestamp(self):
+        t = make_table()
+        q = ids(4)
+        res = kv.lookup_or_insert(t, q, day=12345)
+        assert int(kv.get_timestamp(res.table, q)[0]) == 12345
+
+    def test_many_keys_no_overflow(self):
+        t = kv.create(4, 1 << 13, seed=1)
+        raw = np.random.RandomState(3).randint(0, 2**62, 3000, dtype=np.int64)
+        raw = np.unique(raw)
+        res = kv.lookup_or_insert(t, kv.encode_ids_np_to_device(raw))
+        assert not bool(res.overflow)
+        assert int(kv.size(res.table)) == len(raw)
+        # every key findable afterwards
+        fr = kv.find(res.table, kv.encode_ids_np_to_device(raw))
+        assert bool(jnp.all(fr.found))
+
+    def test_duplicate_input_requires_dedup(self):
+        # engine contract: lookup_or_insert takes deduped keys; dedup first
+        t = make_table()
+        q = ids(9, 9, 9)
+        u = kv.unique_with_counts(q)
+        res = kv.lookup_or_insert(t, u.unique_keys, counts=u.counts,
+                                  valid=~kv.hashing.is_empty(u.unique_keys))
+        assert int(kv.size(res.table)) == 1
+        assert int(kv.get_count(res.table, ids(9))[0]) == 3
+
+
+class TestScatter:
+    def test_insert_then_scatter_ops(self):
+        t = make_table(dim=4)
+        q = ids(1, 2)
+        rows = jnp.array([[1., 2., 3., 4.], [5., 6., 7., 8.]])
+        t = kv.insert(t, q, rows)
+        got = np.asarray(kv.lookup_or_zeros(t, q))
+        np.testing.assert_allclose(got, np.asarray(rows))
+
+        t2 = kv.scatter(t, q, jnp.ones((2, 4)), "add")
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t2, q)),
+                                   np.asarray(rows) + 1)
+        t3 = kv.scatter(t, q, 2 * jnp.ones((2, 4)), "mul")
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t3, q)),
+                                   np.asarray(rows) * 2)
+        t4 = kv.scatter(t, q, jnp.full((2, 4), 4.0), "min")
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t4, q)),
+                                   np.minimum(np.asarray(rows), 4.0))
+        t5 = kv.scatter(t, q, jnp.full((2, 4), 4.0), "max")
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t5, q)),
+                                   np.maximum(np.asarray(rows), 4.0))
+        t6 = kv.scatter(t, q, jnp.full((2, 4), 100.0), "update")
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t6, q)), 100.0)
+
+    def test_scatter_inserts_on_miss(self):
+        t = make_table(dim=4)
+        t = kv.scatter(t, ids(77), jnp.zeros((1, 4)), "add")
+        assert int(kv.size(t)) == 1
+
+
+class TestDelete:
+    def test_delete_and_reinsert(self):
+        t = make_table()
+        q = ids(1, 2, 3)
+        t = kv.lookup_or_insert(t, q).table
+        t, deleted = kv.delete(t, ids(2))
+        assert bool(deleted[0])
+        assert int(kv.size(t)) == 2
+        np.testing.assert_array_equal(np.asarray(kv.lookup_or_zeros(t, ids(2))), 0.0)
+        # other keys still findable (tombstone keeps probe chains intact)
+        fr = kv.find(t, ids(1, 3))
+        assert bool(jnp.all(fr.found))
+        # reinsert reuses tombstone
+        t2 = kv.lookup_or_insert(t, ids(2)).table
+        assert int(kv.size(t2)) == 3
+
+    def test_delete_missing_is_noop(self):
+        t = make_table()
+        t, deleted = kv.delete(t, ids(42))
+        assert not bool(deleted[0])
+
+    def test_delete_with_timestamp(self):
+        t = make_table()
+        t = kv.lookup_or_insert(t, ids(1), day=100).table
+        t = kv.lookup_or_insert(t, ids(2), day=110).table
+        t, evicted = kv.delete_with_timestamp(t, threshold_days=5, day=110)
+        assert int(evicted.sum()) == 1
+        fr = kv.find(t, ids(1, 2))
+        np.testing.assert_array_equal(np.asarray(fr.found), [False, True])
+
+    def test_compact_after_heavy_delete(self):
+        t = kv.create(4, 256, seed=2)
+        raw = np.arange(100, dtype=np.int64)
+        t = kv.lookup_or_insert(t, kv.encode_ids_np_to_device(raw)).table
+        t, _ = kv.delete(t, kv.encode_ids_np_to_device(raw[:90]))
+        t = kv.compact(t)
+        assert int(kv.size(t)) == 10
+        fr = kv.find(t, kv.encode_ids_np_to_device(raw[90:]))
+        assert bool(jnp.all(fr.found))
+
+
+class TestGrow:
+    def test_grow_preserves_contents(self):
+        t = kv.create(4, 128, seed=3)
+        raw = np.arange(80, dtype=np.int64) * 7 + 1
+        q = kv.encode_ids_np_to_device(raw)
+        t = kv.lookup_or_insert(t, q, counts=jnp.full((80,), 2, jnp.int32)).table
+        before = np.asarray(kv.lookup_or_zeros(t, q))
+        assert kv.needs_grow(t, incoming=50)
+        t = kv.grow(t)
+        assert t.capacity == 256
+        assert int(kv.size(t)) == 80
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t, q)), before)
+        np.testing.assert_array_equal(np.asarray(kv.get_count(t, q)), 2)
+
+    def test_grow_moves_slots(self):
+        t = kv.create(4, 128, seed=3)
+        t = kv.ensure_slots(t, {"m_v": 2})
+        q = ids(5)
+        res = kv.lookup_or_insert(t, q)
+        t = res.table
+        slot_vals = t.slots["m_v"].at[res.slot[0]].set(jnp.arange(8.0))
+        t = t.__class__(**{**t.__dict__, "slots": {"m_v": slot_vals}})
+        t = kv.grow(t)
+        fr = kv.find(t, q)
+        np.testing.assert_allclose(np.asarray(t.slots["m_v"][int(fr.slot[0])]),
+                                   np.arange(8.0))
+
+
+class TestBlacklist:
+    def test_blacklist_reads_zero(self):
+        t = make_table(dim=4)
+        q = ids(1)
+        t = kv.insert(t, q, jnp.ones((1, 4)),
+                      blacklist=jnp.array([True]))
+        np.testing.assert_array_equal(np.asarray(kv.lookup_or_zeros(t, q)), 0.0)
+        # still counted as a live row
+        assert int(kv.size(t)) == 1
+
+    def test_scatter_clears_blacklist(self):
+        t = make_table(dim=4)
+        q = ids(1)
+        t = kv.insert(t, q, jnp.ones((1, 4)), blacklist=jnp.array([True]))
+        t = kv.scatter(t, q, jnp.full((1, 4), 3.0), "update")
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t, q)), 3.0)
+
+
+class TestExportImport:
+    def test_export_import_roundtrip(self):
+        t = make_table(dim=4, capacity=128)
+        raw = np.array([3, 11, 2**40], dtype=np.int64)
+        q = kv.encode_ids_np_to_device(raw)
+        rows = jnp.arange(12.0).reshape(3, 4)
+        t = kv.insert(t, q, rows, freq=jnp.array([5, 6, 7], jnp.uint32), day=9)
+        ex = kv.export_arrays(t)
+        assert set(ex["keys"].tolist()) == {3, 11, 2**40}
+        assert ex["values"].shape == (3, 4)
+        assert ex["init_table"].shape == t.init_pool.shape
+
+        t2 = make_table(dim=4, capacity=128)
+        t2 = kv.import_arrays(t2, ex)
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t2, q)),
+                                   np.asarray(kv.lookup_or_zeros(t, q)))
+        np.testing.assert_array_equal(np.asarray(kv.get_count(t2, q)),
+                                      np.asarray(kv.get_count(t, q)))
+        np.testing.assert_array_equal(np.asarray(kv.get_timestamp(t2, q)),
+                                      np.asarray(kv.get_timestamp(t, q)))
+
+    def test_export_cutoff(self):
+        t = make_table(dim=4)
+        q = ids(1, 2)
+        rows = jnp.array([[0.0, 0.0, 0.0, 0.0], [1.0, 0.0, 0.0, 0.0]])
+        t = kv.insert(t, q, rows)
+        ex = kv.export_arrays(t, enable_cutoff=True, cutoff_value=1e-20)
+        assert set(ex["keys"].tolist()) == {2}
+
+    def test_blacklist_survives_roundtrip(self):
+        t = make_table(dim=4)
+        q = ids(1, 2)
+        t = kv.insert(t, q, jnp.ones((2, 4)),
+                      blacklist=jnp.array([True, False]))
+        ex = kv.export_arrays(t)
+        assert ex["blacklist"].tolist() == [1]
+        t2 = kv.import_arrays(make_table(dim=4), ex)
+        out = np.asarray(kv.lookup_or_zeros(t2, q))
+        np.testing.assert_array_equal(out[0], 0.0)
+        np.testing.assert_array_equal(out[1], 1.0)
+
+    def test_import_grows_when_small(self):
+        t = kv.create(4, 16, seed=0)
+        raw = np.arange(100, dtype=np.int64)
+        big = kv.create(4, 256, seed=0)
+        big = kv.lookup_or_insert(big, kv.encode_ids_np_to_device(raw)).table
+        ex = kv.export_arrays(big)
+        t = kv.import_arrays(t, ex)
+        assert int(kv.size(t)) == 100
+        assert t.capacity >= 128
+
+    def test_delta_export(self):
+        t = make_table(dim=4)
+        t = kv.insert(t, ids(1, 2), jnp.ones((2, 4)))
+        ex = kv.export_arrays(t, delta=True)
+        assert set(ex["keys"].tolist()) == {1, 2}
+        t = ex["table"]  # deltalist cleared
+        ex2 = kv.export_arrays(t, delta=True)
+        assert ex2["keys"].size == 0
+        # new touch re-enters the deltalist
+        t = kv.scatter(t, ids(2), jnp.ones((1, 4)), "add")
+        ex3 = kv.export_arrays(t, delta=True)
+        assert set(ex3["keys"].tolist()) == {2}
+        # full export unaffected
+        assert set(kv.export_arrays(t)["keys"].tolist()) == {1, 2}
+
+    def test_delta_import_upsert(self):
+        t = make_table(dim=4)
+        t = kv.insert(t, ids(1, 2), jnp.ones((2, 4)))
+        delta = {"keys": np.array([2, 3], np.uint64),
+                 "values": np.array([[5.0] * 4, [6.0] * 4], np.float32)}
+        t = kv.import_arrays(t, delta, clear=False,
+                             delete_keys=np.array([1], np.uint64))
+        out = np.asarray(kv.lookup_or_zeros(t, ids(1, 2, 3)))
+        np.testing.assert_array_equal(out[0], 0.0)
+        np.testing.assert_array_equal(out[1], 5.0)
+        np.testing.assert_array_equal(out[2], 6.0)
+
+
+class TestJit:
+    def test_lookup_jits_and_donates(self):
+        t = make_table(dim=8, capacity=256)
+
+        @jax.jit
+        def step(t, q):
+            res = kv.lookup_or_insert(t, q)
+            return res.rows, res.table
+
+        q = ids(5, 6, 7)
+        rows, t = step(t, q)
+        rows2, t = step(t, q)
+        np.testing.assert_allclose(np.asarray(rows), np.asarray(rows2), rtol=1e-6)
+        assert int(kv.size(t)) == 3

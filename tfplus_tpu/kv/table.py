@@ -1,0 +1,675 @@
+"""KvTable — HBM-resident dynamically-growing key→row embedding table.
+
+TPU-native re-design of the reference KvVariable engine
+(``/root/reference/tfplus/kv_variable/kernels/kv_variable.h:88-1015`` and
+``hybrid_embedding/table_manager.h``): the host-DRAM concurrent hash map with
+per-key locks becomes a **slotted open-addressing table in HBM** —
+fixed-capacity arrays ``keys[C, 2]``, ``values[C, D]``, ``meta[C]`` (packed
+freq/day), ``flags[C]`` (blacklist / delta bits) — probed by double hashing.
+Everything is a pure function over a :class:`KvTable` pytree: lookups that
+insert return a *new* table (thread it through your step function and donate
+the buffers so XLA updates in place).
+
+Capacity is static under ``jit``; growth happens between steps host-side
+(:func:`grow`) — dynamic growth without dynamic shapes. Deletions write
+tombstones so probe chains stay intact (:func:`compact` rebuilds).
+
+Semantics kept from the reference:
+  * new-row init = mean of two pseudo-random rows of a fixed init pool
+    (kv_variable.h:889-898),
+  * saturating uint16 frequency + day-resolution timestamp per row
+    (embedding_value.h:189-234, utility.h:57-70),
+  * frequency filter: rows with freq < ``enter_threshold`` exist but are
+    skipped by optimizers (training_ops.cc:1262-1264),
+  * group-lasso blacklist: flagged rows read as zeros and can re-activate
+    (table_manager.h:335-372),
+  * train/prediction delta-list bits for incremental checkpoint
+    (kv_variable.h:870-871).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hashing
+from ..utils import packing
+
+# flags bits
+FLAG_BLACKLIST = np.uint32(1)
+FLAG_TOUCH_TRAIN = np.uint32(2)   # train deltalist membership
+FLAG_TOUCH_PRED = np.uint32(4)    # prediction deltalist membership
+FLAG_TOUCH_BOTH = np.uint32(6)
+
+# 32 probes keeps the per-key miss probability below ~1e-5 at the 0.7 grow
+# threshold (0.7^32); overflow beyond that triggers a host-mediated grow().
+DEFAULT_MAX_PROBES = 32
+DEFAULT_INIT_POOL_ROWS = 1024     # reference uses a [10000, dim] pool (variable_scope.py:229-231)
+GROW_LOAD_FACTOR = 0.7
+
+
+@dataclasses.dataclass(frozen=True)
+class KvConfig:
+    """Static per-table options (reference: op attrs + KvOptions,
+    ops/kv_variable_ops.cc:37-201, kv_variable_options.py)."""
+    dim: int
+    enter_threshold: int = 0          # frequency filter (0 = off)
+    max_probes: int = DEFAULT_MAX_PROBES
+    value_dtype: Any = jnp.float32
+    name: str = "kv_table"
+
+    def __post_init__(self):
+        object.__setattr__(self, "value_dtype", jnp.dtype(self.value_dtype))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KvTable:
+    keys: jnp.ndarray                  # int32[C, 2]
+    values: jnp.ndarray                # vdtype[C, D]
+    meta: jnp.ndarray                  # uint32[C] packed freq|day
+    flags: jnp.ndarray                 # uint32[C] bitfield
+    init_pool: jnp.ndarray             # vdtype[P, D]
+    slots: Dict[str, jnp.ndarray]      # optimizer slot arrays, co-indexed [C, k*D]
+    config: KvConfig = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def dim(self) -> int:
+        return self.config.dim
+
+
+class FindResult(NamedTuple):
+    slot: jnp.ndarray         # int32[N]; -1 if not found
+    found: jnp.ndarray        # bool[N]
+    insert_slot: jnp.ndarray  # int32[N]; first free candidate (-1 if chain full)
+
+
+class LookupResult(NamedTuple):
+    rows: jnp.ndarray      # vdtype[N, D] (zeros for invalid / blacklisted)
+    slot: jnp.ndarray      # int32[N]; -1 invalid/overflow — feed back to apply_grads
+    table: "KvTable"
+    overflow: jnp.ndarray  # bool scalar: some id could not be placed → grow()
+
+
+def create(dim: int,
+           capacity: int = 1 << 14,
+           *,
+           initializer=None,
+           init_pool_rows: int = DEFAULT_INIT_POOL_ROWS,
+           enter_threshold: int = 0,
+           max_probes: int = DEFAULT_MAX_PROBES,
+           value_dtype=jnp.float32,
+           name: str = "kv_table",
+           seed: int = 0) -> KvTable:
+    """Create an empty table.
+
+    ``initializer``: callable ``(key, shape) -> array`` for the init pool, or a
+    concrete ``[P, dim]`` array. Defaults to truncated-normal(0.01·) matching
+    typical embedding init.
+    """
+    if capacity & (capacity - 1):
+        raise ValueError(f"capacity must be a power of two, got {capacity}")
+    cfg = KvConfig(dim=dim, enter_threshold=enter_threshold,
+                   max_probes=max_probes, value_dtype=value_dtype, name=name)
+    if initializer is None:
+        key = jax.random.PRNGKey(seed)
+        pool = (jax.random.truncated_normal(key, -2.0, 2.0,
+                                            (init_pool_rows, dim)) * 0.05)
+        pool = pool.astype(value_dtype)
+    elif callable(initializer):
+        pool = initializer(jax.random.PRNGKey(seed), (init_pool_rows, dim))
+        pool = jnp.asarray(pool, dtype=value_dtype)
+    else:
+        pool = jnp.asarray(initializer, dtype=value_dtype)
+        if pool.ndim != 2 or pool.shape[1] != dim:
+            raise ValueError(f"init pool must be [P, {dim}], got {pool.shape}")
+    empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], dtype=jnp.int32)
+    return KvTable(
+        keys=jnp.broadcast_to(empty_row, (capacity, 2)).copy(),
+        values=jnp.zeros((capacity, dim), dtype=value_dtype),
+        meta=jnp.zeros((capacity,), dtype=jnp.uint32),
+        flags=jnp.zeros((capacity,), dtype=jnp.uint32),
+        init_pool=pool,
+        slots={},
+        config=cfg,
+    )
+
+
+# ---------------------------------------------------------------------------
+# probing
+# ---------------------------------------------------------------------------
+
+def _probe_pos(q: jnp.ndarray, capacity: int, j) -> jnp.ndarray:
+    h0 = hashing.probe_start(q, capacity).astype(jnp.uint32)
+    st = hashing.probe_step(q, capacity).astype(jnp.uint32)
+    j = jnp.asarray(j, dtype=jnp.uint32)
+    return ((h0 + j * st) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+
+
+def find(table: KvTable, q: jnp.ndarray,
+         valid: Optional[jnp.ndarray] = None) -> FindResult:
+    """Vectorized probe over ``max_probes`` candidates per query key.
+
+    Mirrors TableManager find semantics (table_manager.h:167-190) without
+    locks: the probe chain stops at the first EMPTY slot; tombstones are
+    skipped for matching but remembered as insert targets.
+    """
+    n = q.shape[0]
+    cap = table.capacity
+    if valid is None:
+        valid = ~hashing.is_reserved_id(q)
+    else:
+        valid = valid & ~hashing.is_reserved_id(q)
+
+    neg1 = jnp.full((n,), -1, dtype=jnp.int32)
+
+    def body(j, state):
+        slot, found, ins, done = state
+        pos = _probe_pos(q, cap, j)
+        cur = table.keys[pos]
+        m = ~done & valid & hashing.keys_equal(cur, q)
+        empty = hashing.is_empty(cur)
+        free = hashing.is_free(cur)
+        slot = jnp.where(m, pos, slot)
+        found = found | m
+        ins = jnp.where(~done & (ins < 0) & free, pos, ins)
+        done = done | m | empty
+        return slot, found, ins, done
+
+    slot, found, ins, _ = jax.lax.fori_loop(
+        0, table.config.max_probes, body,
+        (neg1, jnp.zeros((n,), bool), neg1, ~valid))
+    return FindResult(slot=slot, found=found, insert_slot=ins)
+
+
+def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
+                  max_probes: int):
+    """Deterministic parallel insert of **unique** keys.
+
+    ``max_probes`` rounds; in round *j* every still-unplaced key attempts its
+    *j*-th probe candidate; collisions on a free slot are resolved
+    lowest-index-wins via a scatter-min claim array. Replaces the reference's
+    read-lock→upgrade-to-writer protocol (table_manager.h:172-189) with a
+    deterministic data-parallel schedule.
+
+    Returns ``(new_keys_arr, placed int32[N] (-1 = overflow))``.
+    """
+    n = q.shape[0]
+    cap = keys_arr.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+
+    def body(j, state):
+        karr, placed = state
+        active = need & (placed < 0)
+        pos = _probe_pos(q, cap, j)
+        cur = karr[pos]
+        attempt = active & hashing.is_free(cur)
+        claim = jnp.full((cap,), n, dtype=jnp.int32)
+        claim = claim.at[pos].min(jnp.where(attempt, iota, n), mode="drop")
+        won = attempt & (claim[pos] == iota)
+        scatter_idx = jnp.where(won, pos, cap)   # cap = OOB → dropped
+        karr = karr.at[scatter_idx].set(q, mode="drop")
+        placed = jnp.where(won, pos, placed)
+        return karr, placed
+
+    return jax.lax.fori_loop(0, max_probes, body,
+                             (keys_arr, jnp.full((n,), -1, jnp.int32)))
+
+
+# ---------------------------------------------------------------------------
+# lookups
+# ---------------------------------------------------------------------------
+
+def _gather_rows(table: KvTable, slot: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+    safe = jnp.where(ok, slot, 0)
+    rows = table.values[safe]
+    black = (table.flags[safe] & FLAG_BLACKLIST) != 0
+    ok = ok & ~black  # blacklisted rows read as zeros (table_manager.h:226-231)
+    return jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
+
+
+def _init_rows_for(table: KvTable, q: jnp.ndarray) -> jnp.ndarray:
+    pool = table.init_pool
+    r1, r2 = hashing.init_row_indices(q, pool.shape[0])
+    half = jnp.asarray(0.5, dtype=pool.dtype)
+    return (pool[r1] + pool[r2]) * half
+
+
+def lookup_or_insert(table: KvTable,
+                     q: jnp.ndarray,
+                     counts: Optional[jnp.ndarray] = None,
+                     *,
+                     valid: Optional[jnp.ndarray] = None,
+                     day: int | jnp.ndarray = 0,
+                     mark_delta: bool = True) -> LookupResult:
+    """Training-path gather: find each key, insert misses with init-pool rows.
+
+    Parity: KvVariableGatherOrInsert(WithCounts) (kernels/kv_variable_ops.cc:
+    498-631) + FindOrInsertLocally (kv_variable.h:287-380). ``q`` must be
+    **deduplicated** (use :func:`tfplus_tpu.kv.unique.unique_with_counts`);
+    ``counts`` is the per-key multiplicity used for frequency accounting.
+    """
+    n = q.shape[0]
+    if valid is None:
+        valid = ~hashing.is_reserved_id(q)
+    else:
+        valid = valid & ~hashing.is_reserved_id(q)
+    if counts is None:
+        counts = jnp.ones((n,), dtype=jnp.int32)
+
+    fr = find(table, q, valid)
+    need = valid & ~fr.found
+    new_keys, placed_new = _claim_insert(table.keys, q, need, table.config.max_probes)
+    placed = jnp.where(fr.found, fr.slot, placed_new)
+    ok = valid & (placed >= 0)
+    overflow = jnp.any(need & (placed_new < 0))
+
+    # --- write new rows -----------------------------------------------------
+    newly = need & (placed_new >= 0)
+    new_idx = jnp.where(newly, placed_new, table.capacity)  # OOB → dropped
+    init_rows = _init_rows_for(table, q)
+    values = table.values.at[new_idx].set(init_rows, mode="drop")
+
+    # --- metadata -----------------------------------------------------------
+    day = jnp.asarray(day, dtype=jnp.uint32)
+    meta = table.meta
+    safe = jnp.where(ok, placed, 0)
+    upd_meta = packing.saturating_add_freq(
+        jnp.where(newly, jnp.uint32(0), meta[safe]), counts, day)
+    meta = meta.at[jnp.where(ok, placed, table.capacity)].set(upd_meta, mode="drop")
+
+    flags = table.flags
+    # new rows start clean; touched bits mark deltalist membership
+    flags = flags.at[new_idx].set(jnp.full((n,), FLAG_TOUCH_BOTH), mode="drop")
+    if mark_delta:
+        touched_idx = jnp.where(ok, placed, table.capacity)
+        flags = flags.at[touched_idx].set(
+            flags[safe] | FLAG_TOUCH_BOTH, mode="drop")
+
+    new_table = dataclasses.replace(table, keys=new_keys, values=values,
+                                    meta=meta, flags=flags)
+    rows = _gather_rows(new_table, placed, ok)
+    return LookupResult(rows=rows, slot=jnp.where(ok, placed, -1),
+                        table=new_table, overflow=overflow)
+
+
+def lookup_or_zeros(table: KvTable, q: jnp.ndarray,
+                    valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Inference-path gather: unknown / blacklisted keys read as zeros.
+
+    Parity: KvVariableGatherOrZeros (kernels/kv_variable_ops.cc:348-429); used
+    when ``IS_TRAINING`` is false (kv_variable_ops.py:1057-1113).
+    """
+    fr = find(table, q, valid)
+    return _gather_rows(table, fr.slot, fr.found)
+
+
+def lookup_with_init(table: KvTable, q: jnp.ndarray,
+                     valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Gather with init-pool fallback for misses, **without inserting**
+    (parity: KvVariableGather with use_init_value,
+    kernels/kv_variable_ops.cc:633-701)."""
+    fr = find(table, q, valid)
+    rows = _gather_rows(table, fr.slot, fr.found)
+    if valid is None:
+        valid = ~hashing.is_reserved_id(q)
+    miss = valid & ~fr.found
+    return jnp.where(miss[:, None], _init_rows_for(table, q), rows)
+
+
+# ---------------------------------------------------------------------------
+# mutation
+# ---------------------------------------------------------------------------
+
+def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
+           *, valid: Optional[jnp.ndarray] = None,
+           day: int | jnp.ndarray = 0,
+           blacklist: Optional[jnp.ndarray] = None,
+           freq: Optional[jnp.ndarray] = None) -> KvTable:
+    """Unconditional upsert of ``q → rows`` (parity: KvVariableInsert,
+    kernels/kv_variable_ops.cc:703-747; InsertOrUpdate kv_variable.h:423-485).
+    ``q`` must be deduplicated."""
+    n = q.shape[0]
+    if valid is None:
+        valid = ~hashing.is_reserved_id(q)
+    else:
+        valid = valid & ~hashing.is_reserved_id(q)
+    fr = find(table, q, valid)
+    need = valid & ~fr.found
+    new_keys, placed_new = _claim_insert(table.keys, q, need, table.config.max_probes)
+    placed = jnp.where(fr.found, fr.slot, placed_new)
+    ok = valid & (placed >= 0)
+    idx = jnp.where(ok, placed, table.capacity)
+
+    values = table.values.at[idx].set(rows.astype(table.values.dtype), mode="drop")
+    day = jnp.asarray(day, dtype=jnp.uint32)
+    if freq is None:
+        freq = jnp.ones((n,), dtype=jnp.uint32)
+    meta = table.meta.at[idx].set(packing.pack(freq, day), mode="drop")
+    fl = jnp.broadcast_to(FLAG_TOUCH_BOTH, (n,)).astype(jnp.uint32)
+    if blacklist is not None:
+        fl = fl | jnp.where(blacklist, FLAG_BLACKLIST, jnp.uint32(0))
+    flags = table.flags.at[idx].set(fl, mode="drop")
+    return dataclasses.replace(table, keys=new_keys, values=values,
+                               meta=meta, flags=flags)
+
+
+_SCATTER_OPS = ("update", "add", "sub", "mul", "div", "min", "max")
+
+
+def scatter(table: KvTable, q: jnp.ndarray, updates: jnp.ndarray, op: str,
+            *, valid: Optional[jnp.ndarray] = None,
+            day: int | jnp.ndarray = 0) -> KvTable:
+    """Elementwise scatter family over rows (parity: KvVariableScatter{Add,
+    Sub,Mul,Div,Min,Max,Update} ops/kv_variable_ops.cc:520-574; cwise functors
+    kernels/kv_variable_cwise_op.h; dispatch kv_variable.h:616-734).
+
+    Missing keys are inserted with init-pool rows first (reference
+    ScatterUpdate inserts on miss), then the op applies. ``q`` deduplicated.
+    """
+    if op not in _SCATTER_OPS:
+        raise ValueError(f"op must be one of {_SCATTER_OPS}")
+    res = lookup_or_insert(table, q, valid=valid, day=day)
+    t = res.table
+    ok = res.slot >= 0
+    safe = jnp.where(ok, res.slot, 0)
+    cur = t.values[safe]
+    u = updates.astype(cur.dtype)
+    if op == "update":
+        out = u
+    elif op == "add":
+        out = cur + u
+    elif op == "sub":
+        out = cur - u
+    elif op == "mul":
+        out = cur * u
+    elif op == "div":
+        out = cur / u
+    elif op == "min":
+        out = jnp.minimum(cur, u)
+    else:
+        out = jnp.maximum(cur, u)
+    idx = jnp.where(ok, res.slot, t.capacity)
+    values = t.values.at[idx].set(out, mode="drop")
+    # writing a row clears its blacklist bit (re-activation)
+    flags = t.flags.at[idx].set(
+        (t.flags[safe] | FLAG_TOUCH_BOTH) & ~FLAG_BLACKLIST, mode="drop")
+    return dataclasses.replace(t, values=values, flags=flags)
+
+
+def delete(table: KvTable, q: jnp.ndarray,
+           valid: Optional[jnp.ndarray] = None) -> tuple[KvTable, jnp.ndarray]:
+    """Remove keys; returns ``(table, deleted_mask)``.
+
+    Parity: KvVariableDelete (ops/kv_variable_ops.cc:681, kv_variable.h
+    Delete). Slots become tombstones so other probe chains stay valid;
+    :func:`compact` reclaims them.
+    """
+    fr = find(table, q, valid)
+    deleted = fr.found
+    idx = jnp.where(deleted, fr.slot, table.capacity)
+    n = q.shape[0]
+    tomb = jnp.broadcast_to(
+        jnp.array([hashing.TOMB_LO, hashing.TOMB_HI], dtype=jnp.int32), (n, 2))
+    keys = table.keys.at[idx].set(tomb, mode="drop")
+    meta = table.meta.at[idx].set(jnp.zeros((n,), jnp.uint32), mode="drop")
+    flags = table.flags.at[idx].set(jnp.zeros((n,), jnp.uint32), mode="drop")
+    zero_rows = jnp.zeros((n, table.dim), dtype=table.values.dtype)
+    values = table.values.at[idx].set(zero_rows, mode="drop")
+    slots = {k: v.at[idx].set(jnp.zeros((n,) + v.shape[1:], v.dtype), mode="drop")
+             for k, v in table.slots.items()}
+    return (dataclasses.replace(table, keys=keys, values=values, meta=meta,
+                                flags=flags, slots=slots), deleted)
+
+
+def delete_with_timestamp(table: KvTable, threshold_days: int,
+                          day: int | jnp.ndarray) -> tuple[KvTable, jnp.ndarray]:
+    """Evict rows untouched for > ``threshold_days`` (parity:
+    DeleteWithTimestamp, kv_variable.h:756-789). Returns ``(table,
+    evicted_mask[C])`` — extract evicted keys host-side for delta checkpoints.
+    """
+    occ = occupied_mask(table)
+    row_day = packing.get_day(table.meta).astype(jnp.int32)
+    day = jnp.asarray(day, dtype=jnp.int32)
+    evict = occ & ((day - row_day) > threshold_days)
+    tomb = jnp.array([hashing.TOMB_LO, hashing.TOMB_HI], dtype=jnp.int32)
+    keys = jnp.where(evict[:, None], tomb, table.keys)
+    meta = jnp.where(evict, jnp.uint32(0), table.meta)
+    flags = jnp.where(evict, jnp.uint32(0), table.flags)
+    values = jnp.where(evict[:, None], jnp.zeros((), table.values.dtype), table.values)
+    slots = {k: jnp.where(evict[:, None], jnp.zeros((), v.dtype), v)
+             for k, v in table.slots.items()}
+    return (dataclasses.replace(table, keys=keys, values=values, meta=meta,
+                                flags=flags, slots=slots), evict)
+
+
+# ---------------------------------------------------------------------------
+# introspection (parity: Size/StorageSize/Frequency/GetCount/GetTimeStamp ops)
+# ---------------------------------------------------------------------------
+
+def occupied_mask(table: KvTable) -> jnp.ndarray:
+    return ~hashing.is_free(table.keys)
+
+
+def size(table: KvTable) -> jnp.ndarray:
+    """Number of live rows (ops/kv_variable_ops.cc:229-244)."""
+    return jnp.sum(occupied_mask(table).astype(jnp.int32))
+
+
+def sum_freq(table: KvTable) -> jnp.ndarray:
+    """Σ frequency over live rows (kv_variable.h:139-175)."""
+    occ = occupied_mask(table)
+    return jnp.sum(jnp.where(occ, packing.get_freq(table.meta),
+                             jnp.uint32(0)).astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32))
+
+
+def get_count(table: KvTable, q: jnp.ndarray) -> jnp.ndarray:
+    """Per-key visit frequency (parity: KvVariableGetCount)."""
+    fr = find(table, q)
+    safe = jnp.where(fr.found, fr.slot, 0)
+    return jnp.where(fr.found, packing.get_freq(table.meta[safe]),
+                     jnp.uint32(0)).astype(jnp.int32)
+
+
+def get_timestamp(table: KvTable, q: jnp.ndarray) -> jnp.ndarray:
+    """Per-key last-update day (parity: KvVariableGetTimeStamp)."""
+    fr = find(table, q)
+    safe = jnp.where(fr.found, fr.slot, 0)
+    return jnp.where(fr.found, packing.get_day(table.meta[safe]),
+                     jnp.uint32(0)).astype(jnp.int32)
+
+
+def load_factor(table: KvTable) -> float:
+    return float(jax.device_get(size(table))) / table.capacity
+
+
+def needs_grow(table: KvTable, incoming: int = 0,
+               threshold: float = GROW_LOAD_FACTOR) -> bool:
+    """Host-side check: will ``incoming`` more rows push past the load factor?"""
+    cur = int(jax.device_get(size(table)))
+    return (cur + incoming) > threshold * table.capacity
+
+
+# ---------------------------------------------------------------------------
+# optimizer slot registry (reference: slot_creator hook variable_scope.py:1027-1093)
+# ---------------------------------------------------------------------------
+
+def ensure_slots(table: KvTable, slot_specs: Dict[str, int]) -> KvTable:
+    """Make sure slot arrays exist: ``name -> width multiplier k`` gives a
+    ``[C, k*dim]`` zero array (AdamV4's single ``m_v_linear`` 3×dim concat slot
+    is the precedent — training_ops.cc:7156-7162)."""
+    slots = dict(table.slots)
+    changed = False
+    for name, k in slot_specs.items():
+        if name not in slots:
+            slots[name] = jnp.zeros((table.capacity, k * table.dim),
+                                    dtype=table.values.dtype)
+            changed = True
+    return dataclasses.replace(table, slots=slots) if changed else table
+
+
+# ---------------------------------------------------------------------------
+# growth / rehash
+# ---------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(1,))
+def _rehash(table: KvTable, new_capacity: int) -> KvTable:
+    old_cap = table.capacity
+    occ = occupied_mask(table)
+    empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], dtype=jnp.int32)
+    new_keys = jnp.broadcast_to(empty_row, (new_capacity, 2)).copy()
+    # Re-inserting C keys needs enough probe rounds even at momentary clustering.
+    new_keys, placed = _claim_insert(new_keys, table.keys, occ,
+                                     max(table.config.max_probes, 32))
+    idx = jnp.where(occ & (placed >= 0), placed, new_capacity)
+    dim = table.values.shape[1]
+    new_values = jnp.zeros((new_capacity, dim), table.values.dtype).at[idx].set(
+        table.values, mode="drop")
+    new_meta = jnp.zeros((new_capacity,), jnp.uint32).at[idx].set(
+        table.meta, mode="drop")
+    new_flags = jnp.zeros((new_capacity,), jnp.uint32).at[idx].set(
+        table.flags, mode="drop")
+    new_slots = {
+        k: jnp.zeros((new_capacity,) + v.shape[1:], v.dtype).at[idx].set(v, mode="drop")
+        for k, v in table.slots.items()
+    }
+    return dataclasses.replace(table, keys=new_keys, values=new_values,
+                               meta=new_meta, flags=new_flags, slots=new_slots)
+
+
+def grow(table: KvTable, new_capacity: Optional[int] = None) -> KvTable:
+    """Host-mediated growth between steps: re-allocate at 2× (or given)
+    capacity and rehash every live row. Replaces the reference's lock-guarded
+    incremental map growth with an infrequent bulk rebuild."""
+    new_capacity = new_capacity or table.capacity * 2
+    if new_capacity & (new_capacity - 1):
+        raise ValueError("new_capacity must be a power of two")
+    if new_capacity < table.capacity:
+        raise ValueError("cannot shrink below current capacity")
+    return _rehash(table, new_capacity)
+
+
+def compact(table: KvTable) -> KvTable:
+    """Rebuild at the same capacity to clear tombstones after heavy deletion."""
+    return _rehash(table, table.capacity)
+
+
+# ---------------------------------------------------------------------------
+# host-side export / import (feeds tfplus_tpu.checkpoint)
+# ---------------------------------------------------------------------------
+
+def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
+                  cutoff_value: float = 1e-20,
+                  delta: bool = False,
+                  deltalist: str = "train") -> Dict[str, np.ndarray]:
+    """Materialise the table's logical checkpoint tensors on host.
+
+    Produces the same logical tensors as the reference export
+    (dynamic_save.hpp:26-195; tensor naming kv_variable_ops.py:1458-1459):
+    ``keys`` (uint64), ``values`` (f32[n, D]), ``init_table``, ``blacklist``
+    (uint64 keys), ``freq_keys``/``freq_values`` (uint16). ``delta=True``
+    restricts rows to the touched deltalist and clears it afterwards —
+    the caller gets the cleared table via the ``"table"`` entry.
+
+    ``enable_cutoff`` drops rows with max|v| < cutoff (kv_variable
+    interface :54-55).
+    """
+    host = jax.device_get((table.keys, table.values, table.meta, table.flags,
+                           table.init_pool))
+    keys, values, meta, flags, pool = (np.asarray(x) for x in host)
+    occ = ~((keys[:, 0] == hashing.EMPTY_LO) & (keys[:, 1] == hashing.EMPTY_HI)) \
+        & ~((keys[:, 0] == hashing.TOMB_LO) & (keys[:, 1] == hashing.TOMB_HI))
+    sel = occ
+    if delta:
+        bit = int(FLAG_TOUCH_TRAIN if deltalist == "train" else FLAG_TOUCH_PRED)
+        sel = sel & ((flags & bit) != 0)
+    black = (flags & int(FLAG_BLACKLIST)) != 0
+    if enable_cutoff:
+        keep = np.abs(values).max(axis=1) >= cutoff_value
+        sel = sel & (keep | black)   # blacklist rows survive cutoff as keys
+    out_keys = hashing.decode_ids_np(keys[sel])
+    out = {
+        "keys": out_keys,
+        "values": values[sel].astype(np.float32),
+        "init_table": pool.astype(np.float32),
+        "blacklist": hashing.decode_ids_np(keys[occ & black]),
+        "freq_keys": out_keys,
+        "freq_values": (meta[sel] & packing.FREQ_MASK).astype(np.uint16),
+        "meta": meta[sel],      # full packed freq|day (superset; day preserved)
+    }
+    if delta:
+        # clear the deltalist (reference: deltalist swap, dynamic_save.hpp:180-193)
+        clear_bit = FLAG_TOUCH_TRAIN if deltalist == "train" else FLAG_TOUCH_PRED
+        new_flags = jnp.asarray(flags & np.uint32(~clear_bit & 0xFFFFFFFF),
+                                dtype=jnp.uint32)
+        out["table"] = dataclasses.replace(table, flags=new_flags)
+    return out
+
+
+def import_arrays(table: KvTable, data: Dict[str, np.ndarray], *,
+                  clear: bool = True, delete_keys: Optional[np.ndarray] = None,
+                  day: Optional[int] = None) -> KvTable:
+    """Load exported tensors back (parity: ImportValues / DeltaImport,
+    dynamic_restore.hpp:29-262). ``clear=False`` gives delta/merge upsert
+    semantics. Grows the table as needed before inserting."""
+    n = int(np.asarray(data["keys"]).shape[0])
+    if clear:
+        fresh = create(table.dim, table.capacity,
+                       initializer=np.asarray(data.get("init_table",
+                                                       jax.device_get(table.init_pool))),
+                       enter_threshold=table.config.enter_threshold,
+                       max_probes=table.config.max_probes,
+                       value_dtype=table.config.value_dtype,
+                       name=table.config.name)
+        fresh = ensure_slots(fresh, {k: v.shape[1] // table.dim
+                                     for k, v in table.slots.items()})
+        table = fresh
+    cap = table.capacity
+    cur = 0 if clear else int(jax.device_get(size(table)))
+    while (cur + n) > GROW_LOAD_FACTOR * cap:
+        cap *= 2
+    if cap != table.capacity:
+        table = grow(table, cap)
+
+    if n:
+        q = hashing.encode_ids_np_to_device(np.asarray(data["keys"]))
+        vals = jnp.asarray(np.asarray(data["values"]), dtype=table.values.dtype)
+        freq = np.zeros((n,), np.uint32)
+        if "meta" in data:
+            meta_in = np.asarray(data["meta"], dtype=np.uint32)
+            freq = meta_in & packing.FREQ_MASK
+            days = meta_in >> 16
+        elif "freq_values" in data and len(np.asarray(data["freq_values"])) == n:
+            freq = np.asarray(data["freq_values"]).astype(np.uint32)
+            days = np.full((n,), day if day is not None else packing.current_day(),
+                           np.uint32)
+        else:
+            days = np.full((n,), day if day is not None else packing.current_day(),
+                           np.uint32)
+        black_np = np.zeros((n,), bool)
+        bl = np.asarray(data.get("blacklist", np.zeros((0,), np.uint64)))
+        if bl.size:
+            black_np = np.isin(np.asarray(data["keys"]).astype(np.uint64),
+                               bl.astype(np.uint64))
+        # insert with meta; emulate per-row day by packing meta directly
+        table = insert(table, q, vals, freq=jnp.asarray(freq),
+                       blacklist=jnp.asarray(black_np), day=0)
+        # overwrite meta with exact packed values (restores per-row day)
+        fr = find(table, q)
+        idx = jnp.where(fr.found, fr.slot, table.capacity)
+        packed = jnp.asarray((days.astype(np.uint32) << 16)
+                             | (freq & packing.FREQ_MASK), dtype=jnp.uint32)
+        meta = table.meta.at[idx].set(packed, mode="drop")
+        table = dataclasses.replace(table, meta=meta)
+    if delete_keys is not None and np.asarray(delete_keys).size:
+        qd = hashing.encode_ids_np_to_device(np.asarray(delete_keys))
+        table, _ = delete(table, qd)
+    return table
