@@ -1,0 +1,332 @@
+"""Golden-model optimizer tests.
+
+Mirrors the reference's canonical harness (py_ut/tests/test_training_ops.py:
+60-547): the same gradient sequence is applied to (a) a dense numpy reference
+implementing the published update math and (b) a KvTable + our fused sparse
+rule; trajectories must match. Group* variants with l1=l2=l21=0 must equal
+their base optimizer (README.md:150-158).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfplus_tpu import kv, train as tft
+from tfplus_tpu.optim import rules as R
+from tfplus_tpu.optim.base import SparseOptimizer
+
+DIM = 8
+N = 5
+STEPS = 6
+RNG = np.random.RandomState(0)
+
+
+def run_sparse(opt: SparseOptimizer, grads_seq, lr, init_rows, extra_seq=None):
+    """Apply a gradient sequence through the KvTable path; return var rows."""
+    t = kv.create(DIM, 256, seed=0)
+    ids = kv.encode_ids_np_to_device(np.arange(1, N + 1, dtype=np.int64))
+    t = kv.insert(t, ids, jnp.asarray(init_rows))  # known starting values
+    t = opt.init(t)
+    for s, g in enumerate(grads_seq):
+        res = kv.lookup_or_insert(t, ids)
+        extra = None if extra_seq is None else jnp.asarray(extra_seq[s])
+        t = opt.apply(res.table, res.slot, jnp.asarray(g), lr=lr, step=s + 1,
+                      extra=extra)
+    return np.asarray(kv.lookup_or_zeros(t, ids))
+
+
+def make_data():
+    init = RNG.randn(N, DIM).astype(np.float32) * 0.5
+    grads = [RNG.randn(N, DIM).astype(np.float32) for _ in range(STEPS)]
+    return init, grads
+
+
+class TestAdamFamily:
+    def np_adam(self, init, grads, lr=0.01, b1=0.9, b2=0.999, eps=1e-8):
+        """TF-style lazy Adam: var -= lr*sqrt(1-b2^t)/(1-b1^t) * m/(eps+sqrt(v))."""
+        var = init.copy()
+        m = np.zeros_like(var)
+        v = np.zeros_like(var)
+        for t, g in enumerate(grads, start=1):
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            lr_t = lr * np.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+            var -= lr_t * m / (eps + np.sqrt(v))
+        return var
+
+    def test_adam_matches_dense_reference(self):
+        init, grads = make_data()
+        got = run_sparse(tft.AdamOptimizer(), grads, 0.01, init)
+        want = self.np_adam(init, grads, lr=0.01)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_group_adam_zero_reg_equals_adam(self):
+        """The reference's README:150-158 equivalence gate."""
+        init, grads = make_data()
+        a = run_sparse(tft.AdamOptimizer(), grads, 0.01, init)
+        ga = run_sparse(tft.GroupAdamOptimizer(), grads, 0.01, init)
+        np.testing.assert_allclose(ga, a, rtol=1e-4, atol=1e-5)
+
+    def test_group_adam_l21_blacklists(self):
+        init, grads = make_data()
+        tiny_grads = [g * 1e-4 for g in grads]
+        opt = tft.GroupAdamOptimizer(l21_regularization_strength=100.0)
+        got = run_sparse(opt, tiny_grads, 0.01, init)
+        np.testing.assert_allclose(got, 0.0)  # all rows blacklisted → zeros
+
+    def test_group_adam_l1_sparsifies(self):
+        init, grads = make_data()
+        base = run_sparse(tft.GroupAdamOptimizer(), grads, 0.01, init)
+        l1 = run_sparse(
+            tft.GroupAdamOptimizer(l1_regularization_strength=5.0),
+            grads, 0.01, init)
+        assert np.abs(l1).sum() < np.abs(base).sum()
+
+    def test_amsgrad_zero_reg_close_to_adam_short(self):
+        # AMSGrad uses max-v; for a monotone v sequence it equals Adam on step 1
+        init, grads = make_data()
+        a = run_sparse(tft.AdamOptimizer(), grads[:1], 0.01, init)
+        ams = run_sparse(tft.AMSGradOptimizer(), grads[:1], 0.01, init)
+        np.testing.assert_allclose(ams, a, rtol=1e-4, atol=1e-5)
+
+
+class TestAdagrad:
+    def test_matches_dense_reference(self):
+        init, grads = make_data()
+        lr, acc0 = 0.1, 0.1
+        got = run_sparse(tft.AdagradOptimizer(initial_accumulator_value=acc0),
+                         grads, lr, init)
+        var = init.copy()
+        acc = np.full_like(var, acc0)
+        for g in grads:
+            acc += g * g
+            var -= lr * g / np.sqrt(acc)
+        np.testing.assert_allclose(got, var, rtol=1e-5, atol=1e-6)
+
+
+class TestFtrl:
+    def np_ftrl(self, init, grads, lr, l1=0.0, l2=0.0, acc0=0.1):
+        """TF FTRL (lr_power=-0.5) element-wise reference."""
+        var = init.copy()
+        accum = np.full_like(var, acc0)
+        linear = np.zeros_like(var)
+        for g in grads:
+            new_accum = accum + g * g
+            sigma = (np.sqrt(new_accum) - np.sqrt(accum)) / lr
+            linear += g - sigma * var
+            quad = np.sqrt(new_accum) / lr + 2 * l2
+            var = np.where(np.abs(linear) > l1,
+                           (np.sign(linear) * l1 - linear) / quad, 0.0)
+            accum = new_accum
+        return var
+
+    def test_group_ftrl_zero_l21_matches_elementwise_ftrl(self):
+        init, grads = make_data()
+        got = run_sparse(tft.SparseGroupFtrlOptimizer(), grads, 0.1, init)
+        want = self.np_ftrl(init, grads, 0.1)
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def test_l21_blacklists_small_rows(self):
+        init, grads = make_data()
+        opt = tft.SparseGroupFtrlOptimizer(l21_regularization_strength=1000.0)
+        got = run_sparse(opt, [g * 1e-5 for g in grads], 0.1, init)
+        np.testing.assert_allclose(got, 0.0)
+
+
+class TestMomentum:
+    def test_matches_sgd_momentum(self):
+        init, grads = make_data()
+        lr, mom = 0.05, 0.9
+        got = run_sparse(tft.MomentumOptimizer(momentum=mom), grads, lr, init)
+        var = init.copy()
+        m = np.zeros_like(var)
+        for g in grads:
+            m = mom * m + g
+            var -= lr * m
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_nesterov(self):
+        init, grads = make_data()
+        lr, mom = 0.05, 0.9
+        got = run_sparse(tft.MomentumOptimizer(momentum=mom,
+                                               use_nesterov=True),
+                         grads, lr, init)
+        var = init.copy()
+        m = np.zeros_like(var)
+        for g in grads:
+            m = mom * m + g
+            var -= lr * (mom * m + g)
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+
+class TestAdadelta:
+    def test_matches_dense_reference(self):
+        init, grads = make_data()
+        lr, rho, eps = 1.0, 0.95, 1e-8
+        got = run_sparse(tft.AdadeltaOptimizer(rho=rho, epsilon=eps),
+                         grads, lr, init)
+        var = init.copy()
+        accum = np.zeros_like(var)
+        accum_up = np.zeros_like(var)
+        for g in grads:
+            new_accum = rho * accum + (1 - rho) * g * g
+            update = np.sqrt(accum_up + eps) * g
+            # reference folds into linear; with λ=0 var -= lr*update/sqrt(new_accum+eps)
+            var = (var * (np.sqrt(accum) / lr)
+                   - update + var * 0) / (np.sqrt(new_accum + eps) / lr) \
+                if False else var - lr * update / np.sqrt(new_accum + eps) \
+                + var * (1 - np.sqrt(new_accum + eps) / np.sqrt(new_accum + eps))
+            accum_up = rho * accum_up + (1 - rho) * update**2 / (new_accum + eps)
+            accum = new_accum
+        # The FTRL-folded trajectory differs slightly from plain adadelta in
+        # the sqrt(accum)-vs-sqrt(accum+eps) sigma term; check the fold directly:
+        var2 = init.copy()
+        accum = np.zeros_like(var2)
+        accum_up = np.zeros_like(var2)
+        linear = np.zeros_like(var2)
+        for g in grads:
+            new_accum = rho * accum + (1 - rho) * g * g
+            mm = np.sqrt(accum_up + eps) * g
+            linear += mm - (np.sqrt(new_accum) - np.sqrt(accum)) / lr * var2
+            y = np.sqrt(new_accum + eps) / lr
+            var2 = -linear / y
+            accum_up = rho * accum_up + (1 - rho) * mm * mm / (new_accum + eps)
+            accum = new_accum
+        np.testing.assert_allclose(got, var2, rtol=1e-4, atol=1e-5)
+
+
+class TestAdaDQH:
+    def test_dense_functor_parity(self):
+        """Mirror ApplyAdaDQH functor math (training_ops.cc:4348-4374)."""
+        init, grads = make_data()
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-5
+        got = run_sparse(tft.AdaDQHOptimizer(), grads, lr, init)
+        var = init.copy()
+        m = np.zeros_like(var)
+        v = np.zeros_like(var)
+        for t, g in enumerate(grads, start=1):
+            b1p, b2p = b1 ** t, b2 ** t
+            alpha = lr * np.sqrt(1 - b2p) / (1 - b1p)
+            beta = 1.0 - b1p / b1 if b1 > b1p else 1.0
+            m_old = m / beta
+            m_new = b1 * m + (1 - b1) * g
+            h = m_new / (1 - b1p) - m_old
+            v = b2 * v + (1 - b2) * h * h
+            var -= m_new * alpha / np.maximum(np.sqrt(v),
+                                              eps * np.sqrt(1 - b2p))
+            m = m_new
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_group_zero_reg_close_to_base(self):
+        init, grads = make_data()
+        base = run_sparse(tft.AdaDQHOptimizer(), grads, 0.01, init)
+        grp = run_sparse(tft.AdaDQHOptimizer(use_group=True), grads, 0.01, init)
+        np.testing.assert_allclose(grp, base, rtol=1e-3, atol=1e-4)
+
+
+class TestRAdam:
+    def test_matches_dense_reference(self):
+        init, grads = make_data()
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-7
+        got = run_sparse(tft.RectifiedAdamOptimizer(), grads, lr, init)
+        var = init.copy()
+        m = np.zeros_like(var)
+        v = np.zeros_like(var)
+        sma_inf = 2.0 / (1 - b2) - 1.0
+        for t, g in enumerate(grads, start=1):
+            b1p, b2p = b1 ** t, b2 ** t
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            sma_t = sma_inf - 2.0 * t * b2p / (1 - b2p)
+            m_corr = m / (1 - b1p)
+            v_corr = np.sqrt(v / (1 - b2p))
+            with np.errstate(invalid="ignore"):  # sma_t<4 branch unused by where
+                r_t = np.sqrt((sma_t - 4) / (sma_inf - 4) * (sma_t - 2)
+                              / (sma_inf - 2) * sma_inf / sma_t)
+            upd = np.where(sma_t >= 5.0, r_t * m_corr / (v_corr + eps), m_corr)
+            var -= lr * upd
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+
+class TestLambAdaBeliefAdaHessian:
+    def test_lamb_runs_and_descends(self):
+        init, grads = make_data()
+        got = run_sparse(tft.LambOptimizer(), grads, 0.01, init)
+        assert np.all(np.isfinite(got))
+        assert not np.allclose(got, init)
+
+    def test_adabelief_runs(self):
+        init, grads = make_data()
+        got = run_sparse(tft.AdaBeliefOptimizer(), grads, 0.01, init)
+        assert np.all(np.isfinite(got))
+
+    def test_adahessian_uses_hessian_input(self):
+        init, grads = make_data()
+        hess = [np.abs(g) + 0.5 for g in grads]
+        a = run_sparse(tft.AdaHessianOptimizer(), grads, 0.01, init,
+                       extra_seq=hess)
+        b = run_sparse(tft.AdaHessianOptimizer(), grads, 0.01, init,
+                       extra_seq=[h * 10 for h in hess])
+        assert np.all(np.isfinite(a)) and not np.allclose(a, b)
+
+
+class TestSemantics:
+    def test_frequency_filter_skips_cold_rows(self):
+        t = kv.create(DIM, 256, enter_threshold=3, seed=0)
+        ids = kv.encode_ids_np_to_device(np.array([1, 2], dtype=np.int64))
+        rows = jnp.ones((2, DIM))
+        t = kv.insert(t, ids, rows, freq=jnp.array([1, 5], jnp.uint32))
+        opt = tft.GradientDescentOptimizer()
+        t = opt.init(t)
+        fr = kv.find(t, ids)
+        t = opt.apply(t, fr.slot, jnp.ones((2, DIM)), lr=0.5, step=1)
+        out = np.asarray(kv.lookup_or_zeros(t, ids))
+        np.testing.assert_allclose(out[0], 1.0)   # cold row untouched
+        np.testing.assert_allclose(out[1], 0.5)   # hot row updated
+
+    def test_blacklist_recovery(self):
+        init = np.ones((N, DIM), np.float32) * 0.01
+        opt = tft.GroupAdamOptimizer(l21_regularization_strength=10.0)
+        t = kv.create(DIM, 256, seed=0)
+        ids = kv.encode_ids_np_to_device(np.arange(1, N + 1, dtype=np.int64))
+        t = kv.insert(t, ids, jnp.asarray(init))
+        t = opt.init(t)
+        res = kv.lookup_or_insert(t, ids)
+        t = opt.apply(res.table, res.slot,
+                      jnp.full((N, DIM), 1e-6), lr=0.01, step=1)
+        assert np.allclose(np.asarray(kv.lookup_or_zeros(t, ids)), 0.0)
+        # huge gradients resurrect the rows (CoverUpdate clears blacklist):
+        # linear must accumulate past l21*lr*sqrt(dim)
+        for s in (2, 3, 4):
+            res = kv.lookup_or_insert(t, ids)
+            t = opt.apply(res.table, res.slot,
+                          jnp.full((N, DIM), 1000.0), lr=0.01, step=s)
+        out = np.asarray(kv.lookup_or_zeros(t, ids))
+        assert np.abs(out).sum() > 0
+
+    def test_apply_skips_invalid_slots(self):
+        t = kv.create(DIM, 256, seed=0)
+        opt = tft.AdagradOptimizer()
+        t = opt.init(t)
+        before = np.asarray(t.values).copy()
+        t = opt.apply(t, jnp.array([-1, -1]), jnp.ones((2, DIM)), lr=0.1, step=1)
+        np.testing.assert_array_equal(np.asarray(t.values), before)
+
+    def test_jit_apply(self):
+        init, grads = make_data()
+        opt = tft.GroupAdamOptimizer()
+        t = kv.create(DIM, 256, seed=0)
+        ids = kv.encode_ids_np_to_device(np.arange(1, N + 1, dtype=np.int64))
+        t = kv.insert(t, ids, jnp.asarray(init))
+        t = opt.init(t)
+
+        @jax.jit
+        def step(t, g, s):
+            res = kv.lookup_or_insert(t, ids)
+            return opt.apply(res.table, res.slot, g, lr=0.01, step=s)
+
+        for s, g in enumerate(grads):
+            t = step(t, jnp.asarray(g), s + 1)
+        got = np.asarray(kv.lookup_or_zeros(t, ids))
+        want = run_sparse(tft.GroupAdamOptimizer(), grads, 0.01, init)
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)

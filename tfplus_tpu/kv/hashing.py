@@ -55,6 +55,19 @@ def encode_ids(ids) -> jnp.ndarray:
     return jnp.stack([arr, hi], axis=-1)
 
 
+def encode_ids_raw(ids) -> jnp.ndarray:
+    """Like :func:`encode_ids` but NEVER interprets a trailing dim of 2 as
+    already-encoded — use for raw id tensors of arbitrary shape (e.g. a
+    ``[batch, 2]`` feature matrix of int32 ids)."""
+    if isinstance(ids, np.ndarray) and ids.dtype in (np.int64, np.uint64):
+        return encode_ids(ids)
+    arr = jnp.asarray(ids)
+    if arr.dtype != jnp.int32:
+        arr = arr.astype(jnp.int32)
+    hi = jnp.where(arr < 0, jnp.int32(-1), jnp.int32(0))
+    return jnp.stack([arr, hi], axis=-1)
+
+
 def encode_ids_np_to_device(ids: np.ndarray) -> jnp.ndarray:
     """Host ``int64``/``uint64`` (or 32-bit) ids → device ``int32[N, 2]``."""
     ids = np.asarray(ids)

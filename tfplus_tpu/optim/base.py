@@ -1,0 +1,104 @@
+"""SparseOptimizer — applies a row-update rule to a KvTable's touched rows.
+
+TPU-native replacement for the reference's per-key locked optimizer kernels
+(training_ops.cc: per key → write-lock → FindOrInsertUnsafe var+slot → Eigen
+row math → CoverUpdate/MarkBlacklist, sharded at cost 5000). Here the batch of
+unique touched rows is processed as one fused gather → rule-update → scatter
+region: deterministic (ids are deduped and gradients segment-summed upstream)
+and entirely on-device.
+
+Semantics preserved:
+  * frequency filter — rows with freq < enter_threshold are skipped
+    (training_ops.cc:1262-1264, kv_variable.h:910-912),
+  * group-lasso blacklist — below-threshold rows zeroed + flagged; flagged
+    rows that re-emerge above threshold are un-flagged (reference CoverUpdate
+    vs MarkBlacklist branch),
+  * slot co-location — one concatenated slot array per optimizer per table
+    (slot_creator + num_concat_opt_vars, variable_scope.py:1027-1093),
+  * delta-list marking for incremental checkpoint (MarkAsDeltaListElements).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..kv import table as kvt
+from ..utils import packing
+from .rules import Rule
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseOptimizer:
+    """Binds a :class:`Rule` to a slot name; stateless (all state lives in the
+    table's slot dict, so checkpoints carry optimizer state for free)."""
+    rule: Rule
+    slot_name: str = "opt_state"
+
+    def init(self, table: kvt.KvTable) -> kvt.KvTable:
+        """Ensure the table has this optimizer's slot array (call once,
+        outside jit — it changes the pytree structure)."""
+        if self.rule.slot_width == 0:
+            return table
+        return kvt.ensure_slots(table, {self.slot_name: self.rule.slot_width})
+
+    def apply(self, table: kvt.KvTable, slot_idx: jnp.ndarray,
+              grads: jnp.ndarray, *, lr, step,
+              extra: Optional[jnp.ndarray] = None,
+              mark_delta: bool = True) -> kvt.KvTable:
+        """Update rows at ``slot_idx`` (from ``LookupResult.slot``; -1 entries
+        are skipped) with per-unique-row ``grads``.
+
+        ``step`` is the 1-indexed global step (drives bias-correction powers);
+        ``lr`` may be a python float or traced scalar.
+        """
+        n = slot_idx.shape[0]
+        cap = table.capacity
+        ok = slot_idx >= 0
+        safe = jnp.where(ok, slot_idx, 0)
+
+        # frequency filter (should_filter in the reference kernels)
+        thr = table.config.enter_threshold
+        if thr > 0:
+            ok = ok & (packing.get_freq(table.meta[safe]) >= np.uint32(thr))
+
+        var = table.values[safe]
+        # blacklisted rows read as zeros for the update math too (the
+        # reference's table_manager zero-buffer reads)
+        was_black = (table.flags[safe] & kvt.FLAG_BLACKLIST) != 0
+        var = jnp.where(was_black[:, None], jnp.zeros_like(var), var)
+
+        if self.rule.slot_width > 0:
+            if self.slot_name not in table.slots:
+                raise ValueError(
+                    f"slot '{self.slot_name}' missing — call optimizer.init(table) first")
+            state = table.slots[self.slot_name][safe]
+        else:
+            state = jnp.zeros((n, 0), dtype=var.dtype)
+
+        new_var, new_state, black = self.rule.update(
+            var, state, grads.astype(var.dtype), lr=lr, step=step, extra=extra)
+
+        idx = jnp.where(ok, slot_idx, cap)  # OOB rows dropped
+        values = table.values.at[idx].set(new_var, mode="drop")
+        slots = dict(table.slots)
+        if self.rule.slot_width > 0:
+            slots[self.slot_name] = slots[self.slot_name].at[idx].set(
+                new_state, mode="drop")
+
+        flags_read = table.flags[safe]
+        new_flags = flags_read
+        if mark_delta:
+            new_flags = new_flags | kvt.FLAG_TOUCH_BOTH
+        if black is not None:
+            new_flags = jnp.where(black,
+                                  new_flags | kvt.FLAG_BLACKLIST,
+                                  new_flags & ~kvt.FLAG_BLACKLIST)
+        else:
+            new_flags = new_flags & ~kvt.FLAG_BLACKLIST
+        flags = table.flags.at[idx].set(new_flags, mode="drop")
+
+        return dataclasses.replace(table, values=values, flags=flags,
+                                   slots=slots)

@@ -1,0 +1,525 @@
+"""Sparse optimizer row-update rules.
+
+Vectorized re-implementations of the reference's fused CPU optimizer kernels
+(``/root/reference/tfplus/kv_variable/kernels/training_ops.cc``, 7.2k LoC of
+per-key Eigen loops under locks). Here each rule is a pure function over the
+batch of **unique touched rows** ``[N, D]`` plus a single concatenated slot
+array ``[N, k*D]`` (the AdamV4 ``m_v_linear`` concat-slot layout generalised to
+every optimizer — training_ops.cc:7156-7162 is the precedent); the surrounding
+gather/scatter is done once by :mod:`tfplus_tpu.optim.base`, so the whole
+update is one fused XLA/Pallas region instead of 7,000 lines of locking.
+
+Math parity notes (all anchors into training_ops.cc):
+  * GroupAdam V4  — :6981-7236 (COMPUTE_ADAM :7166-7196): lazy Adam folded
+    into an FTRL-style ``linear`` accumulator, l1 soft-threshold, l21 group
+    shrink, row blacklisted when the group norm falls below ``l21·√dim``.
+  * SparseGroupFtrl — :533-805 (COMPUTE_FTRL :713-752) with optional
+    l2_shrinkage.
+  * GroupMomentum :2274, GroupAdadelta :2005, AMSGrad :1742, AdaBelief :2982,
+    AdaHessian :2529, LAMB :3400, AdaDQH :4348/:4854 — same group-lasso
+    template with per-rule ``linear`` increment and denominator.
+  * Adagrad :1373-1500, Adam (python wrapper math) adam.py:93-163,
+    RAdam rectified_adam.py:195-262.
+
+``Group* == base optimizer when l1=l2=l21=0`` is the reference's own
+equivalence gate (README.md:150-158) and is enforced by tests/test_optimizers.
+All rules receive a 1-indexed ``step`` and derive ``beta_power = beta**step``,
+matching the reference's power accumulators (updated after each apply).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+
+Arr = jnp.ndarray
+_TINY = 1e-30
+
+
+def _norm(x: Arr) -> Arr:
+    return jnp.sqrt(jnp.sum(x * x, axis=-1))
+
+
+def _group_lasso_solve(linear: Arr, y: Arr, l1, l2, l21, dim: int
+                       ) -> Tuple[Arr, Arr]:
+    """Shared closed-form group-lasso solve (training_ops.cc:1301-1317).
+
+    ``y`` is the per-element curvature denominator WITHOUT the ``2*l2`` term.
+    Returns ``(var, blacklist_mask)``; blacklisted rows are zero.
+    """
+    adj = jnp.clip(linear, -l1, l1)
+    l1_linear = adj - linear
+    nrm = _norm(l1_linear)
+    l21n = l21 * jnp.sqrt(jnp.asarray(dim, linear.dtype))
+    keep = nrm > l21n
+    scale = 1.0 - l21n / jnp.maximum(nrm, _TINY)
+    var = l1_linear * scale[:, None] / (y + 2.0 * l2)
+    var = jnp.where(keep[:, None], var, jnp.zeros_like(var))
+    return var, ~keep
+
+
+def _split(state: Arr, k: int) -> list:
+    d = state.shape[-1] // k
+    return [state[..., i * d:(i + 1) * d] for i in range(k)]
+
+
+def _powers(beta1, beta2, step, dtype):
+    t = step.astype(dtype) if hasattr(step, "astype") else jnp.asarray(step, dtype)
+    return jnp.asarray(beta1, dtype) ** t, jnp.asarray(beta2, dtype) ** t
+
+
+class Rule:
+    """Base: ``slot_width`` concat-slot multiplier k; state is [N, k*D]."""
+    slot_width: int = 0
+    #: rules that blacklist rows (group-lasso family)
+    has_blacklist: bool = False
+    #: rules that need an extra per-row input (e.g. AdaHessian's hessian)
+    needs_extra: bool = False
+
+    def update(self, var: Arr, state: Arr, grad: Arr, *, lr, step,
+               extra: Optional[Arr] = None) -> Tuple[Arr, Arr, Optional[Arr]]:
+        raise NotImplementedError
+
+
+@dataclasses.dataclass(frozen=True)
+class Sgd(Rule):
+    """Plain scatter-sub of lr*grad (gradient_descent.py:24-31)."""
+    slot_width = 0
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        return var - lr * grad, state, None
+
+
+@dataclasses.dataclass(frozen=True)
+class Adagrad(Rule):
+    """accum += g²; var -= lr·g/√accum (training_ops.cc:1455-1485).
+
+    The slot stores ``accum - initial_accumulator_value`` so zero-initialised
+    slot arrays reproduce the reference's non-zero slot init.
+    """
+    initial_accumulator_value: float = 0.1
+    slot_width = 1
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        accum = state + self.initial_accumulator_value + grad * grad
+        var = var - lr * grad / jnp.sqrt(accum)
+        return var, accum - self.initial_accumulator_value, None
+
+
+@dataclasses.dataclass(frozen=True)
+class Adam(Rule):
+    """Lazy Adam on touched rows, fused m|v slot (adam.py:93-163, version 2)."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-8
+    slot_width = 2
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, v = _split(state, 2)
+        b1p, b2p = _powers(self.beta1, self.beta2, step, var.dtype)
+        m = self.beta1 * m + (1.0 - self.beta1) * grad
+        v = self.beta2 * v + (1.0 - self.beta2) * grad * grad
+        lr_t = lr * jnp.sqrt(1.0 - b2p) / (1.0 - b1p)
+        var = var - lr_t * m / (self.epsilon + jnp.sqrt(v))
+        return var, jnp.concatenate([m, v], axis=-1), None
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupAdam(Rule):
+    """GroupAdam V4 — flagship group-lasso Adam (training_ops.cc:6981-7236).
+
+    Slot layout m|v|linear. l1/l2/l21 are scaled by lr inside, matching
+    :7113-7115. arXiv:2107.14432 is the algorithm paper.
+    """
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-8
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    slot_width = 3
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, v, linear = _split(state, 3)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        l1 = self.l1 * lr
+        l2 = self.l2 * lr
+        l21 = self.l21 * lr
+        alpha = lr * jnp.sqrt(1.0 - b2p) / (1.0 - b1p)
+
+        m = self.beta1 * m + (1.0 - self.beta1) * grad
+        new_v = self.beta2 * v + (1.0 - self.beta2) * grad * grad
+        nvs = jnp.sqrt(new_v)
+        # step 1 (beta1 <= beta1_power): sigma = nvs + eps; else Δ√v
+        first = jnp.asarray(step, jnp.int32) <= 1
+        sigma = jnp.where(first, nvs + self.epsilon, nvs - jnp.sqrt(v))
+        linear = linear + alpha * m - sigma * var
+        y = nvs + self.epsilon
+        new_var, black = _group_lasso_solve(linear, y, l1, l2, l21,
+                                            var.shape[-1])
+        return new_var, jnp.concatenate([m, new_v, linear], axis=-1), black
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupFtrl(Rule):
+    """SparseGroupFtrl (+l2_shrinkage variant) — training_ops.cc:533-805.
+
+    Slot layout accum|linear; the slot stores ``accum - initial_accum``.
+    """
+    lr_power: float = -0.5
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    l2_shrinkage: float = 0.0
+    initial_accumulator_value: float = 0.1
+    slot_width = 2
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        accum0, linear = _split(state, 2)
+        accum = accum0 + self.initial_accumulator_value
+        g = grad
+        if self.l2_shrinkage:
+            g = grad + 2.0 * self.l2_shrinkage * var
+        new_accum = accum + g * g
+        if self.lr_power == -0.5:
+            pw_new, pw_old = jnp.sqrt(new_accum), jnp.sqrt(accum)
+        else:
+            pw_new = new_accum ** (-self.lr_power)
+            pw_old = accum ** (-self.lr_power)
+        linear = linear + g - (pw_new - pw_old) / lr * var
+        y = pw_new / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1])
+        state = jnp.concatenate(
+            [new_accum - self.initial_accumulator_value, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupMomentum(Rule):
+    """GroupSparseApplyMomentum (training_ops.cc:2274, COMPUTE_MOMENTUM
+    :2451-2462). Slot layout m|accum|linear; accum is the 0→1 latch that makes
+    the first step subtract var/lr."""
+    momentum: float = 0.9
+    use_nesterov: bool = False
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    slot_width = 3
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, accum, linear = _split(state, 3)
+        m = m * self.momentum + grad
+        new_m = m * self.momentum + grad if self.use_nesterov else m
+        linear = linear + new_m - (1.0 - jnp.sqrt(accum)) / lr * var
+        y = 1.0 / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1])
+        state = jnp.concatenate([m, jnp.ones_like(accum), linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupAdadelta(Rule):
+    """GroupSparseApplyAdadelta (training_ops.cc:2005, COMPUTE_ADADELTA).
+    Slot layout accum|accum_update|linear."""
+    rho: float = 0.95
+    epsilon: float = 1e-8
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    slot_width = 3
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        accum, accum_update, linear = _split(state, 3)
+        new_accum = accum * self.rho + (1.0 - self.rho) * grad * grad
+        m = jnp.sqrt(accum_update + self.epsilon) * grad
+        linear = linear + m - (jnp.sqrt(new_accum) - jnp.sqrt(accum)) / lr * var
+        y = jnp.sqrt(new_accum + self.epsilon) / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1])
+        accum_update = (accum_update * self.rho +
+                        (1.0 - self.rho) * m * m / (new_accum + self.epsilon))
+        state = jnp.concatenate([new_accum, accum_update, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupAMSGrad(Rule):
+    """GroupSparseApplyAMSGrad (training_ops.cc:1523, COMPUTE_AMSGrad :1742).
+    Slot layout m|v|vhat|linear."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-8
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    slot_width = 4
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, v, vhat, linear = _split(state, 4)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        m = self.beta1 * m + (1.0 - self.beta1) * grad
+        v = self.beta2 * v + (1.0 - self.beta2) * grad * grad
+        new_vhat = jnp.maximum(vhat, v / (1.0 - b2p))
+        linear = (linear + m / (1.0 - b1p)
+                  - (jnp.sqrt(new_vhat) - jnp.sqrt(vhat)) / lr * var)
+        y = (jnp.sqrt(new_vhat) + self.epsilon) / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1])
+        state = jnp.concatenate([m, v, new_vhat, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupAdaBelief(Rule):
+    """GroupSparseApplyAdaBelief (training_ops.cc:2982, COMPUTE_ADABELIEF).
+    Slot layout m|v|accum|linear; v tracks (g-m)² belief."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-8
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    slot_width = 4
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, v, accum, linear = _split(state, 4)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        m = self.beta1 * m + (1.0 - self.beta1) * grad
+        v = self.beta2 * v + (1.0 - self.beta2) * (grad - m) ** 2
+        new_accum = v / (1.0 - b2p)
+        linear = (linear + m / (1.0 - b1p)
+                  - (jnp.sqrt(new_accum) - jnp.sqrt(accum)) / lr * var)
+        y = (jnp.sqrt(new_accum) + self.epsilon) / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1])
+        state = jnp.concatenate([m, v, new_accum, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupAdaHessian(Rule):
+    """GroupSparseApplyAdaHessian (training_ops.cc:2529, COMPUTE_ADAHESSIAN).
+    Slot layout m|v|accum|linear; ``extra`` is the per-row Hutchinson diagonal
+    Hessian estimate (v tracks hessian²)."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-8
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    slot_width = 4
+    has_blacklist = True
+    needs_extra = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        hessian = grad if extra is None else extra
+        m, v, accum, linear = _split(state, 4)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        m = self.beta1 * m + (1.0 - self.beta1) * grad
+        v = self.beta2 * v + (1.0 - self.beta2) * hessian * hessian
+        new_accum = v / (1.0 - b2p)
+        linear = (linear + m / (1.0 - b1p)
+                  - (jnp.sqrt(new_accum) - jnp.sqrt(accum)) / lr * var)
+        y = (jnp.sqrt(new_accum) + self.epsilon) / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1])
+        state = jnp.concatenate([m, v, new_accum, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupLamb(Rule):
+    """GroupSparseApplyLamb (training_ops.cc:3400, COMPUTE_LAMB). Slot layout
+    m|v|accum|linear; trust ratio ‖var‖/‖r‖ scales the momentum term."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-6
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    slot_width = 4
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, v, accum, linear = _split(state, 4)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        m = self.beta1 * m + (1.0 - self.beta1) * grad
+        v = self.beta2 * v + (1.0 - self.beta2) * grad * grad
+        new_m = m / (1.0 - b1p)
+        new_accum = v / (1.0 - b2p)
+        r = new_m / (jnp.sqrt(new_accum) + self.epsilon)
+        r_norm = _norm(r)
+        var_norm = _norm(var)
+        ratio = jnp.where((r_norm > 0) & (var_norm > 0),
+                          var_norm / (r_norm + 1e-8), 1.0)
+        linear = (linear + new_m * ratio[:, None]
+                  - (jnp.sqrt(new_accum) - jnp.sqrt(accum)) / lr * var)
+        y = (jnp.sqrt(new_accum) + self.epsilon) / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1])
+        state = jnp.concatenate([m, v, new_accum, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class AdaDQH(Rule):
+    """In-house AdaDQH, non-group sparse form (training_ops.cc:4348-4374
+    functor; KvVariableSparseApplyAdaDQH :4463). Slot layout m|v; the second
+    moment tracks the quasi-hyperbolic h = m_new/(1-b1p) - m_old/β."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-5
+    slot_width = 2
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, v = _split(state, 2)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        alpha = lr * jnp.sqrt(1.0 - b2p) / (1.0 - b1p)
+        first = jnp.asarray(step, jnp.int32) <= 1
+        beta = jnp.where(first, 1.0, 1.0 - b1p / self.beta1).astype(dt)
+        m_old = m / beta
+        m_new = self.beta1 * m + (1.0 - self.beta1) * grad
+        h = m_new / (1.0 - b1p) - m_old
+        v = self.beta2 * v + (1.0 - self.beta2) * h * h
+        denom = jnp.maximum(jnp.sqrt(v), self.epsilon * jnp.sqrt(1.0 - b2p))
+        var = var - m_new * alpha / denom
+        return var, jnp.concatenate([m_new, v], axis=-1), None
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupAdaDQH(Rule):
+    """GroupSparseApplyAdaDQHV2 (training_ops.cc:5139, group COMPUTE_ADADQH
+    :5040-5080). Slot layout m|v|linear."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-5
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    slot_width = 3
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, v, linear = _split(state, 3)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        alpha = jnp.sqrt(1.0 - b2p) / (1.0 - b1p)
+        eps_adj = self.epsilon * jnp.sqrt(1.0 - b2p)
+        first = jnp.asarray(step, jnp.int32) <= 1
+        beta = jnp.where(first, 1.0, 1.0 - b1p / self.beta1).astype(dt)
+        gamma = jnp.where(first, 0.0, eps_adj).astype(dt)
+        m_old = m / beta
+        m_new = self.beta1 * m + (1.0 - self.beta1) * grad
+        h = m_new / (1.0 - b1p) - m_old
+        v_new = self.beta2 * v + (1.0 - self.beta2) * h * h
+        linear = (linear + m_new * alpha
+                  - (jnp.maximum(jnp.sqrt(v_new), eps_adj)
+                     - jnp.maximum(jnp.sqrt(v), gamma)) / lr * var)
+        y = jnp.maximum(jnp.sqrt(v_new), eps_adj) / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1 * lr,
+                                            self.l2 * lr, self.l21 * lr,
+                                            var.shape[-1])
+        state = jnp.concatenate([m_new, v_new, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class RAdam(Rule):
+    """Rectified Adam (rectified_adam.py:195-262): variance rectification with
+    SMA threshold, optional amsgrad + warmup + weight decay. Slot layout m|v
+    (|vhat when amsgrad)."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-7
+    weight_decay: float = 0.0
+    amsgrad: bool = False
+    sma_threshold: float = 5.0
+    total_steps: int = 0
+    warmup_proportion: float = 0.1
+    min_lr: float = 0.0
+
+    @property
+    def slot_width(self):
+        return 3 if self.amsgrad else 2
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        dt = var.dtype
+        t = jnp.asarray(step, dt)
+        if self.total_steps > 0:
+            warmup_steps = self.total_steps * self.warmup_proportion
+            decay_steps = max(self.total_steps - warmup_steps, 1.0)
+            decay_rate = (self.min_lr - lr) / decay_steps
+            lr = jnp.where(t <= warmup_steps,
+                           lr * (t / warmup_steps),
+                           lr + decay_rate * jnp.minimum(t - warmup_steps,
+                                                         decay_steps))
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        if self.amsgrad:
+            m, v, vhat = _split(state, 3)
+        else:
+            m, v = _split(state, 2)
+            vhat = None
+        m = self.beta1 * m + (1.0 - self.beta1) * grad
+        v = self.beta2 * v + (1.0 - self.beta2) * grad * grad
+        sma_inf = 2.0 / (1.0 - self.beta2) - 1.0
+        sma_t = sma_inf - 2.0 * t * b2p / (1.0 - b2p)
+        m_corr = m / (1.0 - b1p)
+        if self.amsgrad:
+            vhat = jnp.maximum(vhat, v)
+            v_corr = jnp.sqrt(vhat / (1.0 - b2p))
+        else:
+            v_corr = jnp.sqrt(v / (1.0 - b2p))
+        r_t = jnp.sqrt((sma_t - 4.0) / (sma_inf - 4.0)
+                       * (sma_t - 2.0) / (sma_inf - 2.0)
+                       * sma_inf / jnp.maximum(sma_t, _TINY))
+        var_t = jnp.where(sma_t >= self.sma_threshold,
+                          r_t * m_corr / (v_corr + self.epsilon), m_corr)
+        if self.weight_decay:
+            var_t = var_t + self.weight_decay * var
+        var = var - lr * var_t
+        parts = [m, v] + ([vhat] if self.amsgrad else [])
+        return var, jnp.concatenate(parts, axis=-1), None
+
+
+def Momentum(momentum=0.9, use_nesterov=False):
+    """Plain momentum = GroupMomentum with zero regularisation
+    (reference registers only the Group kernel; README.md:150-158)."""
+    return GroupMomentum(momentum=momentum, use_nesterov=use_nesterov)
+
+
+def Adadelta(rho=0.95, epsilon=1e-8):
+    return GroupAdadelta(rho=rho, epsilon=epsilon)
+
+
+ALL_RULES = {
+    "sgd": Sgd,
+    "adagrad": Adagrad,
+    "adam": Adam,
+    "group_adam": GroupAdam,
+    "group_ftrl": GroupFtrl,
+    "ftrl": GroupFtrl,
+    "group_momentum": GroupMomentum,
+    "group_adadelta": GroupAdadelta,
+    "group_amsgrad": GroupAMSGrad,
+    "group_adabelief": GroupAdaBelief,
+    "group_adahessian": GroupAdaHessian,
+    "group_lamb": GroupLamb,
+    "adadqh": AdaDQH,
+    "group_adadqh": GroupAdaDQH,
+    "radam": RAdam,
+}
