@@ -1,0 +1,217 @@
+"""Checkpoint tests: bundle integrity, logical-tensor contract, saver modes,
+delta lineage, elastic repartition. Mirrors the reference's checkpoint
+behaviours (SURVEY.md §3.4/3.5, dynamic_save/restore, checkpoint_manager)."""
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfplus_tpu import kv, train as tft
+from tfplus_tpu import checkpoint as ckpt
+from tfplus_tpu.checkpoint import bundle, saver
+
+
+def enc(arr):
+    return kv.encode_ids_np_to_device(np.asarray(arr, dtype=np.int64))
+
+
+def make_table(dim=4, capacity=256, n_rows=10, seed=0, slot=None):
+    t = kv.create(dim, capacity, seed=seed)
+    ids = np.arange(1, n_rows + 1, dtype=np.int64) * 3
+    rows = np.arange(n_rows * dim, dtype=np.float32).reshape(n_rows, dim)
+    t = kv.insert(t, enc(ids), jnp.asarray(rows),
+                  freq=jnp.full((n_rows,), 7, jnp.uint32), day=5)
+    if slot:
+        t = kv.ensure_slots(t, {slot: 2})
+    return t, ids, rows
+
+
+class TestBundle:
+    def test_roundtrip(self, tmp_path):
+        p = str(tmp_path / "b")
+        with bundle.BundleWriter(p, num_shards=2) as w:
+            w.add("a", np.arange(10, dtype=np.float32))
+            w.add("b", np.arange(6, dtype=np.int32).reshape(2, 3))
+            w.add_header("c", np.float64, (4,))
+            w.append_segment(np.array([1.0, 2.0]))
+            w.append_segment(np.array([3.0, 4.0]))
+            w.end_segment()
+        r = bundle.BundleReader(p)
+        assert set(r.keys()) == {"a", "b", "c"}
+        np.testing.assert_array_equal(r.lookup("b"),
+                                      np.arange(6).reshape(2, 3))
+        np.testing.assert_array_equal(r.lookup("c"), [1.0, 2.0, 3.0, 4.0])
+
+    def test_crc_detects_corruption(self, tmp_path):
+        p = str(tmp_path / "b")
+        with bundle.BundleWriter(p) as w:
+            w.add("x", np.arange(100, dtype=np.float32))
+        fn = bundle.data_filename(p, 0, 1)
+        with open(fn, "r+b") as f:
+            f.seek(13)
+            f.write(b"\xFF")
+        with pytest.raises(IOError, match="CRC"):
+            bundle.BundleReader(p).lookup("x")
+
+    def test_partial_row_read(self, tmp_path):
+        p = str(tmp_path / "b")
+        arr = np.arange(20, dtype=np.float32).reshape(5, 4)
+        with bundle.BundleWriter(p) as w:
+            w.add("t", arr)
+        r = bundle.BundleReader(p)
+        np.testing.assert_array_equal(r.lookup_slice("t", 2, 2), arr[2:4])
+
+    def test_bad_stream_length_raises(self, tmp_path):
+        p = str(tmp_path / "b")
+        w = bundle.BundleWriter(p)
+        w.add_header("x", np.float32, (4,))
+        w.append_segment(np.array([1.0], np.float32))
+        with pytest.raises(ValueError, match="bytes"):
+            w.end_segment()
+
+
+class TestSaverContract:
+    def test_logical_tensor_names(self, tmp_path):
+        t, ids, rows = make_table()
+        p = str(tmp_path / "c")
+        saver.save(p, {"emb": t})
+        r = bundle.BundleReader(p)
+        for suffix in ("-keys", "-values", "-init_table", "-blacklist",
+                       "-freq_keys", "-freq_values"):
+            assert "emb" + suffix in r, suffix
+
+    def test_inference_mode_first_n3(self, tmp_path):
+        """set_tfplus_saver_mode(0) → only keys/values/init_table."""
+        t, *_ = make_table()
+        p = str(tmp_path / "c")
+        saver.save(p, {"emb": t}, first_n=saver.FIRST_N_INFERENCE)
+        r = bundle.BundleReader(p)
+        assert "emb-init_table" in r
+        assert "emb-blacklist" not in r and "emb-freq_values" not in r
+
+    def test_full_roundtrip_with_dense(self, tmp_path):
+        t, ids, rows = make_table()
+        dense = {"w": jnp.arange(6.0).reshape(2, 3), "b": jnp.ones((3,))}
+        p = str(tmp_path / "c")
+        saver.save(p, {"emb": t}, dense)
+        t2, dense2 = saver.restore(
+            p, {"emb": kv.create(4, 256, seed=9)},
+            {"w": jnp.zeros((2, 3)), "b": jnp.zeros((3,))})
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(t2["emb"], enc(ids))), rows)
+        np.testing.assert_array_equal(np.asarray(kv.get_count(t2["emb"], enc(ids))), 7)
+        np.testing.assert_array_equal(np.asarray(kv.get_timestamp(t2["emb"], enc(ids))), 5)
+        np.testing.assert_allclose(np.asarray(dense2["w"]),
+                                   np.arange(6.0).reshape(2, 3))
+
+    def test_optimizer_slots_roundtrip(self, tmp_path):
+        """Train-resume: slot state must survive save/restore."""
+        t, ids, rows = make_table()
+        opt = tft.AdamOptimizer()
+        t = opt.init(t)
+        res = kv.lookup_or_insert(t, enc(ids))
+        g = jnp.ones((len(ids), 4))
+        t = opt.apply(res.table, res.slot, g, lr=0.01, step=1)
+        p = str(tmp_path / "c")
+        saver.save(p, {"emb": t})
+        t2, _ = saver.restore(p, {"emb": opt.init(kv.create(4, 256, seed=9))})
+        t2 = t2["emb"]
+        fr1 = kv.find(t, enc(ids))
+        fr2 = kv.find(t2, enc(ids))
+        s1 = np.asarray(t.slots["m_v"])[np.asarray(fr1.slot)]
+        s2 = np.asarray(t2.slots["m_v"])[np.asarray(fr2.slot)]
+        np.testing.assert_allclose(s2, s1, rtol=1e-6)
+        # resumed training continues identically
+        res1 = kv.lookup_or_insert(t, enc(ids))
+        res2 = kv.lookup_or_insert(t2, enc(ids))
+        a = opt.apply(res1.table, res1.slot, g, lr=0.01, step=2)
+        b = opt.apply(res2.table, res2.slot, g, lr=0.01, step=2)
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(a, enc(ids))),
+            np.asarray(kv.lookup_or_zeros(b, enc(ids))), rtol=1e-6)
+
+
+class TestSharded:
+    def _sharded_tables(self, n_shards, n_rows=40):
+        ids = np.arange(1, n_rows + 1, dtype=np.uint64)
+        rows = np.random.RandomState(0).randn(n_rows, 4).astype(np.float32)
+        shards = [kv.create(4, 256, seed=i) for i in range(n_shards)]
+        assign = ids % n_shards
+        for i in range(n_shards):
+            sel = assign == i
+            shards[i] = kv.insert(shards[i], enc(ids[sel].astype(np.int64)),
+                                  jnp.asarray(rows[sel]))
+        return shards, ids, rows
+
+    def lookup_all(self, shards, ids):
+        out = np.zeros((len(ids), 4), np.float32)
+        assign = ids % len(shards)
+        for i, s in enumerate(shards):
+            sel = assign == i
+            if sel.sum():
+                out[sel] = np.asarray(
+                    kv.lookup_or_zeros(s, enc(ids[sel].astype(np.int64))))
+        return out
+
+    @pytest.mark.parametrize("m,n", [(2, 4), (4, 2), (3, 5), (4, 1), (1, 3)])
+    def test_repartition_m_to_n(self, tmp_path, m, n):
+        shards, ids, rows = self._sharded_tables(m)
+        p = str(tmp_path / "c")
+        saver.save(p, {"emb": shards})
+        templates = [kv.create(4, 256, seed=7) for _ in range(n)]
+        out, _ = saver.restore(p, {"emb": templates})
+        got = self.lookup_all(out["emb"], ids)
+        np.testing.assert_allclose(got, rows, rtol=1e-6)
+
+    def test_same_shard_count_normal_path(self, tmp_path):
+        shards, ids, rows = self._sharded_tables(3)
+        p = str(tmp_path / "c")
+        saver.save(p, {"emb": shards})
+        out, _ = saver.restore(p, {"emb": [kv.create(4, 256) for _ in range(3)]})
+        np.testing.assert_allclose(self.lookup_all(out["emb"], ids), rows,
+                                   rtol=1e-6)
+
+
+class TestManagerDelta:
+    def test_full_delta_lineage(self, tmp_path):
+        t, ids, rows = make_table()
+        mgr = ckpt.CheckpointManager(str(tmp_path / "ckpts"))
+        tabs = mgr.save({"emb": t}, step=1, full=True)
+        # touch two rows, delta snapshot
+        t = tabs["emb"]
+        t = kv.scatter(t, enc(ids[:2]), jnp.full((2, 4), 100.0), "update")
+        tabs = mgr.save({"emb": t}, step=2, full=False)
+        t = tabs["emb"]
+        # another delta with a delete
+        t, _ = kv.delete(t, enc(ids[2:3]))
+        t = kv.scatter(t, enc(ids[3:4]), jnp.full((1, 4), 7.0), "update")
+        mgr.save({"emb": t}, step=3, full=False)
+
+        restored, _, step = mgr.restore({"emb": kv.create(4, 256, seed=3)})
+        assert step == 3
+        got = np.asarray(kv.lookup_or_zeros(restored["emb"], enc(ids)))
+        want = rows.copy()
+        want[:2] = 100.0
+        want[3] = 7.0
+        np.testing.assert_allclose(got[:2], want[:2])
+        np.testing.assert_allclose(got[3], want[3])
+        np.testing.assert_allclose(got[4:], want[4:])
+        # the deleted key was recorded in the delta's delete list
+        np.testing.assert_allclose(got[2], 0.0)
+
+    def test_delta_before_full_rejected(self, tmp_path):
+        t, *_ = make_table()
+        mgr = ckpt.CheckpointManager(str(tmp_path / "ckpts"))
+        with pytest.raises(ValueError, match="delta"):
+            mgr.save({"emb": t}, step=1, full=False)
+
+    def test_delta_only_writes_touched(self, tmp_path):
+        t, ids, rows = make_table()
+        mgr = ckpt.CheckpointManager(str(tmp_path / "ckpts"))
+        tabs = mgr.save({"emb": t}, step=1, full=True)
+        t = kv.scatter(tabs["emb"], enc(ids[:1]), jnp.ones((1, 4)), "add")
+        mgr.save({"emb": t}, step=2, full=False)
+        r = bundle.BundleReader(os.path.join(str(tmp_path / "ckpts"),
+                                             "ckpt-delta-2"))
+        assert r.shape("emb-keys")[0] == 1  # only the touched row

@@ -1,0 +1,177 @@
+"""Sharded streaming tensor bundle — the on-disk checkpoint container.
+
+TPU-native equivalent of the reference's forked TensorBundle
+(``kernels/tensor_bundle.{h,cc}``: streaming AddTensorHeader/
+AppendSegmentData/EndSegmentData, CRC32 per segment, shard naming
+``prefix.data-00000-of-00005``, ``kernels/naming.cc`` MetaFilename/
+DataFilename). Same capabilities — streaming append of huge tensors without
+materialising them, per-tensor CRC32C-style integrity, sharded data files,
+partial reads — with a JSON index instead of the TF table format.
+
+Layout:
+    <prefix>.index.json                 {tensor_name: entry}
+    <prefix>.data-00000-of-0000N        raw little-endian tensor bytes
+
+A tensor may be written in one shot (:meth:`BundleWriter.add`) or streamed
+segment-by-segment (:meth:`add_header` + :meth:`append_segment` +
+:meth:`end_segment`), mirroring tensor_bundle.cc:652-746.
+"""
+from __future__ import annotations
+
+import json
+import os
+import zlib
+from typing import Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+_INDEX_SUFFIX = ".index.json"
+
+
+def data_filename(prefix: str, shard: int, num_shards: int) -> str:
+    """Shard path scheme (kernels/naming.cc:35)."""
+    return f"{prefix}.data-{shard:05d}-of-{num_shards:05d}"
+
+
+def index_filename(prefix: str) -> str:
+    return prefix + _INDEX_SUFFIX
+
+
+class BundleWriter:
+    """Append-only writer; assign tensors to shards round-robin or explicitly."""
+
+    def __init__(self, prefix: str, num_shards: int = 1):
+        self._prefix = prefix
+        self._num_shards = num_shards
+        os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
+        self._files = [open(data_filename(prefix, i, num_shards), "wb")
+                       for i in range(num_shards)]
+        self._index: Dict[str, dict] = {}
+        self._next_shard = 0
+        self._open_stream: Optional[Tuple[str, int]] = None
+        self._closed = False
+
+    # -- one-shot ----------------------------------------------------------
+    def add(self, name: str, array: np.ndarray, shard: Optional[int] = None):
+        self.add_header(name, array.dtype, array.shape, shard)
+        self.append_segment(np.ascontiguousarray(array))
+        self.end_segment()
+
+    # -- streaming (tensor_bundle.cc:652-746 semantics) --------------------
+    def add_header(self, name: str, dtype, shape, shard: Optional[int] = None):
+        if self._open_stream is not None:
+            raise RuntimeError("previous stream not ended")
+        if name in self._index:
+            raise ValueError(f"duplicate tensor {name!r}")
+        if shard is None:
+            shard = self._next_shard
+            self._next_shard = (self._next_shard + 1) % self._num_shards
+        f = self._files[shard]
+        self._index[name] = {
+            "shard": shard,
+            "offset": f.tell(),
+            "dtype": np.dtype(dtype).str,
+            "shape": [int(s) for s in shape],
+            "nbytes": 0,
+            "crc32": 0,
+        }
+        self._open_stream = (name, shard)
+
+    def append_segment(self, array_or_bytes):
+        if self._open_stream is None:
+            raise RuntimeError("add_header first")
+        name, shard = self._open_stream
+        buf = (array_or_bytes.tobytes()
+               if isinstance(array_or_bytes, np.ndarray) else bytes(array_or_bytes))
+        entry = self._index[name]
+        entry["crc32"] = zlib.crc32(buf, entry["crc32"]) & 0xFFFFFFFF
+        entry["nbytes"] += len(buf)
+        self._files[shard].write(buf)
+
+    def end_segment(self):
+        if self._open_stream is None:
+            raise RuntimeError("no open stream")
+        name, _ = self._open_stream
+        entry = self._index[name]
+        want = int(np.prod(entry["shape"], dtype=np.int64)) * np.dtype(entry["dtype"]).itemsize
+        if entry["nbytes"] != want:
+            raise ValueError(
+                f"{name}: wrote {entry['nbytes']} bytes, shape implies {want}")
+        self._open_stream = None
+
+    def close(self):
+        if self._closed:
+            return
+        if self._open_stream is not None:
+            raise RuntimeError(f"unterminated stream {self._open_stream[0]!r}")
+        for f in self._files:
+            f.close()
+        tmp = index_filename(self._prefix) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": 1, "num_shards": self._num_shards,
+                       "tensors": self._index}, f)
+        os.replace(tmp, index_filename(self._prefix))  # atomic publish
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if exc[0] is None:
+            self.close()
+        else:
+            for f in self._files:
+                f.close()
+
+
+class BundleReader:
+    def __init__(self, prefix: str):
+        self._prefix = prefix
+        with open(index_filename(prefix)) as f:
+            meta = json.load(f)
+        self._num_shards = meta["num_shards"]
+        self._index = meta["tensors"]
+
+    def keys(self) -> List[str]:
+        return list(self._index.keys())
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._index
+
+    def shape(self, name: str):
+        return tuple(self._index[name]["shape"])
+
+    def dtype(self, name: str):
+        return np.dtype(self._index[name]["dtype"])
+
+    def lookup(self, name: str, verify: bool = True) -> np.ndarray:
+        e = self._index[name]
+        path = data_filename(self._prefix, e["shard"], self._num_shards)
+        with open(path, "rb") as f:
+            f.seek(e["offset"])
+            buf = f.read(e["nbytes"])
+        if len(buf) != e["nbytes"]:
+            raise IOError(f"{name}: truncated read from {path}")
+        if verify and (zlib.crc32(buf) & 0xFFFFFFFF) != e["crc32"]:
+            raise IOError(f"{name}: CRC mismatch in {path}")
+        return np.frombuffer(buf, dtype=np.dtype(e["dtype"])).reshape(e["shape"])
+
+    def lookup_slice(self, name: str, start_row: int, num_rows: int) -> np.ndarray:
+        """Partial read of leading-axis rows (BundleReader::LookupWithIndices,
+        tensor_bundle.cc:597-607) — lets restore stream huge tables."""
+        e = self._index[name]
+        shape = e["shape"]
+        if not shape:
+            raise ValueError("lookup_slice requires rank >= 1")
+        row_bytes = (int(np.prod(shape[1:], dtype=np.int64))
+                     * np.dtype(e["dtype"]).itemsize)
+        path = data_filename(self._prefix, e["shard"], self._num_shards)
+        with open(path, "rb") as f:
+            f.seek(e["offset"] + start_row * row_bytes)
+            buf = f.read(num_rows * row_bytes)
+        return (np.frombuffer(buf, dtype=np.dtype(e["dtype"]))
+                .reshape((num_rows,) + tuple(shape[1:])))
+
+    def items(self) -> Iterator[Tuple[str, np.ndarray]]:
+        for k in self.keys():
+            yield k, self.lookup(k)

@@ -1,0 +1,112 @@
+"""CheckpointManager — full + delta (incremental) checkpoint lineage.
+
+Re-implements the reference's CheckpointStateManager
+(python/training/checkpoint_manager.py:33-333 + checkpoint_state_extend.proto):
+a ``checkpoint_ext.json`` state file records the current full checkpoint, the
+ordered list of delta checkpoints layered on it, and history versions, so
+frequent cheap snapshots (delta = only touched rows since last export) can be
+taken between full exports and replayed in order on restore.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+from . import saver as _saver
+
+_STATE_FILE = "checkpoint_ext.json"
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, *, max_to_keep: int = 5,
+                 first_n: int = _saver.FIRST_N_TRAIN,
+                 num_file_shards: int = 1):
+        self.directory = directory
+        self.max_to_keep = max_to_keep
+        self.first_n = first_n
+        self.num_file_shards = num_file_shards
+        os.makedirs(directory, exist_ok=True)
+        self._state = self._load_state()
+
+    # -- state file --------------------------------------------------------
+    def _state_path(self) -> str:
+        return os.path.join(self.directory, _STATE_FILE)
+
+    def _load_state(self) -> dict:
+        if os.path.exists(self._state_path()):
+            with open(self._state_path()) as f:
+                return json.load(f)
+        return {"current_full": None, "deltas": [], "history": []}
+
+    def _write_state(self):
+        tmp = self._state_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._state, f, indent=1)
+        os.replace(tmp, self._state_path())
+
+    # -- save --------------------------------------------------------------
+    def save(self, tables, dense=None, *, step: int, full: bool = True):
+        """Full export starts a new lineage; delta layers on the current one.
+
+        Returns the (deltalist-cleared) tables.
+        """
+        kind = "full" if full else "delta"
+        prefix = os.path.join(self.directory, f"ckpt-{kind}-{step}")
+        if not full and self._state["current_full"] is None:
+            raise ValueError("cannot take a delta checkpoint before any full one")
+        new_tables = _saver.save(prefix, tables, dense,
+                                 first_n=self.first_n if full
+                                 else _saver.FIRST_N_DELTA,
+                                 delta=not full,
+                                 num_file_shards=self.num_file_shards)
+        entry = {"prefix": prefix, "step": step, "time": time.time()}
+        if full:
+            if self._state["current_full"] is not None:
+                self._state["history"].append(
+                    {"full": self._state["current_full"],
+                     "deltas": self._state["deltas"]})
+                self._gc()
+            self._state["current_full"] = entry
+            self._state["deltas"] = []
+        else:
+            self._state["deltas"].append(entry)
+        self._write_state()
+        return new_tables
+
+    def _gc(self):
+        while len(self._state["history"]) >= self.max_to_keep:
+            old = self._state["history"].pop(0)
+            for entry in [old["full"]] + old["deltas"]:
+                self._remove_prefix(entry["prefix"])
+
+    def _remove_prefix(self, prefix: str):
+        d = os.path.dirname(prefix)
+        base = os.path.basename(prefix)
+        for fn in os.listdir(d):
+            if fn.startswith(base + "."):
+                try:
+                    os.remove(os.path.join(d, fn))
+                except OSError:
+                    pass
+
+    # -- restore -----------------------------------------------------------
+    def latest(self) -> Optional[Dict]:
+        if self._state["current_full"] is None:
+            return None
+        return {"full": self._state["current_full"],
+                "deltas": list(self._state["deltas"])}
+
+    def restore(self, tables, dense=None):
+        """Restore full checkpoint then replay deltas in order
+        (checkpoint_manager.py restore chain). Returns (tables, dense, step)."""
+        lineage = self.latest()
+        if lineage is None:
+            raise FileNotFoundError(f"no checkpoint in {self.directory}")
+        tables, dense = _saver.restore(lineage["full"]["prefix"], tables, dense)
+        step = lineage["full"]["step"]
+        for d in lineage["deltas"]:
+            tables, _ = _saver.restore(d["prefix"], tables, None, delta=True)
+            step = d["step"]
+        return tables, dense, step

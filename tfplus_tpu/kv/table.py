@@ -50,6 +50,7 @@ FLAG_TOUCH_BOTH = np.uint32(6)
 DEFAULT_MAX_PROBES = 32
 DEFAULT_INIT_POOL_ROWS = 1024     # reference uses a [10000, dim] pool (variable_scope.py:229-231)
 GROW_LOAD_FACTOR = 0.7
+DELETED_LOG_CAPACITY = 4096       # per-table deletion log for delta ckpts
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +76,11 @@ class KvTable:
     flags: jnp.ndarray                 # uint32[C] bitfield
     init_pool: jnp.ndarray             # vdtype[P, D]
     slots: Dict[str, jnp.ndarray]      # optimizer slot arrays, co-indexed [C, k*D]
+    # deletion log for delta checkpoints (reference: DeltaExport delete lists,
+    # dynamic_save.hpp:197-450). Fixed ring; overflow forces need_full_import.
+    deleted_keys: jnp.ndarray          # int32[DELBUF, 2]
+    deleted_count: jnp.ndarray         # int32 scalar
+    deleted_overflow: jnp.ndarray      # bool scalar
     config: KvConfig = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -139,6 +145,9 @@ def create(dim: int,
         flags=jnp.zeros((capacity,), dtype=jnp.uint32),
         init_pool=pool,
         slots={},
+        deleted_keys=jnp.broadcast_to(empty_row, (DELETED_LOG_CAPACITY, 2)).copy(),
+        deleted_count=jnp.zeros((), jnp.int32),
+        deleted_overflow=jnp.zeros((), bool),
         config=cfg,
     )
 
@@ -405,6 +414,20 @@ def scatter(table: KvTable, q: jnp.ndarray, updates: jnp.ndarray, op: str,
     return dataclasses.replace(t, values=values, flags=flags)
 
 
+def _log_deletes(table: KvTable, q: jnp.ndarray,
+                 mask: jnp.ndarray) -> KvTable:
+    """Append deleted keys to the table's deletion log (for delta export)."""
+    rb = table.deleted_keys.shape[0]
+    pos = table.deleted_count + jnp.cumsum(mask.astype(jnp.int32)) - 1
+    idx = jnp.where(mask & (pos < rb), pos, rb)  # OOB dropped
+    dk = table.deleted_keys.at[idx].set(q, mode="drop")
+    total = table.deleted_count + jnp.sum(mask.astype(jnp.int32))
+    overflow = table.deleted_overflow | (total > rb)
+    return dataclasses.replace(table, deleted_keys=dk,
+                               deleted_count=jnp.minimum(total, rb),
+                               deleted_overflow=overflow)
+
+
 def delete(table: KvTable, q: jnp.ndarray,
            valid: Optional[jnp.ndarray] = None) -> tuple[KvTable, jnp.ndarray]:
     """Remove keys; returns ``(table, deleted_mask)``.
@@ -426,8 +449,9 @@ def delete(table: KvTable, q: jnp.ndarray,
     values = table.values.at[idx].set(zero_rows, mode="drop")
     slots = {k: v.at[idx].set(jnp.zeros((n,) + v.shape[1:], v.dtype), mode="drop")
              for k, v in table.slots.items()}
-    return (dataclasses.replace(table, keys=keys, values=values, meta=meta,
-                                flags=flags, slots=slots), deleted)
+    out = dataclasses.replace(table, keys=keys, values=values, meta=meta,
+                              flags=flags, slots=slots)
+    return _log_deletes(out, q, deleted), deleted
 
 
 def delete_with_timestamp(table: KvTable, threshold_days: int,
@@ -447,8 +471,10 @@ def delete_with_timestamp(table: KvTable, threshold_days: int,
     values = jnp.where(evict[:, None], jnp.zeros((), table.values.dtype), table.values)
     slots = {k: jnp.where(evict[:, None], jnp.zeros((), v.dtype), v)
              for k, v in table.slots.items()}
-    return (dataclasses.replace(table, keys=keys, values=values, meta=meta,
-                                flags=flags, slots=slots), evict)
+    out = dataclasses.replace(table, keys=keys, values=values, meta=meta,
+                              flags=flags, slots=slots)
+    # log evicted keys (pre-tombstone identities) for delta export
+    return _log_deletes(out, table.keys, evict), evict
 
 
 # ---------------------------------------------------------------------------
@@ -569,7 +595,8 @@ def compact(table: KvTable) -> KvTable:
 def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
                   cutoff_value: float = 1e-20,
                   delta: bool = False,
-                  deltalist: str = "train") -> Dict[str, np.ndarray]:
+                  deltalist: str = "train",
+                  clear_deltalist: Optional[bool] = None) -> Dict[str, np.ndarray]:
     """Materialise the table's logical checkpoint tensors on host.
 
     Produces the same logical tensors as the reference export
@@ -606,11 +633,26 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
         "meta": meta[sel],      # full packed freq|day (superset; day preserved)
     }
     if delta:
-        # clear the deltalist (reference: deltalist swap, dynamic_save.hpp:180-193)
+        # deletion log → delete_keys; overflow forces a full import on restore
+        dk, dcount, doverflow = jax.device_get(
+            (table.deleted_keys, table.deleted_count, table.deleted_overflow))
+        out["delete_keys"] = hashing.decode_ids_np(np.asarray(dk)[:int(dcount)])
+        out["need_full_import"] = bool(doverflow)
+    if clear_deltalist is None:
+        clear_deltalist = delta
+    if clear_deltalist:
+        # reference: deltalist swap on export (dynamic_save.hpp:180-193);
+        # a full export also resets the baseline for subsequent deltas
         clear_bit = FLAG_TOUCH_TRAIN if deltalist == "train" else FLAG_TOUCH_PRED
         new_flags = jnp.asarray(flags & np.uint32(~clear_bit & 0xFFFFFFFF),
                                 dtype=jnp.uint32)
-        out["table"] = dataclasses.replace(table, flags=new_flags)
+        empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], jnp.int32)
+        out["table"] = dataclasses.replace(
+            table, flags=new_flags,
+            deleted_keys=jnp.broadcast_to(
+                empty_row, table.deleted_keys.shape).copy(),
+            deleted_count=jnp.zeros((), jnp.int32),
+            deleted_overflow=jnp.zeros((), bool))
     return out
 
 
