@@ -1,0 +1,227 @@
+"""Row-sharded KV tables over a device mesh with all-to-all lookup/grad
+exchange.
+
+TPU-native replacement for the reference's PartitionedVariable-of-KvVariables
+(variable_scope.py:247-447) + dynamic_partition/colocated-gather/stitch
+lookup (embedding_ops.py:121-204) and for the intended eflops all-to-all GPU
+embedding mode (embedding_ops.py:787-882, module absent in the OSS drop).
+
+Layout: every device owns one hash-table shard of each table; ids are routed
+to their owner by ``key % num_shards`` — the SAME function as the reference
+(embedding_ops.py:121-127) so checkpoints inter-operate and re-shard.
+
+Per-device step inside ``shard_map`` (axis ``mp``):
+
+    local ids [B_l]
+      └ dedup (unique_with_counts)                    — freq counted per example
+      └ bucket by owner shard → send buffer [S·K]
+      └ all_to_all ids+counts over ICI
+      └ owner: dedup received ids (cross-device dups) → lookup_or_insert
+      └ rows routed back by the mirrored all_to_all
+      └ unbucket → unique rows → batch rows via inverse
+
+Gradients take the mirrored path: per-source-unique grads → all_to_all →
+owner segment-sums across sources → fused optimizer update on owner rows.
+Everything is statically shaped: the per-destination bucket capacity K is a
+compile-time knob with an overflow flag (hot-key skew is pre-damped by source
+dedup, the reference's own precedent — embedding_ops.py:365-372).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..kv import hashing, table as kvt, unique as kvu
+from ..optim.base import SparseOptimizer
+
+Arr = jnp.ndarray
+
+
+def create_sharded(dim: int, capacity_per_shard: int, num_shards: int,
+                   **kwargs) -> kvt.KvTable:
+    """A sharded table = KvTable pytree with a leading shard axis on every
+    array. Place it with ``jax.device_put(t, table_sharding(mesh))`` or build
+    it inside ``shard_map``; shard i of the data is the table for mesh
+    position i."""
+    base = kvt.create(dim, capacity_per_shard, **kwargs)
+
+    def stack(x):
+        return jnp.broadcast_to(x[None], (num_shards,) + x.shape).copy()
+
+    return jax.tree_util.tree_map(stack, base)
+
+
+def init_optimizer_sharded(opt: SparseOptimizer,
+                           sharded: kvt.KvTable) -> kvt.KvTable:
+    """Sharded analogue of ``opt.init(table)`` — adds the concat slot array
+    with a leading shard axis (call before device_put / shard_map)."""
+    k = opt.rule.slot_width
+    if k == 0 or opt.slot_name in sharded.slots:
+        return sharded
+    s, c = sharded.keys.shape[0], sharded.keys.shape[1]
+    slots = dict(sharded.slots)
+    slots[opt.slot_name] = jnp.zeros((s, c, k * sharded.config.dim),
+                                     sharded.values.dtype)
+    return dataclasses.replace(sharded, slots=slots)
+
+
+def local_shard(sharded: kvt.KvTable, index: int = 0) -> kvt.KvTable:
+    """Slice one shard out (host-side helper / inside shard_map the leading
+    axis is already 1)."""
+    return jax.tree_util.tree_map(lambda x: x[index], sharded)
+
+
+def _squeeze(sharded_local: kvt.KvTable) -> kvt.KvTable:
+    """Inside shard_map each device sees leading axis 1 — drop it."""
+    return jax.tree_util.tree_map(lambda x: x[0], sharded_local)
+
+
+def _unsqueeze(local: kvt.KvTable) -> kvt.KvTable:
+    return jax.tree_util.tree_map(lambda x: x[None], local)
+
+
+class ExchangeState(NamedTuple):
+    """Routing state threaded from sharded_lookup to sharded_apply_grads."""
+    # source side
+    src_inverse: Arr      # int32[B_l] batch position -> source-unique index
+    src_valid: Arr        # bool[B_l]
+    src_counts: Arr       # int32[B_l] multiplicity of each source-unique id
+    dest: Arr             # int32[B_l] source-unique index -> send-buffer slot (S*K, or S*K=drop)
+    # owner side
+    own_inverse: Arr      # int32[S*K] received position -> owner-unique index
+    own_valid: Arr        # bool[S*K] received position carries a real id
+    own_slot: Arr         # int32[S*K] owner-unique index -> table slot (-1 pad)
+    own_counts: Arr       # int32[S*K] summed counts per owner-unique id
+    overflow: Arr         # bool: bucket overflow (some ids dropped)
+
+
+def _bucket(keys: Arr, owner: Arr, valid: Arr, num_shards: int,
+            cap: int) -> Tuple[Arr, Arr, Arr]:
+    """Pack each key into its destination bucket slot.
+
+    Returns (dest[N] flat index into [S*cap] or S*cap when dropped,
+    send_keys[S*cap, 2], overflow bool).
+    """
+    n = keys.shape[0]
+    owner_s = jnp.where(valid, owner, num_shards)
+    order = jnp.argsort(owner_s, stable=True)
+    sorted_owner = owner_s[order]
+    counts = jnp.zeros((num_shards + 1,), jnp.int32).at[sorted_owner].add(1)
+    starts = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                              jnp.cumsum(counts)[:-1]])
+    pos = jnp.arange(n, dtype=jnp.int32) - starts[sorted_owner]
+    ok = (sorted_owner < num_shards) & (pos < cap)
+    overflow = jnp.any((sorted_owner < num_shards) & (pos >= cap))
+    flat = jnp.where(ok, sorted_owner * cap + pos, num_shards * cap)
+    # dest in ORIGINAL (unsorted) key order
+    dest = jnp.zeros((n,), jnp.int32).at[order].set(flat)
+    empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], jnp.int32)
+    send = jnp.broadcast_to(empty_row, (num_shards * cap, 2)).copy()
+    send = send.at[dest].set(keys, mode="drop")
+    return dest, send, overflow
+
+
+def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
+                   axis_name: str = "mp", train: bool = True,
+                   valid: Optional[Arr] = None,
+                   day: int | Arr = 0,
+                   bucket_capacity: Optional[int] = None,
+                   ) -> Tuple[Arr, ExchangeState, kvt.KvTable]:
+    """Per-device body (call inside ``shard_map``; sharded arrays arrive with
+    leading axis 1). ``ids`` is this device's batch slice, rank-1 raw int32
+    or [B,2] encoded.
+
+    Returns ``(batch_rows [B_l, D], state, new_sharded_local)``.
+    """
+    table = _squeeze(sharded_local)
+    S = jax.lax.psum(1, axis_name)
+    q = ids if (ids.ndim == 2 and ids.shape[-1] == 2) else hashing.encode_ids_raw(ids)
+    bl = q.shape[0]
+    if valid is None:
+        valid = jnp.ones((bl,), bool)
+    cap = bucket_capacity or max(16, -(-bl * 2 // S))  # 2x balanced load
+
+    u = kvu.unique_with_counts(q, valid)
+    uvalid = ~hashing.is_empty(u.unique_keys)
+    owner = hashing.shard_of(u.unique_keys, S)
+    dest, send_keys, overflow = _bucket(u.unique_keys, owner, uvalid, S, cap)
+    send_counts = jnp.zeros((S * cap,), jnp.int32).at[dest].set(
+        u.counts, mode="drop")
+
+    # ids → owners (split leading S·cap into S chunks, swap over the axis)
+    recv_keys = jax.lax.all_to_all(
+        send_keys.reshape(S, cap, 2), axis_name, 0, 0, tiled=False
+    ).reshape(S * cap, 2)
+    recv_counts = jax.lax.all_to_all(
+        send_counts.reshape(S, cap), axis_name, 0, 0, tiled=False
+    ).reshape(S * cap)
+
+    # owner-side dedup (the same key may arrive from several source devices)
+    rvalid = ~hashing.is_free(recv_keys)
+    ou = kvu.unique_with_counts(recv_keys, rvalid)
+    ovalid = ~hashing.is_empty(ou.unique_keys)
+    # per-owner-unique count = Σ source counts
+    n_recv = S * cap
+    osum = jnp.zeros((n_recv,), jnp.int32).at[ou.inverse].add(
+        jnp.where(rvalid, recv_counts, 0))
+
+    if train:
+        res = kvt.lookup_or_insert(table, ou.unique_keys, counts=osum,
+                                   valid=ovalid, day=day)
+        own_rows, own_slot, table = res.rows, res.slot, res.table
+        overflow = overflow | res.overflow
+    else:
+        fr = kvt.find(table, ou.unique_keys, ovalid)
+        own_rows = kvt._gather_rows(table, fr.slot, fr.found)
+        own_slot = jnp.where(fr.found, fr.slot, -1)
+
+    # rows back to sources (mirror exchange)
+    back_rows = own_rows[ou.inverse]                    # [S*cap, D]
+    back_rows = jnp.where(rvalid[:, None], back_rows, 0.0)
+    got_rows = jax.lax.all_to_all(
+        back_rows.reshape(S, cap, -1), axis_name, 0, 0, tiled=False
+    ).reshape(S * cap, -1)
+
+    # unbucket: source-unique i's row sits at flat slot dest[i]
+    pad_row = jnp.zeros((1, got_rows.shape[-1]), got_rows.dtype)
+    got_rows = jnp.concatenate([got_rows, pad_row], axis=0)   # slot S*cap = dropped
+    src_rows = got_rows[dest]                                  # [B_l(unique), D]
+    batch_rows = src_rows[u.inverse]
+    batch_rows = jnp.where(valid[:, None], batch_rows, 0.0)
+
+    state = ExchangeState(src_inverse=u.inverse, src_valid=valid,
+                          src_counts=u.counts, dest=dest,
+                          own_inverse=ou.inverse, own_valid=rvalid,
+                          own_slot=own_slot, own_counts=osum,
+                          overflow=overflow)
+    return batch_rows, state, _unsqueeze(table)
+
+
+def sharded_apply_grads(opt: SparseOptimizer, sharded_local: kvt.KvTable,
+                        state: ExchangeState, batch_grads: Arr, *,
+                        axis_name: str = "mp", lr, step,
+                        ) -> kvt.KvTable:
+    """Mirror path: per-batch-position grads → segment-sum to source uniques →
+    all_to_all to owners → owner-side segment-sum across sources → fused
+    sparse optimizer update on the owner shard."""
+    table = _squeeze(sharded_local)
+    S = jax.lax.psum(1, axis_name)
+    bl = batch_grads.shape[0]
+    g = jnp.where(state.src_valid[:, None], batch_grads, 0.0)
+    src_g = jax.ops.segment_sum(g, state.src_inverse, num_segments=bl)
+    # route to owners at the same send slots as the ids
+    total = state.own_inverse.shape[0]          # S*cap
+    send = jnp.zeros((total, g.shape[-1]), g.dtype).at[state.dest].add(
+        src_g, mode="drop")
+    cap = total // S
+    recv = jax.lax.all_to_all(
+        send.reshape(S, cap, -1), axis_name, 0, 0, tiled=False
+    ).reshape(total, -1)
+    own_g = jax.ops.segment_sum(
+        jnp.where(state.own_valid[:, None], recv, 0.0),
+        state.own_inverse, num_segments=total)
+    table = opt.apply(table, state.own_slot, own_g, lr=lr, step=step)
+    return _unsqueeze(table)
