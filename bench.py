@@ -1,0 +1,118 @@
+"""Benchmark: fused embedding lookup + sparse-optimizer update throughput.
+
+Measures the framework's hot path — dedup'd gather-or-insert over an
+HBM-resident KV table followed by the fused Adagrad gather-update-scatter —
+as achieved HBM bandwidth, against the chip's roofline (BASELINE.json north
+star: >=80% of HBM roofline). Prints ONE json line.
+
+Run on the real TPU (driver) or CPU (debug: BENCH_CPU=1).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+
+def hbm_roofline_gbps() -> float:
+    """Peak HBM bandwidth for the attached device."""
+    import jax
+    kind = jax.devices()[0].device_kind.lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 819.0      # TPU v5e public spec: 819 GB/s
+    if "v5p" in kind or "v5" in kind:
+        return 2765.0
+    if "v4" in kind:
+        return 1228.0
+    if "v6" in kind or "trillium" in kind:
+        return 1640.0
+    return 819.0
+
+
+def main():
+    if os.environ.get("BENCH_CPU"):
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from tfplus_tpu import kv, train as tft
+
+    dim = 128
+    capacity = 1 << 20          # 1M rows x 128 f32 = 512 MB values
+    batch_unique = 1 << 15      # 32k unique ids per step
+    steps = 50
+
+    t = kv.create(dim, capacity, max_probes=16, seed=0)
+    opt = tft.AdagradOptimizer()
+    t = opt.init(t)
+
+    rng = np.random.RandomState(0)
+    ids_np = rng.choice(capacity * 4, size=batch_unique, replace=False)
+    ids = kv.encode_ids_np_to_device(ids_np.astype(np.int64))
+
+    # pre-insert so the steady state measures lookup+update, not growth
+    t = kv.lookup_or_insert(t, ids).table
+
+    def one_step(t, ids, step):
+        res = kv.lookup_or_insert(t, ids)
+        g = res.rows * 0.001 + 0.01    # synthetic gradient, depends on rows
+        return opt.apply(res.table, res.slot, g, lr=0.01, step=step)
+
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def run(t, ids):
+        def body(i, t):
+            return one_step(t, ids, i + 1)
+        return jax.lax.fori_loop(0, steps, body, t)
+
+    def hard_sync(x):
+        # block_until_ready can return early on the axon tunnel backend —
+        # a device_get of real data is the only trustworthy barrier
+        np.asarray(jax.device_get(x.meta[:8]))
+
+    t = run(t, ids)                 # compile + warmup
+    hard_sync(t)
+    # measure the host<->device round-trip so it can be subtracted
+    t0 = time.perf_counter()
+    for _ in range(3):
+        hard_sync(t)
+    rtt = (time.perf_counter() - t0) / 3
+
+    t0 = time.perf_counter()
+    t = run(t, ids)
+    hard_sync(t)
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / steps
+
+    # bytes touched per step (HBM traffic model):
+    #   probe: 16 candidate key-pair gathers (8B each)  [vectorized find]
+    #   lookup row gather: N*D*4 read
+    #   optimizer: read var + slot, write var + slot:   4*N*D*4
+    #   meta/flags read+write: ~4*4 B
+    row = dim * 4
+    bytes_per_step = batch_unique * (
+        16 * 8 + row        # find + gather
+        + 4 * row           # var/slot read+write
+        + 24)               # meta + flags traffic
+    gbps = bytes_per_step / dt / 1e9
+    roofline = hbm_roofline_gbps()
+    frac = gbps / roofline
+    print(json.dumps({
+        "metric": "fused_lookup_update_bandwidth",
+        "value": round(gbps, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(frac / 0.8, 4),   # 1.0 == the 80%-of-roofline target
+        "detail": {
+            "roofline_gbps": roofline,
+            "roofline_frac": round(frac, 4),
+            "step_ms": round(dt * 1e3, 3),
+            "unique_ids": batch_unique,
+            "dim": dim,
+            "capacity": capacity,
+            "device": str(jax.devices()[0].device_kind),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -323,7 +323,7 @@ class TestExportImport:
         np.testing.assert_array_equal(out[1], 1.0)
 
     def test_import_grows_when_small(self):
-        t = kv.create(4, 16, seed=0)
+        t = kv.create(4, 32, seed=0)
         raw = np.arange(100, dtype=np.int64)
         big = kv.create(4, 256, seed=0)
         big = kv.lookup_or_insert(big, kv.encode_ids_np_to_device(raw)).table

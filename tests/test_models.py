@@ -1,0 +1,131 @@
+"""Model integration tests — the examples-as-integration-tests strategy of the
+reference (SURVEY.md §4): NCF loss decreases (example/NCFModel/train.py:
+117-122), DCN reaches a meaningful AUC on criteo-like data."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from tfplus_tpu import kv, train as tft
+from tfplus_tpu.data import synthetic
+from tfplus_tpu.models import DCN, DLRM, NCF, init_state, make_train_step
+
+
+def auc_score(labels, scores):
+    """Plain rank-based AUC (no sklearn dependency)."""
+    order = np.argsort(scores)
+    ranks = np.empty_like(order, dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    pos = labels > 0.5
+    n_pos, n_neg = pos.sum(), (~pos).sum()
+    if n_pos == 0 or n_neg == 0:
+        return 0.5
+    return (ranks[pos].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+
+
+class TestNCF:
+    def test_loss_decreases(self):
+        data = synthetic.movielens_like(20_000, seed=0)
+        model = NCF(embedding_dim=16, hidden=(64, 32), capacity=1 << 12)
+        opt = tft.AdamOptimizer()
+        tx = optax.adam(1e-2)
+        state = init_state(model, opt, tx, seed=0)
+        step = make_train_step(model, opt, tx, sparse_lr=1e-2)
+
+        bs = 256
+        losses = []
+        for e in range(8):
+            for i in range(0, 5120, bs):
+                batch = {
+                    "ids": {"user": jnp.asarray(data["user_id"][i:i+bs].astype(np.int32)),
+                            "movie": jnp.asarray(data["movie_id"][i:i+bs].astype(np.int32))},
+                    "labels": jnp.asarray(data["rating"][i:i+bs]),
+                }
+                state, loss, _ = step(state, batch)
+                losses.append(float(loss))
+        first = np.mean(losses[:5])
+        last = np.mean(losses[-5:])
+        assert last < 0.5 * first, (first, last)
+
+    def test_eval_mode_stable(self):
+        model = NCF(embedding_dim=8, hidden=(16,), capacity=1 << 10)
+        opt = tft.AdamOptimizer()
+        tx = optax.adam(1e-3)
+        state = init_state(model, opt, tx, seed=0)
+        estep = make_train_step(model, opt, tx, sparse_lr=1e-3, train=False,
+                                donate=False)
+        batch = {"ids": {"user": jnp.arange(32, dtype=jnp.int32),
+                         "movie": jnp.arange(32, dtype=jnp.int32)},
+                 "labels": jnp.zeros((32,))}
+        s1, l1, p1 = estep(state, batch)
+        s2, l2, p2 = estep(state, batch)
+        np.testing.assert_allclose(np.asarray(p1), np.asarray(p2))
+        assert int(kv.size(s2.tables["user"])) == 0  # eval never inserts
+
+
+class TestDCN:
+    @pytest.mark.parametrize("opt_name", ["adam", "group_adam"])
+    def test_auc_beats_random(self, opt_name):
+        gen = synthetic.CriteoLike(seed=0, num_categorical=6,
+                                   vocab_sizes=[200] * 6)
+        model = DCN(uniform_dim=8, num_numeric=13, dnn_hidden=(64, 32),
+                    capacity=1 << 12)
+        # restrict to 6 columns for test speed
+        model.embedding_dims = (8,) * 6
+        model.table_specs = {f"C{i+1}": dict(dim=8, capacity=1 << 12)
+                             for i in range(6)}
+        model.input_dim = 8 * 6 + 13
+        opt = (tft.AdamOptimizer() if opt_name == "adam"
+               else tft.GroupAdamOptimizer(l1_regularization_strength=1e-5,
+                                           l21_regularization_strength=1e-5))
+        tx = optax.adam(1e-3)
+        state = init_state(model, opt, tx, seed=0)
+        step = make_train_step(model, opt, tx, sparse_lr=1e-3)
+
+        for batch_np in gen.batches(512, 60):
+            batch = {
+                "ids": {f"C{i+1}": kv.encode_ids_np_to_device(
+                    batch_np["categorical"][:, i]) for i in range(6)},
+                "features": jnp.asarray(batch_np["numeric"]),
+                "labels": jnp.asarray(batch_np["label"]),
+            }
+            state, loss, _ = step(state, batch)
+
+        estep = make_train_step(model, opt, tx, sparse_lr=1e-3, train=False,
+                                donate=False)
+        labels, scores = [], []
+        for batch_np in gen.batches(512, 8):
+            batch = {
+                "ids": {f"C{i+1}": kv.encode_ids_np_to_device(
+                    batch_np["categorical"][:, i]) for i in range(6)},
+                "features": jnp.asarray(batch_np["numeric"]),
+                "labels": jnp.asarray(batch_np["label"]),
+            }
+            _, _, preds = estep(state, batch)
+            labels.append(batch_np["label"])
+            scores.append(np.asarray(preds))
+        auc = auc_score(np.concatenate(labels), np.concatenate(scores))
+        assert auc > 0.70, f"AUC {auc} too low for planted logistic data"
+
+
+class TestDLRM:
+    def test_single_host_train(self):
+        model = DLRM(num_tables=4, embedding_dim=8, bottom_hidden=(16, 8),
+                     top_hidden=(16, 8), capacity=1 << 12)
+        opt = tft.AdagradOptimizer()
+        tx = optax.adagrad(0.05)
+        state = init_state(model, opt, tx, seed=0)
+        step = make_train_step(model, opt, tx, sparse_lr=0.05)
+        losses = []
+        for batch_np in synthetic.dlrm_batches(256, 40, num_tables=4,
+                                               vocab=1000):
+            batch = {
+                "ids": {f"T{i}": kv.encode_ids_np_to_device(
+                    batch_np["categorical"][:, i]) for i in range(4)},
+                "features": jnp.asarray(batch_np["numeric"]),
+                "labels": jnp.asarray(batch_np["label"]),
+            }
+            state, loss, _ = step(state, batch)
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])

@@ -1,0 +1,63 @@
+"""Criteo-Kaggle TSV reader (used when the real dataset is on disk).
+
+Format (example/dcn/README.md + train.py:40-44): label, 13 integer columns
+I1..I13, 26 categorical hex-string columns C1..C26, tab-separated. Strings
+are hashed to 64-bit ids (the reference uses tf.strings.to_hash_bucket_fast,
+train.py:219-220 — here FNV-1a into the full 64-bit space, then per-column
+tag bits keep tables disjoint)."""
+from __future__ import annotations
+
+import os
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+NUM_NUMERIC = 13
+NUM_CATEGORICAL = 26
+
+
+def _fnv1a64(s: bytes) -> np.uint64:
+    h = np.uint64(0xCBF29CE484222325)
+    for b in s:
+        h = np.uint64((int(h) ^ b) * 0x100000001B3 & 0xFFFFFFFFFFFFFFFF)
+    return h
+
+
+def available(path: Optional[str] = None) -> Optional[str]:
+    for cand in ([path] if path else []) + [
+            os.environ.get("CRITEO_PATH", ""),
+            "/data/criteo/train.txt", "/root/data/criteo/train.txt"]:
+        if cand and os.path.exists(cand):
+            return cand
+    return None
+
+
+def batches(path: str, batch_size: int,
+            max_batches: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
+    n_out = 0
+    numeric = np.zeros((batch_size, NUM_NUMERIC), np.float32)
+    cats = np.zeros((batch_size, NUM_CATEGORICAL), np.int64)
+    labels = np.zeros((batch_size,), np.float32)
+    i = 0
+    tag = (np.arange(NUM_CATEGORICAL, dtype=np.uint64) << np.uint64(40))
+    with open(path, "rb") as f:
+        for line in f:
+            parts = line.rstrip(b"\n").split(b"\t")
+            if len(parts) != 1 + NUM_NUMERIC + NUM_CATEGORICAL:
+                continue
+            labels[i] = float(parts[0] or b"0")
+            for j in range(NUM_NUMERIC):
+                v = parts[1 + j]
+                numeric[i, j] = np.log1p(max(float(v), 0.0)) if v else 0.0
+            for j in range(NUM_CATEGORICAL):
+                v = parts[1 + NUM_NUMERIC + j]
+                h = _fnv1a64(v) if v else np.uint64(0)
+                cats[i, j] = np.int64((h & np.uint64((1 << 40) - 1)) | tag[j])
+            i += 1
+            if i == batch_size:
+                yield {"numeric": numeric.copy(), "categorical": cats.copy(),
+                       "label": labels.copy()}
+                i = 0
+                n_out += 1
+                if max_batches and n_out >= max_batches:
+                    return

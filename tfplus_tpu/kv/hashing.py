@@ -144,6 +144,25 @@ def probe_positions(keys: jnp.ndarray, capacity: int, max_probes: int) -> jnp.nd
     return pos.astype(jnp.int32)
 
 
+BUCKET_SIZE = 16
+
+
+def bucket_choices(keys: jnp.ndarray, capacity: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Two-choice bucket hashing: each key may live in one of two contiguous
+    16-slot buckets. Contiguity is the TPU-perf point — a probe fetches each
+    bucket with ONE (1, 16, 2) gather slice instead of 16 scattered 8-byte
+    gathers (~25x faster on TPU, where gather cost is per-slice).
+
+    Returns bucket indices ``(b1[N], b2[N])`` into ``capacity // 16`` buckets,
+    with ``b2 != b1``.
+    """
+    g = capacity // BUCKET_SIZE
+    b1 = (hash_words(keys, 0x2545F491) & _U32(g - 1)).astype(jnp.int32)
+    b2 = (hash_words(keys, 0x6A09E667) & _U32(g - 1)).astype(jnp.int32)
+    b2 = jnp.where(b2 == b1, (b2 + 1) & (g - 1), b2)
+    return b1, b2
+
+
 def shard_of(keys: jnp.ndarray, num_shards: int) -> jnp.ndarray:
     """Owner shard = ``key_u64 % num_shards`` — identical routing to the
     reference (``embedding_ops.py:121-127``), so checkpoints re-shard by re-mod.

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import hashing
+from ..ops import rowops
 from ..utils import packing
 
 # flags bits
@@ -123,6 +124,8 @@ def create(dim: int,
     """
     if capacity & (capacity - 1):
         raise ValueError(f"capacity must be a power of two, got {capacity}")
+    if capacity < 2 * hashing.BUCKET_SIZE:
+        raise ValueError(f"capacity must be >= {2 * hashing.BUCKET_SIZE}")
     cfg = KvConfig(dim=dim, enter_threshold=enter_threshold,
                    max_probes=max_probes, value_dtype=value_dtype, name=name)
     if initializer is None:
@@ -156,46 +159,52 @@ def create(dim: int,
 # probing
 # ---------------------------------------------------------------------------
 
-def _probe_pos(q: jnp.ndarray, capacity: int, j) -> jnp.ndarray:
-    h0 = hashing.probe_start(q, capacity).astype(jnp.uint32)
-    st = hashing.probe_step(q, capacity).astype(jnp.uint32)
-    j = jnp.asarray(j, dtype=jnp.uint32)
-    return ((h0 + j * st) & jnp.uint32(capacity - 1)).astype(jnp.int32)
+_B = hashing.BUCKET_SIZE
+
+
+def _candidates(table_keys: jnp.ndarray, q: jnp.ndarray):
+    """All 32 candidate slots (two contiguous 16-slot buckets) per key.
+
+    Returns ``(pos int32[N, 32], cand_keys int32[N, 32, 2])`` via two
+    (1, 16, 2)-slice gathers — the TPU-fast probe shape.
+    """
+    cap = table_keys.shape[0]
+    b1, b2 = hashing.bucket_choices(q, cap)
+    kv_view = table_keys.reshape(cap // _B, _B, 2)
+    c1 = kv_view[b1]                       # [N, 16, 2]
+    c2 = kv_view[b2]
+    cand = jnp.concatenate([c1, c2], axis=1)
+    lane = jnp.arange(_B, dtype=jnp.int32)
+    pos = jnp.concatenate([b1[:, None] * _B + lane[None, :],
+                           b2[:, None] * _B + lane[None, :]], axis=1)
+    return pos, cand
 
 
 def find(table: KvTable, q: jnp.ndarray,
          valid: Optional[jnp.ndarray] = None) -> FindResult:
-    """Vectorized probe over ``max_probes`` candidates per query key.
+    """Probe both candidate buckets of each query key.
 
     Mirrors TableManager find semantics (table_manager.h:167-190) without
-    locks: the probe chain stops at the first EMPTY slot; tombstones are
-    skipped for matching but remembered as insert targets.
+    locks. Bucketized two-choice hashing scans all 32 candidates, so
+    deletions need no chain repair (tombstones == empties here).
     """
     n = q.shape[0]
-    cap = table.capacity
     if valid is None:
         valid = ~hashing.is_reserved_id(q)
     else:
         valid = valid & ~hashing.is_reserved_id(q)
 
-    neg1 = jnp.full((n,), -1, dtype=jnp.int32)
+    pos, cand = _candidates(table.keys, q)
+    match = hashing.keys_equal(cand, q[:, None, :]) & valid[:, None]
+    free = hashing.is_free(cand)
 
-    def body(j, state):
-        slot, found, ins, done = state
-        pos = _probe_pos(q, cap, j)
-        cur = table.keys[pos]
-        m = ~done & valid & hashing.keys_equal(cur, q)
-        empty = hashing.is_empty(cur)
-        free = hashing.is_free(cur)
-        slot = jnp.where(m, pos, slot)
-        found = found | m
-        ins = jnp.where(~done & (ins < 0) & free, pos, ins)
-        done = done | m | empty
-        return slot, found, ins, done
-
-    slot, found, ins, _ = jax.lax.fori_loop(
-        0, table.config.max_probes, body,
-        (neg1, jnp.zeros((n,), bool), neg1, ~valid))
+    found = jnp.any(match, axis=1)
+    mj = jnp.argmax(match, axis=1)
+    slot = jnp.where(found, jnp.take_along_axis(pos, mj[:, None], 1)[:, 0], -1)
+    has_free = jnp.any(free, axis=1) & valid
+    fj = jnp.argmax(free, axis=1)
+    ins = jnp.where(has_free,
+                    jnp.take_along_axis(pos, fj[:, None], 1)[:, 0], -1)
     return FindResult(slot=slot, found=found, insert_slot=ins)
 
 
@@ -214,11 +223,18 @@ def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
     n = q.shape[0]
     cap = keys_arr.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
+    b1, b2 = hashing.bucket_choices(q, cap)
 
-    def body(j, state):
-        karr, placed = state
+    def pos_at(j):
+        in_b1 = j < _B
+        base = jnp.where(in_b1, b1, b2)
+        lane = jnp.where(in_b1, j, j - _B)
+        return base * _B + lane
+
+    def round_body(state):
+        j, karr, placed = state
         active = need & (placed < 0)
-        pos = _probe_pos(q, cap, j)
+        pos = pos_at(j)
         cur = karr[pos]
         attempt = active & hashing.is_free(cur)
         claim = jnp.full((cap,), n, dtype=jnp.int32)
@@ -227,10 +243,23 @@ def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
         scatter_idx = jnp.where(won, pos, cap)   # cap = OOB → dropped
         karr = karr.at[scatter_idx].set(q, mode="drop")
         placed = jnp.where(won, pos, placed)
-        return karr, placed
+        return j + 1, karr, placed
 
-    return jax.lax.fori_loop(0, max_probes, body,
-                             (keys_arr, jnp.full((n,), -1, jnp.int32)))
+    def round_cond(state):
+        j, _, placed = state
+        # early exit: almost always 1-2 rounds resolve all claims
+        return (j < max_probes) & jnp.any(need & (placed < 0))
+
+    def run(state):
+        return jax.lax.while_loop(round_cond, round_body, state)
+
+    def skip(state):
+        return state
+
+    init = (jnp.zeros((), jnp.int32), keys_arr, jnp.full((n,), -1, jnp.int32))
+    # skip all insert work when the batch has no misses (the steady state)
+    _, karr, placed = jax.lax.cond(jnp.any(need), run, skip, init)
+    return karr, placed
 
 
 # ---------------------------------------------------------------------------
@@ -239,7 +268,7 @@ def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
 
 def _gather_rows(table: KvTable, slot: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
     safe = jnp.where(ok, slot, 0)
-    rows = table.values[safe]
+    rows = rowops.gather_rows(table.values, jnp.where(ok, slot, -1))
     black = (table.flags[safe] & FLAG_BLACKLIST) != 0
     ok = ok & ~black  # blacklisted rows read as zeros (table_manager.h:226-231)
     return jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
@@ -285,7 +314,8 @@ def lookup_or_insert(table: KvTable,
     newly = need & (placed_new >= 0)
     new_idx = jnp.where(newly, placed_new, table.capacity)  # OOB → dropped
     init_rows = _init_rows_for(table, q)
-    values = table.values.at[new_idx].set(init_rows, mode="drop")
+    values = rowops.scatter_rows(table.values,
+                                 jnp.where(newly, placed_new, -1), init_rows)
 
     # --- metadata -----------------------------------------------------------
     day = jnp.asarray(day, dtype=jnp.uint32)
@@ -358,7 +388,8 @@ def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
     ok = valid & (placed >= 0)
     idx = jnp.where(ok, placed, table.capacity)
 
-    values = table.values.at[idx].set(rows.astype(table.values.dtype), mode="drop")
+    values = rowops.scatter_rows(table.values, jnp.where(ok, placed, -1),
+                                 rows.astype(table.values.dtype))
     day = jnp.asarray(day, dtype=jnp.uint32)
     if freq is None:
         freq = jnp.ones((n,), dtype=jnp.uint32)
@@ -390,7 +421,7 @@ def scatter(table: KvTable, q: jnp.ndarray, updates: jnp.ndarray, op: str,
     t = res.table
     ok = res.slot >= 0
     safe = jnp.where(ok, res.slot, 0)
-    cur = t.values[safe]
+    cur = rowops.gather_rows(t.values, jnp.where(ok, res.slot, -1))
     u = updates.astype(cur.dtype)
     if op == "update":
         out = u
@@ -407,7 +438,7 @@ def scatter(table: KvTable, q: jnp.ndarray, updates: jnp.ndarray, op: str,
     else:
         out = jnp.maximum(cur, u)
     idx = jnp.where(ok, res.slot, t.capacity)
-    values = t.values.at[idx].set(out, mode="drop")
+    values = rowops.scatter_rows(t.values, jnp.where(ok, res.slot, -1), out)
     # writing a row clears its blacklist bit (re-activation)
     flags = t.flags.at[idx].set(
         (t.flags[safe] | FLAG_TOUCH_BOTH) & ~FLAG_BLACKLIST, mode="drop")

@@ -1,0 +1,119 @@
+"""Generic sparse-model training harness.
+
+Replaces the reference's TF1 Session + Optimizer.minimize wiring
+(example/NCFModel/train.py:117-129) with a functional step: KV tables are
+explicit state threaded through a jitted step; gradients w.r.t. looked-up
+unique rows fall out of autodiff (the take/gather transpose segment-sums
+duplicates deterministically) and feed the fused sparse optimizer, while
+dense tower params update with a standard dense optimizer (optax).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from .. import embedding as emb
+from ..kv import table as kvt
+from ..optim.base import SparseOptimizer
+
+
+class SparseModel:
+    """Protocol: subclass and define table_specs / init_dense / apply / loss."""
+    #: name -> dict(dim=..., capacity=..., **kv.create kwargs)
+    table_specs: Dict[str, dict] = {}
+
+    def init_dense(self, key):
+        raise NotImplementedError
+
+    def apply(self, dense, embeddings: Dict[str, jnp.ndarray], features):
+        """embeddings[name] is [B, D_name]; returns logits/predictions."""
+        raise NotImplementedError
+
+    def loss(self, preds, labels):
+        raise NotImplementedError
+
+    # -- provided ----------------------------------------------------------
+    def init_tables(self, sparse_opt: Optional[SparseOptimizer] = None,
+                    seed: int = 0) -> Dict[str, kvt.KvTable]:
+        tables = {}
+        for i, (name, spec) in enumerate(sorted(self.table_specs.items())):
+            spec = dict(spec)
+            spec.setdefault("name", name)
+            t = kvt.create(seed=seed + i, **spec)
+            if sparse_opt is not None:
+                t = sparse_opt.init(t)
+            tables[name] = t
+        return tables
+
+
+class TrainState(NamedTuple):
+    tables: Dict[str, kvt.KvTable]
+    dense: dict
+    opt_state: optax.OptState
+    step: jnp.ndarray
+
+
+def init_state(model: SparseModel, sparse_opt: SparseOptimizer,
+               dense_tx: optax.GradientTransformation, seed: int = 0) -> TrainState:
+    dense = model.init_dense(jax.random.PRNGKey(seed))
+    return TrainState(tables=model.init_tables(sparse_opt, seed),
+                      dense=dense, opt_state=dense_tx.init(dense),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
+                    dense_tx: optax.GradientTransformation, *,
+                    sparse_lr: float, train: bool = True,
+                    donate: bool = True) -> Callable:
+    """Build a jitted ``step(state, batch) -> (state, loss, preds)``.
+
+    ``batch`` = dict with per-table id arrays under ``batch["ids"][name]``
+    (rank-1), optional dense ``batch["features"]``, and ``batch["labels"]``.
+    """
+
+    def step_fn(state: TrainState, batch):
+        tables = dict(state.tables)
+        looks = {}
+        for name in sorted(tables):
+            look, tables[name] = emb.lookup_unique(
+                tables[name], batch["ids"][name], train=train)
+            looks[name] = look
+
+        def loss_fn(dense, rows: Dict[str, jnp.ndarray]):
+            embs = {n: emb.gather(looks[n], rows[n]) for n in rows}
+            preds = model.apply(dense, embs, batch.get("features"))
+            return model.loss(preds, batch["labels"]), preds
+
+        rows_in = {n: looks[n].rows for n in looks}
+        if train:
+            (loss, preds), (g_dense, g_rows) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1), has_aux=True)(state.dense, rows_in)
+            updates, opt_state = dense_tx.update(g_dense, state.opt_state,
+                                                 state.dense)
+            dense = optax.apply_updates(state.dense, updates)
+            step = state.step + 1
+            for name in sorted(tables):
+                tables[name] = sparse_opt.apply(
+                    tables[name], looks[name].slot, g_rows[name],
+                    lr=sparse_lr, step=step)
+            return TrainState(tables, dense, opt_state, step), loss, preds
+        loss, preds = loss_fn(state.dense, rows_in)
+        return state, loss, preds
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def grow_if_needed(state: TrainState, incoming_per_table: int) -> TrainState:
+    """Host-side between-steps growth check for every table."""
+    tables = dict(state.tables)
+    changed = False
+    for name, t in tables.items():
+        if kvt.needs_grow(t, incoming_per_table):
+            tables[name] = kvt.grow(t)
+            changed = True
+    return state._replace(tables=tables) if changed else state

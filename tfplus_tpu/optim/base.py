@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..kv import table as kvt
+from ..ops import rowops
 from ..utils import packing
 from .rules import Rule
 
@@ -64,7 +65,8 @@ class SparseOptimizer:
         if thr > 0:
             ok = ok & (packing.get_freq(table.meta[safe]) >= np.uint32(thr))
 
-        var = table.values[safe]
+        gidx = jnp.where(ok, slot_idx, -1)
+        var = rowops.gather_rows(table.values, gidx)
         # blacklisted rows read as zeros for the update math too (the
         # reference's table_manager zero-buffer reads)
         was_black = (table.flags[safe] & kvt.FLAG_BLACKLIST) != 0
@@ -74,7 +76,7 @@ class SparseOptimizer:
             if self.slot_name not in table.slots:
                 raise ValueError(
                     f"slot '{self.slot_name}' missing — call optimizer.init(table) first")
-            state = table.slots[self.slot_name][safe]
+            state = rowops.gather_rows(table.slots[self.slot_name], gidx)
         else:
             state = jnp.zeros((n, 0), dtype=var.dtype)
 
@@ -82,11 +84,11 @@ class SparseOptimizer:
             var, state, grads.astype(var.dtype), lr=lr, step=step, extra=extra)
 
         idx = jnp.where(ok, slot_idx, cap)  # OOB rows dropped
-        values = table.values.at[idx].set(new_var, mode="drop")
+        values = rowops.scatter_rows(table.values, gidx, new_var)
         slots = dict(table.slots)
         if self.rule.slot_width > 0:
-            slots[self.slot_name] = slots[self.slot_name].at[idx].set(
-                new_state, mode="drop")
+            slots[self.slot_name] = rowops.scatter_rows(
+                slots[self.slot_name], gidx, new_state)
 
         flags_read = table.flags[safe]
         new_flags = flags_read
