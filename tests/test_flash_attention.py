@@ -1,0 +1,155 @@
+"""Flash attention tests — mirrors py_ut_gpu/test_flash_attention.py
+(flash vs exact einsum-softmax attention within 1e-3) plus segment/varlen,
+causal, and gradient checks. The Pallas kernel itself runs in interpreter
+mode on CPU."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfplus_tpu.ops import flash_attention as fa
+
+
+def make_qkv(b=2, h=2, sq=256, skv=256, d=64, seed=0, dtype=jnp.float32):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, h, sq, d).astype(np.float32), dtype=dtype)
+    k = jnp.asarray(rng.randn(b, h, skv, d).astype(np.float32), dtype=dtype)
+    v = jnp.asarray(rng.randn(b, h, skv, d).astype(np.float32), dtype=dtype)
+    return q, k, v
+
+
+class TestKernelInterpret:
+    """Validate the actual Pallas kernel (interpret mode) vs exact attention."""
+
+    def test_basic(self):
+        q, k, v = make_qkv()
+        out = fa.flash_attention(q, k, v, interpret=True)
+        ref = fa.reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_causal(self):
+        q, k, v = make_qkv(sq=256, skv=256)
+        out = fa.flash_attention(q, k, v, causal=True, interpret=True)
+        ref = fa.reference_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_segments_varlen(self):
+        q, k, v = make_qkv(b=2, sq=256, skv=256)
+        seg = np.zeros((2, 256), np.int32)
+        seg[0, :100] = 0
+        seg[0, 100:200] = 1
+        seg[0, 200:] = -1          # padding
+        seg[1, :256] = 0
+        seg = jnp.asarray(seg)
+        out = fa.flash_attention(q, k, v, q_segment_ids=seg,
+                                 kv_segment_ids=seg, interpret=True)
+        ref = fa.reference_attention(q, k, v, q_segment_ids=seg,
+                                     kv_segment_ids=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+        # padded positions produce zeros
+        np.testing.assert_allclose(np.asarray(out)[0, :, 200:, :], 0.0,
+                                   atol=1e-5)
+
+    def test_causal_plus_segments(self):
+        q, k, v = make_qkv(b=1, sq=256, skv=256)
+        seg = jnp.asarray(np.repeat([[0, 1]], 128, axis=1).reshape(1, 256))
+        out = fa.flash_attention(q, k, v, causal=True, q_segment_ids=seg,
+                                 kv_segment_ids=seg, interpret=True)
+        ref = fa.reference_attention(q, k, v, causal=True, q_segment_ids=seg,
+                                     kv_segment_ids=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_bf16(self):
+        q, k, v = make_qkv(dtype=jnp.bfloat16)
+        out = fa.flash_attention(q, k, v, interpret=True)
+        ref = fa.reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out, np.float32),
+                                   np.asarray(ref, np.float32),
+                                   atol=2e-2, rtol=2e-2)
+
+    def test_rectangular(self):
+        q, k, v = make_qkv(sq=128, skv=384)
+        out = fa.flash_attention(q, k, v, interpret=True)
+        ref = fa.reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+
+class TestGradients:
+    def test_grads_match_exact_attention(self):
+        q, k, v = make_qkv(b=1, h=1, sq=128, skv=128, d=32)
+
+        def loss_flash(q, k, v):
+            o = fa.flash_attention(q, k, v, causal=True, interpret=True)
+            return jnp.sum(o * o)
+
+        def loss_ref(q, k, v):
+            o = fa.reference_attention(q, k, v, causal=True)
+            return jnp.sum(o * o)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3,
+                                       err_msg=f"d{name}")
+
+    def test_grads_with_segments(self):
+        q, k, v = make_qkv(b=1, h=1, sq=128, skv=128, d=32)
+        seg = np.zeros((1, 128), np.int32)
+        seg[0, 64:] = -1
+        seg = jnp.asarray(seg)
+
+        def loss_flash(q):
+            o = fa.flash_attention(q, k, v, q_segment_ids=seg,
+                                   kv_segment_ids=seg, interpret=True)
+            return jnp.sum(o)
+
+        def loss_ref(q):
+            o = fa.reference_attention(q, k, v, q_segment_ids=seg,
+                                       kv_segment_ids=seg)
+            return jnp.sum(o)
+
+        np.testing.assert_allclose(np.asarray(jax.grad(loss_flash)(q)),
+                                   np.asarray(jax.grad(loss_ref)(q)),
+                                   atol=2e-3, rtol=2e-3)
+
+
+class TestHelpers:
+    def test_segment_ids_from_lengths(self):
+        seg = fa.make_segment_ids_from_lengths(jnp.array([3, 5]), 6)
+        np.testing.assert_array_equal(
+            np.asarray(seg), [[0, 0, 0, -1, -1, -1], [0, 0, 0, 0, 0, -1]])
+
+    def test_fallback_on_cpu_matches(self):
+        # default (no interpret flag) on CPU routes to exact attention
+        q, k, v = make_qkv(sq=128, skv=128)
+        out = fa.flash_attention(q, k, v)
+        ref = fa.reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+class TestLayer:
+    def test_layer_with_mask(self):
+        from tfplus_tpu.nn.attention import flash_attention_layer
+        rng = np.random.RandomState(0)
+        q = jnp.asarray(rng.randn(2, 128, 2, 32).astype(np.float32))
+        mask = np.ones((2, 128), np.int32)
+        mask[0, 100:] = 0
+        out = flash_attention_layer(q, q, q, attention_mask=jnp.asarray(mask))
+        assert out.shape == (2, 128, 2, 32)
+        np.testing.assert_allclose(np.asarray(out)[0, 100:], 0.0, atol=1e-5)
+
+    def test_layer_with_lengths_matches_mask(self):
+        from tfplus_tpu.nn.attention import flash_attention_layer
+        rng = np.random.RandomState(1)
+        q = jnp.asarray(rng.randn(2, 128, 2, 32).astype(np.float32))
+        mask = np.ones((2, 128), np.int32)
+        mask[0, 64:] = 0
+        a = flash_attention_layer(q, q, q, attention_mask=jnp.asarray(mask))
+        b = flash_attention_layer(q, q, q, lengths=jnp.array([64, 128]))
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

@@ -1,1 +1,1 @@
-from . import layers
+from . import attention, layers

@@ -1,0 +1,278 @@
+"""Flash attention — Pallas TPU kernel with varlen (segment-id) support.
+
+TPU-native replacement for the reference's GPU FMHA wrappers
+(``/root/reference/tfplus/flash_attn/``: ops/flash_attention_ops.cc:8-68
+FMHAForward/Backward around Dao-AILab flash-attention v1.0.4, fp16/bf16,
+head dim ≤ 128, varlen via cu_seqlens prefix sums, causal flag, softmax_lse
+residual). Design follows the blockwise online-softmax recipe: the
+(seq, seq) score matrix is never materialised; per-Q-tile running max ``m``,
+normaliser ``l`` and output accumulator live in VMEM scratch across KV tiles.
+
+Varlen: instead of CUDA's packed [ΣS, H, D] + cu_seqlens, sequences are
+packed along one axis with **segment ids** (the TPU idiom): tokens attend
+only within their segment; ``segment_id < 0`` marks padding (attends to
+nothing, outputs zeros).
+
+Backward uses the standard flash residuals (o, l, m) with a blockwise XLA
+recomputation (a Pallas dq/dkv kernel pair is a later optimisation; the
+reference's own backward also recomputes from softmax_lse).
+
+Shapes: q [B, H, Sq, D], k/v [B, H, Skv, D]; segment ids [B, Sq] / [B, Skv].
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
+_LANES = 128
+
+
+def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
+                o_ref, l_ref, m_ref,
+                m_scr, l_scr, acc_scr,
+                *, causal, sm_scale, block_q, block_k, kv_len, mask_value,
+                use_segments):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -jnp.inf)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    # causal: skip KV tiles entirely above the diagonal
+    if causal:
+        should_run = ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0].astype(jnp.float32)          # [bq, d]
+        k = k_ref[0, 0].astype(jnp.float32)          # [bk, d]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        if sm_scale != 1.0:
+            s = s * sm_scale
+
+        mask = None
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+                + q_idx * block_q
+            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+                + kv_idx * block_k
+            mask = col <= row
+        if use_segments:
+            qs = qseg_ref[0, 0]                       # [bq]
+            ks = kseg_ref[0, 0]                       # [bk]
+            seg = (qs[:, None] == ks[None, :]) & (qs[:, None] >= 0) \
+                & (ks[None, :] >= 0)
+            mask = seg if mask is None else (mask & seg)
+        if mask is not None:
+            s = s + jnp.where(mask, 0.0, mask_value)
+
+        m_prev = m_scr[...]                           # [bq, LANES]
+        l_prev = l_scr[...]
+        m_curr = jnp.max(s, axis=1)[:, None]          # [bq, 1]
+        m_next = jnp.maximum(m_prev, m_curr)          # broadcast to [bq, LANES]
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next[:, :1])                # [bq, bk]
+        l_corr = alpha * l_prev
+        l_next = l_corr + jnp.sum(p, axis=1)[:, None]
+        m_scr[...] = m_next
+        l_scr[...] = l_next
+
+        acc_scr[...] = acc_scr[...] * alpha[:, :1]
+        v = v_ref[0, 0].astype(jnp.float32)
+        acc_scr[...] += jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == (kv_len // block_k) - 1)
+    def _store():
+        l = l_scr[...][:, :1]
+        l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
+        # rows with no un-masked key ever (padding / empty segments) still
+        # accumulate exp(mask_value - mask_value) = 1 terms; their running
+        # max stays at mask_value — force their output to zero
+        never_hit = m_scr[...][:, :1] <= (0.5 * mask_value)
+        o = jnp.where(never_hit, 0.0, acc_scr[...] * l_inv)
+        o_ref[0, 0] = o.astype(o_ref.dtype)
+        l_ref[0, 0] = jnp.where(never_hit, 0.0, l_scr[...]).astype(l_ref.dtype)
+        m_ref[0, 0] = m_scr[...].astype(m_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"))
+def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
+         interpret):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    grid = (b, h, sq // block_q, skv // block_k)
+    use_segments = q_seg is not None
+    if q_seg is None:
+        q_seg = jnp.zeros((b, sq), jnp.int32)
+        kv_seg = jnp.zeros((b, skv), jnp.int32)
+    # [B, 1, S] so the block's trailing dims satisfy TPU tiling rules
+    q_seg3 = q_seg.reshape(b, 1, sq)
+    kv_seg3 = kv_seg.reshape(b, 1, skv)
+
+    kernel = functools.partial(
+        _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
+        block_k=block_k, kv_len=skv, mask_value=DEFAULT_MASK_VALUE,
+        use_segments=use_segments)
+
+    out, l, m = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(q.shape, q.dtype),
+            jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, _LANES), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(q_seg3, kv_seg3, q, k, v)
+    return out, l[..., 0], m[..., 0]
+
+
+def _attention_mask(sq, skv, q_seg, kv_seg, causal):
+    mask = jnp.ones((q_seg.shape[0] if q_seg is not None else 1, sq, skv),
+                    bool)
+    if causal:
+        row = jnp.arange(sq)[:, None]
+        col = jnp.arange(skv)[None, :]
+        mask = mask & (col <= row)[None]
+    if q_seg is not None:
+        seg = (q_seg[:, :, None] == kv_seg[:, None, :]) \
+            & (q_seg[:, :, None] >= 0) & (kv_seg[:, None, :] >= 0)
+        mask = mask & seg
+    return mask
+
+
+def reference_attention(q, k, v, *, causal=False, sm_scale=None,
+                        q_segment_ids=None, kv_segment_ids=None):
+    """Exact attention (the py_ut_gpu einsum-softmax reference,
+    test_flash_attention.py:41-69) — also the non-TPU fallback."""
+    d = q.shape[-1]
+    if sm_scale is None:
+        sm_scale = 1.0 / np.sqrt(d)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    mask = _attention_mask(q.shape[2], k.shape[2], q_segment_ids,
+                           kv_segment_ids, causal)
+    s = jnp.where(mask[:, None, :, :], s, DEFAULT_MASK_VALUE)
+    p = jax.nn.softmax(s, axis=-1)
+    # fully-masked rows (padding) → zero output
+    any_valid = jnp.any(mask, axis=-1)[:, None, :, None]
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return jnp.where(any_valid, out, 0.0).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
+           interpret):
+    out, _, _ = _fwd(q, k, v, q_seg, kv_seg, causal=causal,
+                     sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+                     interpret=interpret)
+    return out
+
+
+def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
+               interpret):
+    out, l, m = _fwd(q, k, v, q_seg, kv_seg, causal=causal,
+                     sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+                     interpret=interpret)
+    return out, (q, k, v, q_seg, kv_seg, out, l, m)
+
+
+def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+    """Standard flash backward from (o, l, m) residuals:
+    p = exp(s−m)/l; di = Σ(do·o); ds = p∘(do·vᵀ − di); dq = ds·k; dk = dsᵀ·q;
+    dv = pᵀ·do (cf. the reference backward consuming softmax_lse)."""
+    q, k, v, q_seg, kv_seg, out, l, m = res
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+    s = jnp.einsum("bhqd,bhkd->bhqk", qf, kf) * sm_scale
+    mask = _attention_mask(q.shape[2], k.shape[2], q_seg, kv_seg, causal)
+    s = jnp.where(mask[:, None, :, :], s, DEFAULT_MASK_VALUE)
+    l_safe = jnp.where(l == 0.0, 1.0, l)[..., None]
+    p = jnp.exp(s - m[..., None]) / l_safe
+    p = jnp.where(mask[:, None, :, :], p, 0.0)
+    di = jnp.sum(dof * out.astype(jnp.float32), axis=-1, keepdims=True)
+    dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
+    ds = p * (dp - di)
+    dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * sm_scale
+    dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * sm_scale
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, *, causal: bool = False,
+                    sm_scale: Optional[float] = None,
+                    q_segment_ids=None, kv_segment_ids=None,
+                    block_q: int = 128, block_k: int = 128,
+                    interpret: Optional[bool] = None):
+    """Blockwise flash attention.
+
+    q [B, H, Sq, D], k/v [B, H, Skv, D]; optional int32 segment ids
+    [B, Sq] / [B, Skv] (−1 = padding). Seq lengths must divide the block
+    sizes (pad with segment −1 otherwise). Differentiable.
+    """
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    if (q_segment_ids is None) != (kv_segment_ids is None):
+        raise ValueError("provide both or neither segment id array")
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            # exact fallback keeps CPU tests fast; kernel is validated
+            # separately in interpreter mode
+            return reference_attention(
+                q, k, v, causal=causal, sm_scale=sm_scale,
+                q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids)
+        interpret = False
+    return _flash(q, k, v, q_segment_ids, kv_segment_ids, causal, sm_scale,
+                  block_q, block_k, interpret)
+
+
+def make_segment_ids_from_lengths(lengths, seq_len: int):
+    """cu_seqlens equivalent: per-example valid length → segment ids
+    (0 for the first ``length`` tokens, −1 padding). Mirrors the reference
+    layer's mask→cu_seqlens packing (flash_attn_ops.py:128-160)."""
+    pos = jnp.arange(seq_len)[None, :]
+    return jnp.where(pos < lengths[:, None], 0, -1).astype(jnp.int32)
