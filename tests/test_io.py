@@ -1,0 +1,128 @@
+"""IO layer tests: filesystem registry (OSS URI parity), bundle-over-FS, and
+the native C++ helpers (built on demand; parity vs Python fallbacks)."""
+import os
+
+import numpy as np
+import pytest
+
+from tfplus_tpu.io import filesystem as fsys
+from tfplus_tpu.io import native
+from tfplus_tpu.checkpoint import bundle
+
+
+class TestFilesystem:
+    def test_local_roundtrip(self, tmp_path):
+        fs, p = fsys.get_filesystem(str(tmp_path / "a" / "b.bin"))
+        with fs.open(p, "wb") as f:
+            f.write(b"hello")
+        assert fs.exists(p)
+        with fs.open(p, "rb") as f:
+            assert f.read() == b"hello"
+        assert fs.size(p) == 5
+
+    def test_ram_fs(self):
+        fs, p = fsys.get_filesystem("ram://bucket/x.bin")
+        with fs.open(p, "wb") as f:
+            f.write(b"data")
+        fs2, p2 = fsys.get_filesystem("ram://bucket/x.bin")
+        with fs2.open(p2, "rb") as f:
+            assert f.read() == b"data"
+
+    def test_unknown_scheme_raises(self):
+        with pytest.raises(ValueError, match="no filesystem"):
+            fsys.get_filesystem("s4://nope/x")
+
+    def test_custom_registration(self):
+        class MyFS(fsys.MemFileSystem):
+            pass
+
+        fsys.register_filesystem("myfs", MyFS())
+        fs, _ = fsys.get_filesystem("myfs://y")
+        assert isinstance(fs, MyFS)
+
+    def test_oss_uri_credentials(self):
+        """The reference's in-URI credential contract
+        (oss_file_system.cc: oss://bucket\\x01id=..\\x02key=..\\x02host=..)."""
+        bucket, obj, creds = fsys.parse_oss_uri(
+            "oss://mybkt\x01id=AK123\x02key=SK456\x02host=oss-cn.example"
+            "/dir/obj.bin")
+        assert bucket == "mybkt"
+        assert creds["id"] == "AK123" and creds["key"] == "SK456"
+        assert creds["host"].startswith("oss-cn")
+
+    def test_oss_uri_env_fallback(self):
+        os.environ["OSS_ACCESS_ID"] = "ENVID"
+        try:
+            b, o, creds = fsys.parse_oss_uri("oss://bkt/obj")
+            assert b == "bkt" and o == "obj" and creds["id"] == "ENVID"
+        finally:
+            del os.environ["OSS_ACCESS_ID"]
+
+    def test_bundle_over_ram_fs(self):
+        with bundle.BundleWriter("ram://ckpt/test") as w:
+            w.add("x", np.arange(10, dtype=np.float32))
+        r = bundle.BundleReader("ram://ckpt/test")
+        np.testing.assert_array_equal(r.lookup("x"), np.arange(10))
+
+
+class TestNative:
+    def test_builds_and_loads(self):
+        assert native.available(), "native lib should build (g++ present)"
+
+    def test_fingerprint_matches_python(self):
+        for s in [b"", b"a", b"hello world", b"\x00\xff" * 100]:
+            lib_fp = native.fingerprint64(s)
+            # python fallback reference
+            h = 0xCBF29CE484222325
+            for byte in s:
+                h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+            assert lib_fp == h, s
+
+    def test_fingerprint_batch(self):
+        strs = [b"user_123", b"item_456", b""]
+        out = native.fingerprint64_batch(strs)
+        assert out.tolist() == [native.fingerprint64(s) for s in strs]
+
+    def test_crc32_matches_zlib(self):
+        import zlib
+        for n in (0, 1, 7, 8, 9, 1000, 65537):
+            data = np.random.RandomState(n % 97).bytes(n)
+            assert native.crc32(data) == (zlib.crc32(data) & 0xFFFFFFFF), n
+        # seeded/streaming
+        a, b = b"hello ", b"world"
+        assert native.crc32(b, native.crc32(a)) == (zlib.crc32(a + b) & 0xFFFFFFFF)
+
+    def test_parse_criteo(self):
+        from tfplus_tpu.data import criteo as pycriteo
+        lines = []
+        rng = np.random.RandomState(0)
+        for i in range(10):
+            ints = [str(rng.randint(0, 100)) if rng.rand() > 0.2 else ""
+                    for _ in range(13)]
+            cats = ["%08x" % rng.randint(0, 2**31) if rng.rand() > 0.2 else ""
+                    for _ in range(26)]
+            lines.append("\t".join([str(i % 2)] + ints + cats))
+        blob = ("\n".join(lines) + "\n").encode()
+        out = native.parse_criteo_batch(blob, 10)
+        assert out is not None
+        numeric, cats_out, labels, consumed = out
+        assert numeric.shape == (10, 13) and cats_out.shape == (10, 26)
+        assert consumed == len(blob)
+        np.testing.assert_array_equal(labels, [i % 2 for i in range(10)])
+        # parity with the python parser
+        import io as _io
+        import tempfile
+        with tempfile.NamedTemporaryFile("wb", suffix=".txt", delete=False) as f:
+            f.write(blob)
+            path = f.name
+        py_batches = list(pycriteo.batches(path, 10))
+        os.unlink(path)
+        np.testing.assert_allclose(py_batches[0]["numeric"], numeric, rtol=1e-6)
+        np.testing.assert_array_equal(py_batches[0]["categorical"], cats_out)
+
+    def test_parse_criteo_partial_line(self):
+        blob = b"1\t" + b"\t".join(b"1" for _ in range(39)) + b"\nincomplete"
+        out = native.parse_criteo_batch(blob, 10)
+        numeric, cats, labels, consumed = out
+        assert len(labels) == 1
+        assert consumed == blob.index(b"incomplete")

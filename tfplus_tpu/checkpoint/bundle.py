@@ -25,6 +25,8 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
+from ..io.filesystem import get_filesystem
+
 _INDEX_SUFFIX = ".index.json"
 
 
@@ -41,11 +43,14 @@ class BundleWriter:
     """Append-only writer; assign tensors to shards round-robin or explicitly."""
 
     def __init__(self, prefix: str, num_shards: int = 1):
-        self._prefix = prefix
+        self._fs, self._prefix = get_filesystem(prefix)
         self._num_shards = num_shards
-        os.makedirs(os.path.dirname(prefix) or ".", exist_ok=True)
-        self._files = [open(data_filename(prefix, i, num_shards), "wb")
-                       for i in range(num_shards)]
+        d = os.path.dirname(self._prefix)
+        if d:
+            self._fs.makedirs(d)
+        self._files = [
+            self._fs.open(data_filename(self._prefix, i, num_shards), "wb")
+            for i in range(num_shards)]
         self._index: Dict[str, dict] = {}
         self._next_shard = 0
         self._open_stream: Optional[Tuple[str, int]] = None
@@ -107,10 +112,10 @@ class BundleWriter:
         for f in self._files:
             f.close()
         tmp = index_filename(self._prefix) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"version": 1, "num_shards": self._num_shards,
-                       "tensors": self._index}, f)
-        os.replace(tmp, index_filename(self._prefix))  # atomic publish
+        with self._fs.open(tmp, "wb") as f:
+            f.write(json.dumps({"version": 1, "num_shards": self._num_shards,
+                                "tensors": self._index}).encode())
+        self._fs.rename(tmp, index_filename(self._prefix))  # atomic publish
         self._closed = True
 
     def __enter__(self):
@@ -126,9 +131,9 @@ class BundleWriter:
 
 class BundleReader:
     def __init__(self, prefix: str):
-        self._prefix = prefix
-        with open(index_filename(prefix)) as f:
-            meta = json.load(f)
+        self._fs, self._prefix = get_filesystem(prefix)
+        with self._fs.open(index_filename(self._prefix), "rb") as f:
+            meta = json.loads(f.read().decode())
         self._num_shards = meta["num_shards"]
         self._index = meta["tensors"]
 
@@ -147,7 +152,7 @@ class BundleReader:
     def lookup(self, name: str, verify: bool = True) -> np.ndarray:
         e = self._index[name]
         path = data_filename(self._prefix, e["shard"], self._num_shards)
-        with open(path, "rb") as f:
+        with self._fs.open(path, "rb") as f:
             f.seek(e["offset"])
             buf = f.read(e["nbytes"])
         if len(buf) != e["nbytes"]:
@@ -166,7 +171,7 @@ class BundleReader:
         row_bytes = (int(np.prod(shape[1:], dtype=np.int64))
                      * np.dtype(e["dtype"]).itemsize)
         path = data_filename(self._prefix, e["shard"], self._num_shards)
-        with open(path, "rb") as f:
+        with self._fs.open(path, "rb") as f:
             f.seek(e["offset"] + start_row * row_bytes)
             buf = f.read(num_rows * row_bytes)
         return (np.frombuffer(buf, dtype=np.dtype(e["dtype"]))

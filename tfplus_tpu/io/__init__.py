@@ -1,0 +1,3 @@
+from . import filesystem, native
+from .filesystem import (FileSystem, LocalFileSystem, MemFileSystem,
+                         get_filesystem, parse_oss_uri, register_filesystem)
