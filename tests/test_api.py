@@ -1,0 +1,143 @@
+"""API-surface parity tests: variable store, multi-table packing, serving
+metadata, config tree, table stats, and second-order segment gradients
+(reference SparseSegment*GradGrad ops — free via JAX autodiff)."""
+import json
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfplus_tpu import kv, serving, config as tfconfig
+from tfplus_tpu import embedding as emb
+from tfplus_tpu.kv import multi
+from tfplus_tpu.variables import KvVariableStore
+
+
+class TestVariableStore:
+    def test_create_and_reuse(self):
+        store = KvVariableStore()
+        t1 = store.get_kv_variable("emb_a", 16)
+        t2 = store.get_kv_variable("emb_a", 16)
+        assert t1 is t2
+        with pytest.raises(ValueError, match="dim mismatch"):
+            store.get_kv_variable("emb_a", 32)
+
+    def test_partitioned(self):
+        store = KvVariableStore()
+        shards = store.get_kv_variable("big", 8, num_shards=4)
+        assert len(shards) == 4
+        assert shards[2].config.name == "big/part_2"
+
+    def test_feature_size(self):
+        store = KvVariableStore()
+        t = store.get_kv_variable("e", 4, capacity=256)
+        ids = kv.encode_ids_np_to_device(np.arange(5, dtype=np.int64))
+        store.update("e", kv.lookup_or_insert(t, ids).table)
+        assert store.get_kv_feature_size() == {"e": 5}
+
+    def test_saver_mode(self):
+        from tfplus_tpu.checkpoint import saver
+        store = KvVariableStore()
+        assert store.save_first_n == saver.FIRST_N_TRAIN
+        store.set_saver_mode(0)
+        assert store.save_first_n == saver.FIRST_N_INFERENCE
+
+
+class TestMultiTable:
+    def test_logical_tables_disjoint(self):
+        mt = multi.MultiTable(4, 1 << 10)
+        mt.register("user")
+        mt.register("item")
+        ids = np.array([1, 2, 3], np.int64)
+        qu = kv.encode_ids_np_to_device(np.asarray(mt.tag("user", ids)))
+        qi = kv.encode_ids_np_to_device(np.asarray(mt.tag("item", ids)))
+        t = kv.insert(mt.table, qu, jnp.ones((3, 4)))
+        t = kv.insert(t, qi, jnp.full((3, 4), 2.0))
+        mt.table = t
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t, qu)), 1.0)
+        np.testing.assert_allclose(np.asarray(kv.lookup_or_zeros(t, qi)), 2.0)
+        assert int(kv.size(t)) == 6
+
+    def test_device_tagging_matches_host(self):
+        mt = multi.MultiTable(4)
+        mt.register("a")
+        mt.register("b")
+        ids = np.array([7, 2**40 + 3], np.uint64)
+        host = np.asarray(mt.tag("b", ids))
+        dev = multi.tag_ids(jnp.asarray([7], jnp.int32), 1)
+        assert kv.decode_ids_np(np.asarray(dev))[0] == host[0]
+
+    def test_export_split(self):
+        mt = multi.MultiTable(4, 1 << 10)
+        mt.register("x")
+        mt.register("y")
+        qx = kv.encode_ids_np_to_device(np.asarray(mt.tag("x", np.array([5], np.int64))))
+        qy = kv.encode_ids_np_to_device(np.asarray(mt.tag("y", np.array([5, 6], np.int64))))
+        mt.table = kv.insert(mt.table, qx, jnp.ones((1, 4)))
+        mt.table = kv.insert(mt.table, qy, jnp.full((2, 4), 3.0))
+        out = mt.export_split()
+        assert out["x"]["keys"].tolist() == [5]
+        assert sorted(out["y"]["keys"].tolist()) == [5, 6]
+        np.testing.assert_allclose(out["x"]["values"], 1.0)
+
+
+class TestServingMetadata:
+    def test_metadata_roundtrip(self, tmp_path):
+        md = serving.RankingMetadata()
+        md.add_embedding_column(column_name="C1", var_name="embedding_weight_1",
+                                embedding_dim=64, combiner="mean", num_shards=2)
+        blob = json.loads(md.to_json())
+        cols = blob[serving.RANK_SERVICE_COLLECTION]
+        assert cols[0]["embedding_var_keys"] == [
+            "embedding_weight_1/part_0-keys", "embedding_weight_1/part_1-keys"]
+        p = str(tmp_path / "rank.json")
+        md.save(p)
+        md2 = serving.RankingMetadata.load(p)
+        assert md2.generate_signature()["C1"]["embedding_dim"] == 64
+
+
+class TestConfig:
+    def test_defaults_and_env(self, monkeypatch):
+        rc = tfconfig.RuntimeConfig.from_env()
+        assert rc.support_delta_export
+        monkeypatch.setenv("SUPPORT_DELTA_EXPORT", "0")
+        rc = tfconfig.RuntimeConfig.from_env()
+        assert not rc.support_delta_export
+
+    def test_kv_options(self):
+        opts = tfconfig.KvOptions(enter_threshold=5, ttl_days=30)
+        assert opts.storage.combination == tfconfig.StorageCombination.MEM
+
+
+class TestStats:
+    def test_stats_snapshot(self):
+        t = kv.create(8, 256, seed=0)
+        ids = kv.encode_ids_np_to_device(np.arange(10, dtype=np.int64))
+        t = kv.lookup_or_insert(t, ids, counts=jnp.full((10,), 3, jnp.int32)).table
+        s = kv.table.stats(t)
+        assert s["size"] == 10 and s["sum_freq"] == 30
+        assert s["delta_pending"] == 10
+        assert s["bytes"] > 0
+
+
+class TestSecondOrderSegmentGrads:
+    """Parity with N15 (ops/math_ops.cc SparseSegmentMeanGradGrad /
+    SparseSegmentSqrtNGradGrad): grad-of-grad through mean/sqrtn combiners
+    must exist and be correct — JAX autodiff provides it; we pin it down."""
+
+    @pytest.mark.parametrize("combiner", ["mean", "sqrtn"])
+    def test_grad_grad(self, combiner):
+        t = kv.create(4, 256, seed=0)
+        ids = jnp.array([1, 1, 2], jnp.int32)
+        look, t = emb.lookup_unique(t, ids)
+        seg = jnp.array([0, 0, 1], jnp.int32)
+
+        def f(rows):
+            out = emb.combine(look, seg, 2, rows=rows, combiner=combiner)
+            return jnp.sum(out ** 3)
+
+        g = jax.grad(f)(look.rows)
+        hvp = jax.grad(lambda r: jnp.vdot(jax.grad(f)(r), g))(look.rows)
+        assert np.all(np.isfinite(np.asarray(hvp)))
+        assert np.abs(np.asarray(hvp)).sum() > 0

@@ -11,5 +11,8 @@ over a device mesh, and Pallas flash attention.
 See SURVEY.md for the structural map of the reference and the design
 translation table (§7.0).
 """
-from . import kv
+from . import checkpoint, config, data, embedding, io, kv, models, nn, optim
+from . import parallel, serving, train, variables
+from .variables import (get_kv_variable, get_kv_feature_size,
+                        set_tfplus_saver_mode, KvVariableStore, default_store)
 from .version import __version__

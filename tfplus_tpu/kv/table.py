@@ -544,6 +544,29 @@ def get_timestamp(table: KvTable, q: jnp.ndarray) -> jnp.ndarray:
                      jnp.uint32(0)).astype(jnp.int32)
 
 
+def stats(table: KvTable) -> dict:
+    """Observability snapshot (reference: Size/StorageSize/Frequency ops +
+    VLOG kernel timing, SURVEY.md §5.5/§5.1). Host-side; cheap reductions."""
+    occ = occupied_mask(table)
+    black = (table.flags & FLAG_BLACKLIST) != 0
+    touched = (table.flags & FLAG_TOUCH_TRAIN) != 0
+    n = int(jax.device_get(jnp.sum(occ.astype(jnp.int32))))
+    return {
+        "name": table.config.name,
+        "size": n,
+        "capacity": table.capacity,
+        "load_factor": n / table.capacity,
+        "sum_freq": int(jax.device_get(sum_freq(table))),
+        "blacklisted": int(jax.device_get(jnp.sum((occ & black).astype(jnp.int32)))),
+        "delta_pending": int(jax.device_get(jnp.sum((occ & touched).astype(jnp.int32)))),
+        "deleted_log": int(jax.device_get(table.deleted_count)),
+        "bytes": int(table.values.nbytes
+                     + sum(v.nbytes for v in table.slots.values())
+                     + table.keys.nbytes + table.meta.nbytes
+                     + table.flags.nbytes),
+    }
+
+
 def load_factor(table: KvTable) -> float:
     return float(jax.device_get(size(table))) / table.capacity
 
