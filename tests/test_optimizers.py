@@ -330,3 +330,41 @@ class TestSemantics:
         got = np.asarray(kv.lookup_or_zeros(t, ids))
         want = run_sparse(tft.GroupAdamOptimizer(), grads, 0.01, init)
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestDenseTwins:
+    """Dense Apply* twins (reference ops/training_ops.cc dense kernels) via
+    the optax wrapper."""
+
+    def test_dense_adam_matches_sparse_trajectory(self):
+        import optax
+        from tfplus_tpu.optim import dense as dd
+        from tfplus_tpu.optim import rules as R
+        init, grads = make_data()
+        tx = dd.as_optax(R.Adam(), learning_rate=0.01)
+        params = {"w": jnp.asarray(init)}
+        state = tx.init(params)
+        for g in grads:
+            updates, state = tx.update({"w": jnp.asarray(g)}, state, params)
+            params = optax.apply_updates(params, updates)
+        want = run_sparse(tft.AdamOptimizer(), grads, 0.01, init)
+        np.testing.assert_allclose(np.asarray(params["w"]), want,
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_dense_adadqh_trains(self):
+        import optax
+        from tfplus_tpu.optim import dense as dd
+        from tfplus_tpu.optim import rules as R
+        tx = dd.as_optax(R.AdaDQH(), learning_rate=0.1)
+        params = {"w": jnp.ones((4, 8)), "b": jnp.ones((8,))}
+        state = tx.init(params)
+
+        def loss(p):
+            return jnp.sum(p["w"] ** 2) + jnp.sum(p["b"] ** 2)
+
+        start = float(loss(params))
+        for _ in range(50):
+            g = jax.grad(loss)(params)
+            updates, state = tx.update(g, state, params)
+            params = optax.apply_updates(params, updates)
+        assert float(loss(params)) < 0.05 * start

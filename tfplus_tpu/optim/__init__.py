@@ -1,4 +1,4 @@
-from . import rules
+from . import dense, rules
 from .base import SparseOptimizer
 from .rules import (Rule, Sgd, Adagrad, Adam, GroupAdam, GroupFtrl,
                     GroupMomentum, GroupAdadelta, GroupAMSGrad,

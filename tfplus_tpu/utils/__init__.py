@@ -1,1 +1,1 @@
-from . import packing
+from . import packing, profiling
