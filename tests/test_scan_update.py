@@ -1,0 +1,76 @@
+"""scan_update kernel tests (interpreter mode): streaming optimizer
+application must match the scatter path exactly, including metadata
+(freq/day/touch), group-lasso blacklist bits, and the frequency filter."""
+import numpy as np, jax, jax.numpy as jnp
+from tfplus_tpu import kv, train as tft
+from tfplus_tpu.ops import scan_update
+from tfplus_tpu.utils import packing
+
+
+def test_scan_update_full_semantics():
+
+    C, D, N = 2048, 8, 300
+    rng = np.random.RandomState(0)
+    opt = tft.AdagradOptimizer()
+    t = kv.create(D, C, seed=0)
+    t = opt.init(t)
+    ids = kv.encode_ids_np_to_device(
+        rng.choice(10**6, N, replace=False).astype(np.int64))
+    t = kv.insert(t, ids, jnp.asarray(rng.randn(N, D).astype(np.float32)),
+                  freq=jnp.full((N,), 4, jnp.uint32), day=100)
+    res = kv.lookup_or_insert(t, ids, day=100)
+    t = res.table
+    slot = res.slot
+    grads = jnp.asarray(rng.randn(N, D).astype(np.float32))
+    counts = jnp.asarray(rng.randint(1, 4, N).astype(np.int32))
+
+    # reference: scatter-path apply
+    t_ref = opt.apply(t, slot, grads, lr=0.1, step=3)
+
+    # scan path
+    vo, so, meta, flags = scan_update.scan_apply(
+        t.values, t.slots["accum"], t.meta, t.flags, slot, grads, None,
+        opt.rule, lr=0.1, step=3, day=105, enter_threshold=0, interpret=True)
+
+    np.testing.assert_allclose(np.asarray(vo), np.asarray(t_ref.values),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(so), np.asarray(t_ref.slots["accum"]),
+                               rtol=1e-5, atol=1e-6)
+    print("values+state match scatter path")
+
+    _ = None
+
+    # meta: freq +1 per touched row, day=105, touch bits set
+    fr = kv.find(t, ids)
+    sl = np.asarray(fr.slot)
+    m = np.asarray(meta)[sl]
+    assert np.all((m & 0xFFFF) == 6), (m & 0xFFFF)[:5]  # 4 insert +1 lookup +1 scan
+    assert np.all(((m >> 16) & 0x1FFF) == 105)
+    fl = np.asarray(flags)[sl]
+    assert np.all(fl & 2), "touch_train set"
+    print("meta/flags OK")
+
+    # group adam blacklist flows through
+    opt2 = tft.GroupAdamOptimizer(l21_regularization_strength=100.0)
+    t2 = kv.create(D, C, seed=0); t2 = opt2.init(t2)
+    t2 = kv.insert(t2, ids, jnp.full((N, D), 0.01))
+    res2 = kv.lookup_or_insert(t2, ids)
+    t2 = res2.table
+    tiny = jnp.full((N, D), 1e-6)
+    ref2 = opt2.apply(t2, res2.slot, tiny, lr=0.01, step=1)
+    vo2, so2, meta2, flags2 = scan_update.scan_apply(
+        t2.values, t2.slots["m_v_linear"], t2.meta, t2.flags, res2.slot, tiny,
+        None, opt2.rule, lr=0.01, step=1, day=0, enter_threshold=0, interpret=True)
+    np.testing.assert_allclose(np.asarray(vo2), np.asarray(ref2.values),
+                               rtol=1e-5, atol=1e-7)
+    sl2 = np.asarray(kv.find(t2, ids).slot)
+    assert np.all(np.asarray(flags2)[sl2] & 1), "blacklist bits set"
+    print("group adam blacklist OK")
+
+    # freq filter: thr=10 > freq -> untouched rows
+    vo3, so3, _, _ = scan_update.scan_apply(
+        t.values, t.slots["accum"], t.meta, t.flags, slot, grads, None,
+        opt.rule, lr=0.1, step=3, day=105, enter_threshold=10, interpret=True)
+    np.testing.assert_allclose(np.asarray(vo3), np.asarray(t.values))
+    print("freq filter OK")
+    print("ALL SCAN TESTS PASSED")

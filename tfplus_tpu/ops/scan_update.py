@@ -1,0 +1,284 @@
+"""Scan-update — streaming sparse-optimizer application kernel.
+
+Replaces the random gather/scatter optimizer path with ONE sequential pass
+over the table: values, slot state, and metadata stream through VMEM in
+chunks at HBM bandwidth (~590 GB/s measured on v5e; PERF.md), and each
+chunk's touched rows are gathered/updated/scattered **via one-hot matmuls on
+the MXU** — no per-row scalar loops, no issue-rate-bound random writes
+(XLA/DMA random row writes bottom out at ~85 ns/row; a 32k-row scatter costs
+2.7 ms while this pass streams half a GB in the same time).
+
+Algorithm per chunk i of CHUNK rows:
+    onehot[r, q] = (sorted_slots[qs_i + q] == base_i + r)     # built by iota
+    var_q   = onehotᵀ @ values_chunk      (MXU gather)
+    state_q = onehotᵀ @ state_chunk
+    new_var_q, new_state_q, blacklist_q = rule.update(...)    # VPU, vectorized
+    values_chunk = values_chunk·(1−hit) + onehot @ new_var_q  (MXU scatter)
+    meta_chunk: freq += onehot @ counts (saturating), day/touch/blacklist bits
+
+Queries are pre-sorted by slot in XLA so each chunk's queries are one
+contiguous span [qstart[i], qstart[i+1]); spans are processed in
+MAXQ-wide waves (later waves predicated off unless a chunk is query-dense).
+
+Chosen statically when the touched fraction is high (N ≥ C/32): traffic
+∝ capacity, so huge sparse tables keep the scatter path. The rule's jnp
+row-update math runs unchanged inside the kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import packing
+
+CHUNK = 1024          # table rows per grid step
+MAXQ = 128           # queries applied per wave (CHUNK // MAXQ waves max)
+_MAX_GRADS_BYTES = 64 << 20
+
+
+def suitable(capacity: int, n: int, dim: int, slot_width: int,
+             has_extra: bool) -> bool:
+    """Static routing decision: scan wins when the batch touches a
+    meaningful fraction of the table and grads fit in VMEM."""
+    if has_extra:
+        return False
+    if n * dim * 4 > _MAX_GRADS_BYTES:
+        return False
+    if capacity < CHUNK or capacity % CHUNK:
+        return False
+    # scan traffic ≈ 2*C*(1+k)*D*4 bytes @ ~590GB/s; scatter ≈ N*(0.02+rowbytes*3e-4) µs
+    scan_ms = 2 * capacity * (1 + slot_width) * dim * 4 / 590e6
+    row_bytes = dim * 4
+    scatter_ms = n * (0.02 + 3.0e-4 * row_bytes * (1 + slot_width)) / 1e3 \
+        + n * 8e-6  # gathers
+    return scan_ms < scatter_ms
+
+
+def _kernel(qstart_ref,                 # SMEM int32[G+1]
+            scalars_ref,                # SMEM f32[8]: lr, step, day, thr
+            slots_ref,                  # VMEM int32[1, N] sorted slots
+            counts_ref,                 # VMEM f32[1, N] per-slot counts
+            grads_ref,                  # VMEM f32[N, D] sorted grads
+            v_ref, s_ref, meta_ref,     # blocks: (CHUNK,D), (CHUNK,S), (1,1,CHUNK) u32
+            vo_ref, so_ref, mo_ref,
+            *, rule, dim, slot_width, num_waves):
+    i = pl.program_id(0)
+    base = i * CHUNK
+    q0 = qstart_ref[i]
+    q1 = qstart_ref[i + 1]
+    lr = scalars_ref[0]
+    step = scalars_ref[1].astype(jnp.int32)
+    day = scalars_ref[2].astype(jnp.int32).astype(jnp.uint32)
+    thr = scalars_ref[3]
+
+    vo_ref[...] = v_ref[...]
+    if slot_width:
+        so_ref[...] = s_ref[...]
+    meta = meta_ref[0, 0]
+    mo_ref[0, 0] = meta
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, MAXQ), 0) + base
+
+    # wave windows are 128-aligned (vector loads at dynamic lane offsets
+    # must be multiples of 128); lanes outside [q0, q1) are masked off
+    a0 = (q0 // MAXQ) * MAXQ
+
+    def wave(w):
+        qs = pl.multiple_of(a0 + w * MAXQ, MAXQ)
+
+        @pl.when(qs < q1)
+        def _():
+            qidx = qs + jax.lax.broadcasted_iota(jnp.int32, (1, MAXQ), 1)
+            active = (qidx >= q0) & (qidx < q1)
+            # slots for this wave (inactive lanes -> -1, matches nothing)
+            wslots = jnp.where(active, slots_ref[0:1, pl.ds(qs, MAXQ)], -1)
+            wcounts = jnp.where(active, counts_ref[0:1, pl.ds(qs, MAXQ)], 0.0)
+            onehot = (row_ids == wslots).astype(jnp.float32)   # [CHUNK, MAXQ]
+            hit = jnp.sum(onehot, axis=1, keepdims=True)        # [CHUNK, 1]
+
+            meta_now = mo_ref[0, 0]
+            freq_f = (meta_now & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
+
+            # gather rows + per-row meta via MXU
+            var_q = jax.lax.dot_general(
+                onehot, vo_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [MAXQ, D]
+            freq_q = jax.lax.dot_general(
+                onehot, freq_f[:, None], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)[:, 0]       # [MAXQ]
+            black_f = ((meta_now >> 29) & jnp.uint32(1)).astype(jnp.int32).astype(jnp.float32)
+            black_qf = jax.lax.dot_general(
+                onehot, black_f[:, None], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [MAXQ, 1]
+            var_q = var_q * (1.0 - black_qf)
+            if slot_width:
+                state_q = jax.lax.dot_general(
+                    onehot, so_ref[...], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                state_q = jnp.zeros((MAXQ, 0), jnp.float32)
+
+            wgrads = grads_ref[pl.ds(qs, MAXQ)]
+            new_var, new_state, bl = rule.update(var_q, state_q, wgrads,
+                                                 lr=lr, step=step)
+            # frequency filter: freq < enter_threshold rows keep old values
+            # (all masks kept as f32 — Mosaic can't widen bool minor dims)
+            skip_f = jnp.where((freq_q < thr) & (thr > 0.0), 1.0, 0.0)[:, None]
+            new_var = var_q * skip_f + new_var * (1.0 - skip_f)
+            if slot_width:
+                new_state = state_q * skip_f + new_state * (1.0 - skip_f)
+            if bl is None:
+                bl_f = jnp.zeros((MAXQ, 1), jnp.float32)
+            else:
+                bl_f = jnp.where(bl, 1.0, 0.0)[:, None] * (1.0 - skip_f)
+
+            valid_f = jnp.where(active, 1.0, 0.0).reshape(MAXQ, 1)
+            sel = (hit > 0).astype(jnp.float32)                 # [CHUNK, 1]
+            vo_ref[...] = vo_ref[...] * (1.0 - sel) + jax.lax.dot(
+                onehot, new_var * valid_f,
+                preferred_element_type=jnp.float32)
+            if slot_width:
+                so_ref[...] = so_ref[...] * (1.0 - sel) + jax.lax.dot(
+                    onehot, new_state * valid_f,
+                    preferred_element_type=jnp.float32)
+
+            # --- metadata: freq += counts (saturated), day refresh, touch,
+            #     blacklist bit from the rule -----------------------------
+            add = jax.lax.dot(onehot, wcounts.reshape(MAXQ, 1),
+                              preferred_element_type=jnp.float32)[:, 0]
+            freq_new = jnp.minimum(freq_f + add, 65535.0)
+            bl_dense = jax.lax.dot(onehot, bl_f,
+                                   preferred_element_type=jnp.float32)[:, 0] > 0.5
+            selr = sel[:, 0] > 0
+            day_keep = (meta_now >> 16) & jnp.uint32(0x1FFF)
+            flags_keep = meta_now >> 29
+            day_new = jnp.where(selr, day & jnp.uint32(0x1FFF), day_keep)
+            # flags: bit29 blacklist, bit30 touch_train, bit31 touch_pred
+            flags_new = jnp.where(
+                selr,
+                (jnp.where(bl_dense, jnp.uint32(1), jnp.uint32(0))
+                 | jnp.uint32(6)),                    # touch both lists
+                flags_keep)
+            mo_ref[0, 0] = (freq_new.astype(jnp.int32).astype(jnp.uint32)
+                            | (day_new << 16) | (flags_new << 29))
+
+    for w in range(num_waves):
+        wave(w)
+
+
+class _ScanMeta:
+    """Packed per-row word used ONLY inside the scan path:
+    bits 0..15 freq | 16..28 day(13b) | 29 blacklist | 30 touch_train |
+    31 touch_pred. Converted from/to the table's (meta, flags) pair around
+    the kernel (cheap [C]-elementwise)."""
+
+    DAY_MASK = np.uint32(0x1FFF)
+
+    @staticmethod
+    def pack(meta: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
+        freq = meta & jnp.uint32(0xFFFF)
+        day = (meta >> 16) & _ScanMeta.DAY_MASK
+        fl = (flags & jnp.uint32(0x7))
+        return freq | (day << 16) | (fl << 29)
+
+    @staticmethod
+    def unpack(w: jnp.ndarray, old_meta: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        freq = w & jnp.uint32(0xFFFF)
+        day13 = (w >> 16) & _ScanMeta.DAY_MASK
+        # preserve day bits 13..15 from the old meta (day values < 8192 in
+        # relative encoding keep this lossless; absolute days use the high
+        # bits of the old word)
+        old_day_hi = ((old_meta >> 16) & jnp.uint32(0xE000))
+        meta = freq | ((day13 | old_day_hi) << 16)
+        flags = (w >> 29) & jnp.uint32(0x7)
+        return meta, flags
+
+
+def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
+               *, lr, step, day, enter_threshold: int,
+               interpret: bool = False):
+    """Streaming optimizer application. ``slot_idx`` int32[N] (−1 skip),
+    ``grads`` [N, D]; ``state`` may be None for slot-less rules.
+
+    Returns (values, state, meta, flags).
+    """
+    c, d = values.shape
+    n = slot_idx.shape[0]
+    slot_width = 0 if state is None else state.shape[1] // d
+    g = c // CHUNK
+
+    clean = jnp.where(slot_idx >= 0, slot_idx, c)
+    order = jnp.argsort(clean)
+    sorted_slots = clean[order]
+    grads_sorted = grads[order].astype(jnp.float32)
+    counts_sorted = (jnp.ones((n,), jnp.float32) if counts is None
+                     else counts[order].astype(jnp.float32))
+    qstart = jnp.searchsorted(sorted_slots,
+                              jnp.arange(0, c + 1, CHUNK, dtype=jnp.int32)
+                              ).astype(jnp.int32)
+    # pad so in-kernel dynamic slices of width MAXQ never run off the end
+    pad = MAXQ
+    sorted_slots = jnp.concatenate(
+        [sorted_slots, jnp.full((pad,), c, jnp.int32)])
+    grads_sorted = jnp.concatenate(
+        [grads_sorted, jnp.zeros((pad, d), jnp.float32)])
+    counts_sorted = jnp.concatenate(
+        [counts_sorted, jnp.zeros((pad,), jnp.float32)])
+    n_pad = n + pad
+
+    word = _ScanMeta.pack(meta, flags).reshape(g, 1, CHUNK)
+    scalars = jnp.stack([
+        jnp.asarray(lr, jnp.float32),
+        jnp.asarray(step, jnp.float32),
+        jnp.asarray(day, jnp.float32),
+        jnp.asarray(enter_threshold, jnp.float32),
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)])
+
+    state_in = state if slot_width else jnp.zeros((c, 1), jnp.float32)
+    s_cols = state_in.shape[1]
+
+    kernel = functools.partial(_kernel, rule=rule, dim=d,
+                               slot_width=slot_width,
+                               num_waves=CHUNK // MAXQ + 1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(g,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # slots [1,N]
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # counts [1,N]
+            pl.BlockSpec(memory_space=pltpu.VMEM),            # grads [N,D]
+            pl.BlockSpec((CHUNK, d), lambda i, *_: (i, 0)),
+            pl.BlockSpec((CHUNK, s_cols), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, CHUNK), lambda i, *_: (i, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((CHUNK, d), lambda i, *_: (i, 0)),
+            pl.BlockSpec((CHUNK, s_cols), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, CHUNK), lambda i, *_: (i, 0, 0)),
+        ],
+        )
+    vo, so, vm = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((c, d), jnp.float32),
+            jax.ShapeDtypeStruct((c, s_cols), jnp.float32),
+            jax.ShapeDtypeStruct((g, 1, CHUNK), jnp.uint32),
+        ],
+        input_output_aliases={5: 0, 6: 1, 7: 2},
+        interpret=interpret,
+    )(qstart, scalars, sorted_slots.reshape(1, n_pad),
+      counts_sorted.reshape(1, n_pad), grads_sorted,
+      values, state_in, word)
+
+    new_word = vm.reshape(c)
+    new_meta, new_flags = _ScanMeta.unpack(new_word, meta)
+    return (vo, (so if slot_width else None), new_meta, new_flags)

@@ -22,6 +22,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -48,13 +49,31 @@ class SparseOptimizer:
     def apply(self, table: kvt.KvTable, slot_idx: jnp.ndarray,
               grads: jnp.ndarray, *, lr, step,
               extra: Optional[jnp.ndarray] = None,
-              mark_delta: bool = True) -> kvt.KvTable:
+              mark_delta: bool = True,
+              use_scan: Optional[bool] = None,
+              day: int | jnp.ndarray = 0) -> kvt.KvTable:
         """Update rows at ``slot_idx`` (from ``LookupResult.slot``; -1 entries
         are skipped) with per-unique-row ``grads``.
 
         ``step`` is the 1-indexed global step (drives bias-correction powers);
-        ``lr`` may be a python float or traced scalar.
+        ``lr`` may be a python float or traced scalar. ``use_scan=True``
+        routes through the streaming scan-update Pallas kernel
+        (ops/scan_update.py) instead of gather/scatter — opt-in; see PERF.md.
         """
+        if use_scan:
+            from ..ops import scan_update
+            state = (table.slots.get(self.slot_name)
+                     if self.rule.slot_width else None)
+            vo, so, meta, flags = scan_update.scan_apply(
+                table.values, state, table.meta, table.flags, slot_idx,
+                grads, None, self.rule, lr=lr, step=step, day=day,
+                enter_threshold=table.config.enter_threshold,
+                interpret=jax.default_backend() != "tpu")
+            slots = dict(table.slots)
+            if so is not None:
+                slots[self.slot_name] = so
+            return dataclasses.replace(table, values=vo, meta=meta,
+                                       flags=flags, slots=slots)
         n = slot_idx.shape[0]
         cap = table.capacity
         ok = slot_idx >= 0
