@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..utils import packing
 
-CHUNK = 1024          # table rows per grid step
+CHUNK = 512          # table rows per grid step (capped to capacity)
 MAXQ = 128           # queries applied per wave (CHUNK // MAXQ waves max)
 _MAX_GRADS_BYTES = 64 << 20
 
@@ -67,9 +67,9 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
             grads_ref,                  # VMEM f32[N, D] sorted grads
             v_ref, s_ref, meta_ref,     # blocks: (CHUNK,D), (CHUNK,S), (1,1,CHUNK) u32
             vo_ref, so_ref, mo_ref,
-            *, rule, dim, slot_width, num_waves):
+            *, rule, dim, slot_width, chunk, num_waves):
     i = pl.program_id(0)
-    base = i * CHUNK
+    base = i * chunk
     q0 = qstart_ref[i]
     q1 = qstart_ref[i + 1]
     lr = scalars_ref[0]
@@ -83,7 +83,7 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
     meta = meta_ref[0, 0]
     mo_ref[0, 0] = meta
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, MAXQ), 0) + base
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, MAXQ), 0) + base
 
     # wave windows are 128-aligned (vector loads at dynamic lane offsets
     # must be multiples of 128); lanes outside [q0, q1) are masked off
@@ -212,7 +212,8 @@ def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
     c, d = values.shape
     n = slot_idx.shape[0]
     slot_width = 0 if state is None else state.shape[1] // d
-    g = c // CHUNK
+    chunk = min(CHUNK, c)
+    g = c // chunk
 
     clean = jnp.where(slot_idx >= 0, slot_idx, c)
     order = jnp.argsort(clean)
@@ -221,7 +222,7 @@ def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
     counts_sorted = (jnp.ones((n,), jnp.float32) if counts is None
                      else counts[order].astype(jnp.float32))
     qstart = jnp.searchsorted(sorted_slots,
-                              jnp.arange(0, c + 1, CHUNK, dtype=jnp.int32)
+                              jnp.arange(0, c + 1, chunk, dtype=jnp.int32)
                               ).astype(jnp.int32)
     # pad so in-kernel dynamic slices of width MAXQ never run off the end
     pad = MAXQ
@@ -233,7 +234,7 @@ def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
         [counts_sorted, jnp.zeros((pad,), jnp.float32)])
     n_pad = n + pad
 
-    word = _ScanMeta.pack(meta, flags).reshape(g, 1, CHUNK)
+    word = _ScanMeta.pack(meta, flags).reshape(g, 1, chunk)
     scalars = jnp.stack([
         jnp.asarray(lr, jnp.float32),
         jnp.asarray(step, jnp.float32),
@@ -246,8 +247,8 @@ def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
     s_cols = state_in.shape[1]
 
     kernel = functools.partial(_kernel, rule=rule, dim=d,
-                               slot_width=slot_width,
-                               num_waves=CHUNK // MAXQ + 1)
+                               slot_width=slot_width, chunk=chunk,
+                               num_waves=max(chunk // MAXQ, 1) + 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(g,),
@@ -255,14 +256,14 @@ def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
             pl.BlockSpec(memory_space=pltpu.VMEM),            # slots [1,N]
             pl.BlockSpec(memory_space=pltpu.VMEM),            # counts [1,N]
             pl.BlockSpec(memory_space=pltpu.VMEM),            # grads [N,D]
-            pl.BlockSpec((CHUNK, d), lambda i, *_: (i, 0)),
-            pl.BlockSpec((CHUNK, s_cols), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, 1, CHUNK), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((chunk, d), lambda i, *_: (i, 0)),
+            pl.BlockSpec((chunk, s_cols), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((CHUNK, d), lambda i, *_: (i, 0)),
-            pl.BlockSpec((CHUNK, s_cols), lambda i, *_: (i, 0)),
-            pl.BlockSpec((1, 1, CHUNK), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((chunk, d), lambda i, *_: (i, 0)),
+            pl.BlockSpec((chunk, s_cols), lambda i, *_: (i, 0)),
+            pl.BlockSpec((1, 1, chunk), lambda i, *_: (i, 0, 0)),
         ],
         )
     vo, so, vm = pl.pallas_call(
@@ -271,7 +272,7 @@ def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
         out_shape=[
             jax.ShapeDtypeStruct((c, d), jnp.float32),
             jax.ShapeDtypeStruct((c, s_cols), jnp.float32),
-            jax.ShapeDtypeStruct((g, 1, CHUNK), jnp.uint32),
+            jax.ShapeDtypeStruct((g, 1, chunk), jnp.uint32),
         ],
         input_output_aliases={5: 0, 6: 1, 7: 2},
         interpret=interpret,
