@@ -1,0 +1,113 @@
+"""Ring attention — sequence/context parallelism over the mesh.
+
+The reference's only long-sequence mechanism is single-GPU varlen
+FlashAttention (SURVEY.md §5.7: "no ring attention, context parallelism ...
+anywhere in the tree"; sequence length bounded by one device). This module
+goes beyond parity: K/V shards rotate around the mesh ring via
+``jax.lax.ppermute`` (point-to-point ICI neighbor transfers) while each
+device accumulates its queries' attention with online-softmax merging —
+total communication equals one all-gather but overlapped with compute.
+
+The per-step local attention is the blockwise online-softmax recipe in plain
+jnp (differentiable end-to-end, including through the ppermute rotations);
+swapping the local block compute for the Pallas flash kernel is a later
+optimization. Causal masking accounts for each block's global position.
+
+Use inside ``shard_map`` with q/k/v sharded on the sequence axis:
+
+    out = shard_map(
+        lambda q, k, v: ring_attention(q, k, v, axis_name="sp", causal=True),
+        mesh=mesh, in_specs=(P(None, None, "sp", None),)*3,
+        out_specs=P(None, None, "sp", None), check_vma=False)(q, k, v)
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_NEG = -0.7 * float(np.finfo(np.float32).max)
+
+
+def _local_block(q, k, v, sm_scale, causal, q_off, kv_off):
+    """One (q_local × kv_block) attention partial → (acc, l, m)."""
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    if causal:
+        sq, skv = q.shape[2], k.shape[2]
+        row = q_off + jnp.arange(sq)[:, None]
+        col = kv_off + jnp.arange(skv)[None, :]
+        s = jnp.where((col <= row)[None, None], s, _NEG)
+    m = jnp.max(s, axis=-1)                                    # [B,H,Sq]
+    p = jnp.exp(s - m[..., None])
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return acc, l, m
+
+
+def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
+                   sm_scale: Optional[float] = None):
+    """q [B,H,Sq_l,D], k/v [B,H,Skv_l,D] — the local sequence shards of this
+    device. Returns the local output shard [B,H,Sq_l,D]."""
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    n = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    sq_l = q.shape[2]
+    skv_l = k.shape[2]
+    q_off = my * sq_l
+
+    b, h, _, d = q.shape
+    m = jnp.full((b, h, sq_l), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, sq_l), jnp.float32)
+    acc = jnp.zeros((b, h, sq_l, d), jnp.float32)
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    k_blk, v_blk = k, v
+    for step in range(n):
+        src = (my - step) % n                    # who this block came from
+        kv_off = src * skv_l
+        a_i, l_i, m_i = _local_block(q, k_blk, v_blk, sm_scale, causal,
+                                     q_off, kv_off)
+        m_new = jnp.maximum(m, m_i)
+        alpha = jnp.exp(m - m_new)
+        beta = jnp.exp(m_i - m_new)
+        acc = acc * alpha[..., None] + a_i * beta[..., None]
+        l = l * alpha + l_i * beta
+        m = m_new
+        if step < n - 1:
+            # rotate KV around the ring — point-to-point ICI transfer that
+            # overlaps with the next step's matmuls
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out = acc / l_safe[..., None]
+    # fully-masked rows (no valid key anywhere) → zeros
+    out = jnp.where((m > 0.5 * _NEG)[..., None], out, 0.0)
+    return out.astype(q.dtype)
+
+
+def context_parallel_attention(q, k_shard, v_shard, *, axis_name: str,
+                               causal: bool = False,
+                               sm_scale: Optional[float] = None):
+    """Simpler alternative (one collective round instead of a ring): each
+    device computes a partial against its local KV shard; partials merge with
+    a cross-device online-softmax combine (pmax + psum)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    my = jax.lax.axis_index(axis_name)
+    skv_l = k_shard.shape[2]
+    # q replicated across the axis: global offsets start at 0
+    acc, l, m = _local_block(q, k_shard, v_shard, sm_scale, causal,
+                             0, my * skv_l)
+    m_g = jax.lax.pmax(m, axis_name)
+    corr = jnp.exp(m - m_g)
+    l_g = jax.lax.psum(l * corr, axis_name)
+    acc_g = jax.lax.psum(acc * corr[..., None], axis_name)
+    l_safe = jnp.where(l_g == 0.0, 1.0, l_g)
+    out = acc_g / l_safe[..., None]
+    out = jnp.where((m_g > 0.5 * _NEG)[..., None], out, 0.0)
+    return out.astype(q.dtype)
