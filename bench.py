@@ -29,6 +29,80 @@ def hbm_roofline_gbps() -> float:
     return 819.0
 
 
+def bench_flash_attention():
+    """Secondary: flash-attention fwd TFLOP/s (bf16 causal, B4 H8 S2048 D128)."""
+    import jax
+    import jax.numpy as jnp
+    from tfplus_tpu.ops import flash_attention as fa
+    b, h, s, d = 4, 8, 2048, 128
+    rng = np.random.RandomState(0)
+    q = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
+    k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
+    v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
+    reps = 20
+
+    @jax.jit
+    def loop(q, k, v):
+        def body(i, acc):
+            # vary q per iteration so XLA cannot hoist the loop body
+            qi = q + (i * jnp.bfloat16(1e-8))
+            o = fa.flash_attention(qi, k, v, causal=True)
+            return acc + o.astype(jnp.float32).sum()
+        return jax.lax.fori_loop(0, reps, body, 0.0)
+
+    def sync(x):
+        np.asarray(jax.device_get(x))
+
+    o = loop(q, k, v); sync(o)
+    t0 = time.perf_counter()
+    o = loop(q, k, v); sync(o)
+    dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / reps
+    flops = 4 * b * h * s * s * d * 0.5
+    return flops / dt / 1e12
+
+
+def bench_dcn_examples_per_s():
+    """Secondary: DCN train-step examples/s/chip (BASELINE.json headline),
+    6 embedding tables + cross net, batch 2048, GroupAdam."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from tfplus_tpu import kv, train as tft
+    from tfplus_tpu.models import DCN, init_state, make_train_step
+
+    n_tab, bs, reps = 6, 2048, 10
+    model = DCN(uniform_dim=32, num_numeric=13, dnn_hidden=(256, 128),
+                capacity=1 << 14)
+    model.embedding_dims = (32,) * n_tab
+    model.table_specs = {f"C{i+1}": dict(dim=32, capacity=1 << 14)
+                         for i in range(n_tab)}
+    model.input_dim = 32 * n_tab + 13
+    opt = tft.GroupAdamOptimizer()
+    tx = optax.adam(1e-3)
+    state = init_state(model, opt, tx, seed=0)
+    step = make_train_step(model, opt, tx, sparse_lr=1e-3, donate=False)
+    rng = np.random.RandomState(0)
+    batch = {
+        "ids": {f"C{i+1}": kv.encode_ids_np_to_device(
+            (rng.randint(0, 50000, bs) + (i << 40)).astype(np.int64))
+            for i in range(n_tab)},
+        "features": jnp.asarray(rng.rand(bs, 13).astype(np.float32)),
+        "labels": jnp.asarray((rng.rand(bs) > 0.5).astype(np.float32)),
+    }
+    state, loss, _ = step(state, batch)       # compile + insert ids
+
+    def sync(s):
+        np.asarray(jax.device_get(s.tables["C1"].meta[:8]))
+
+    sync(state)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state, loss, _ = step(state, batch)
+    sync(state)
+    dt = max(time.perf_counter() - t0, 1e-9) / reps
+    return bs / dt
+
+
 def main():
     if os.environ.get("BENCH_CPU"):
         import jax
@@ -97,6 +171,16 @@ def main():
     gbps = bytes_per_step / dt / 1e9
     roofline = hbm_roofline_gbps()
     frac = gbps / roofline
+
+    try:
+        fa_tflops = round(bench_flash_attention(), 1)
+    except Exception:
+        fa_tflops = None
+    try:
+        dcn_eps = round(bench_dcn_examples_per_s(), 0)
+    except Exception:
+        dcn_eps = None
+
     print(json.dumps({
         "metric": "fused_lookup_update_bandwidth",
         "value": round(gbps, 2),
@@ -110,6 +194,8 @@ def main():
             "dim": dim,
             "capacity": capacity,
             "device": str(jax.devices()[0].device_kind),
+            "flash_attention_tflops_bf16": fa_tflops,
+            "dcn_train_examples_per_s_per_chip": dcn_eps,
         },
     }))
 

@@ -246,7 +246,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
                     q_segment_ids=None, kv_segment_ids=None,
-                    block_q: int = 128, block_k: int = 128,
+                    block_q: int = 512, block_k: int = 512,
                     interpret: Optional[bool] = None):
     """Blockwise flash attention.
 
