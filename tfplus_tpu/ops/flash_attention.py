@@ -56,8 +56,10 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
 
     @pl.when(should_run)
     def _run():
-        q = q_ref[0, 0].astype(jnp.float32)          # [bq, d]
-        k = k_ref[0, 0].astype(jnp.float32)          # [bk, d]
+        # feed native (bf16) operands to the MXU, accumulate f32 — casting
+        # to f32 first would force 4-8x slower f32 MXU passes
+        q = q_ref[0, 0]                              # [bq, d]
+        k = k_ref[0, 0]                              # [bk, d]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         if sm_scale != 1.0:
@@ -91,8 +93,9 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
         l_scr[...] = l_next
 
         acc_scr[...] = acc_scr[...] * alpha[:, :1]
-        v = v_ref[0, 0].astype(jnp.float32)
-        acc_scr[...] += jax.lax.dot(p, v, preferred_element_type=jnp.float32)
+        v = v_ref[0, 0]
+        acc_scr[...] += jax.lax.dot(p.astype(v.dtype), v,
+                                    preferred_element_type=jnp.float32)
 
     @pl.when(kv_idx == (kv_len // block_k) - 1)
     def _store():
@@ -117,6 +120,10 @@ def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
     skv = k.shape[2]
     block_q = min(block_q, sq)
     block_k = min(block_k, skv)
+    if sq % block_q or skv % block_k:
+        raise ValueError(
+            f"sequence lengths ({sq}, {skv}) must be divisible by block sizes "
+            f"({block_q}, {block_k}) — pad with segment_id=-1")
     grid = (b, h, sq // block_q, skv // block_k)
     use_segments = q_seg is not None
     if q_seg is None:
@@ -246,7 +253,7 @@ _flash.defvjp(_flash_fwd, _flash_bwd)
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
                     q_segment_ids=None, kv_segment_ids=None,
-                    block_q: int = 512, block_k: int = 512,
+                    block_q: int = 512, block_k: int = 1024,
                     interpret: Optional[bool] = None):
     """Blockwise flash attention.
 
