@@ -368,3 +368,124 @@ class TestDenseTwins:
             updates, state = tx.update(g, state, params)
             params = optax.apply_updates(params, updates)
         assert float(loss(params)) < 0.05 * start
+
+
+class TestGroupTemplateGoldens:
+    """Exact numpy trajectories for the remaining group-lasso optimizers,
+    derived from their training_ops.cc macros (AMSGrad :1742, AdaBelief
+    :2982, LAMB :3400, AdaHessian :2529)."""
+
+    def _solve(self, linear, y, l1, l2, l21, dim):
+        adj = np.clip(linear, -l1, l1)
+        l1_linear = adj - linear
+        nrm = np.sqrt((l1_linear ** 2).sum(axis=-1))
+        l21n = l21 * np.sqrt(dim)
+        keep = nrm > l21n
+        scale = np.where(keep, 1 - l21n / np.maximum(nrm, 1e-30), 0.0)
+        return np.where(keep[:, None],
+                        l1_linear * scale[:, None] / (y + 2 * l2), 0.0)
+
+    def test_amsgrad_golden(self):
+        init, grads = make_data()
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+        got = run_sparse(tft.AMSGradOptimizer(), grads, lr, init)
+        var = init.copy()
+        m = np.zeros_like(var); v = np.zeros_like(var)
+        vhat = np.zeros_like(var); linear = np.zeros_like(var)
+        for t, g in enumerate(grads, 1):
+            b1p, b2p = b1 ** t, b2 ** t
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            new_vhat = np.maximum(vhat, v / (1 - b2p))
+            linear += m / (1 - b1p) - (np.sqrt(new_vhat) - np.sqrt(vhat)) / lr * var
+            y = (np.sqrt(new_vhat) + eps) / lr
+            var = self._solve(linear, y, 0.0, 0.0, 0.0, DIM)
+            vhat = new_vhat
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_adabelief_golden(self):
+        init, grads = make_data()
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+        got = run_sparse(tft.AdaBeliefOptimizer(), grads, lr, init)
+        var = init.copy()
+        m = np.zeros_like(var); v = np.zeros_like(var)
+        accum = np.zeros_like(var); linear = np.zeros_like(var)
+        for t, g in enumerate(grads, 1):
+            b1p, b2p = b1 ** t, b2 ** t
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * (g - m) ** 2
+            new_accum = v / (1 - b2p)
+            linear += m / (1 - b1p) - (np.sqrt(new_accum) - np.sqrt(accum)) / lr * var
+            y = (np.sqrt(new_accum) + eps) / lr
+            var = self._solve(linear, y, 0.0, 0.0, 0.0, DIM)
+            accum = new_accum
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_lamb_golden(self):
+        init, grads = make_data()
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-6
+        got = run_sparse(tft.LambOptimizer(), grads, lr, init)
+        var = init.copy()
+        m = np.zeros_like(var); v = np.zeros_like(var)
+        accum = np.zeros_like(var); linear = np.zeros_like(var)
+        for t, g in enumerate(grads, 1):
+            b1p, b2p = b1 ** t, b2 ** t
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            new_m = m / (1 - b1p)
+            new_accum = v / (1 - b2p)
+            r = new_m / (np.sqrt(new_accum) + eps)
+            r_n = np.sqrt((r ** 2).sum(-1))
+            v_n = np.sqrt((var ** 2).sum(-1))
+            ratio = np.where((r_n > 0) & (v_n > 0), v_n / (r_n + 1e-8), 1.0)
+            linear += new_m * ratio[:, None] - \
+                (np.sqrt(new_accum) - np.sqrt(accum)) / lr * var
+            y = (np.sqrt(new_accum) + eps) / lr
+            var = self._solve(linear, y, 0.0, 0.0, 0.0, DIM)
+            accum = new_accum
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_adahessian_golden(self):
+        init, grads = make_data()
+        hess = [np.abs(g) * 0.5 + 0.2 for g in grads]
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+        got = run_sparse(tft.AdaHessianOptimizer(), grads, lr, init,
+                         extra_seq=hess)
+        var = init.copy()
+        m = np.zeros_like(var); v = np.zeros_like(var)
+        accum = np.zeros_like(var); linear = np.zeros_like(var)
+        for t, (g, h) in enumerate(zip(grads, hess), 1):
+            b1p, b2p = b1 ** t, b2 ** t
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * h * h
+            new_accum = v / (1 - b2p)
+            linear += m / (1 - b1p) - (np.sqrt(new_accum) - np.sqrt(accum)) / lr * var
+            y = (np.sqrt(new_accum) + eps) / lr
+            var = self._solve(linear, y, 0.0, 0.0, 0.0, DIM)
+            accum = new_accum
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_group_adadqh_golden(self):
+        init, grads = make_data()
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-5
+        got = run_sparse(tft.AdaDQHOptimizer(use_group=True), grads, lr, init)
+        var = init.copy()
+        m = np.zeros_like(var); v = np.zeros_like(var)
+        linear = np.zeros_like(var)
+        for t, g in enumerate(grads, 1):
+            b1p, b2p = b1 ** t, b2 ** t
+            alpha = np.sqrt(1 - b2p) / (1 - b1p)
+            eps_adj = eps * np.sqrt(1 - b2p)
+            beta = 1.0 - b1p / b1 if t > 1 else 1.0
+            gamma = eps_adj if t > 1 else 0.0
+            m_old = m / beta
+            m_new = b1 * m + (1 - b1) * g
+            hq = m_new / (1 - b1p) - m_old
+            v_new = b2 * v + (1 - b2) * hq * hq
+            linear += m_new * alpha - \
+                (np.maximum(np.sqrt(v_new), eps_adj)
+                 - np.maximum(np.sqrt(v), gamma)) / lr * var
+            y = np.maximum(np.sqrt(v_new), eps_adj) / lr
+            var = self._solve(linear, y, 0.0, 0.0, 0.0, DIM)
+            m, v = m_new, v_new
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)

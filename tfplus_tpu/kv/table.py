@@ -325,13 +325,14 @@ def lookup_or_insert(table: KvTable,
         jnp.where(newly, jnp.uint32(0), meta[safe]), counts, day)
     meta = meta.at[jnp.where(ok, placed, table.capacity)].set(upd_meta, mode="drop")
 
-    flags = table.flags
-    # new rows start clean; touched bits mark deltalist membership
-    flags = flags.at[new_idx].set(jnp.full((n,), FLAG_TOUCH_BOTH), mode="drop")
-    if mark_delta:
-        touched_idx = jnp.where(ok, placed, table.capacity)
-        flags = flags.at[touched_idx].set(
-            flags[safe] | FLAG_TOUCH_BOTH, mode="drop")
+    # one combined flags write: new rows start at TOUCH_BOTH, existing rows
+    # get delta-touch bits OR'd in (single gather+scatter instead of two)
+    touch = FLAG_TOUCH_BOTH if mark_delta else jnp.uint32(0)
+    new_fl = jnp.where(newly, FLAG_TOUCH_BOTH, table.flags[safe] | touch)
+    fl_idx = (jnp.where(ok, placed, table.capacity) if mark_delta
+              else new_idx)
+    fl_val = new_fl if mark_delta else jnp.broadcast_to(FLAG_TOUCH_BOTH, (n,))
+    flags = table.flags.at[fl_idx].set(fl_val, mode="drop")
 
     new_table = dataclasses.replace(table, keys=new_keys, values=values,
                                     meta=meta, flags=flags)
