@@ -129,3 +129,31 @@ class TestDLRM:
             state, loss, _ = step(state, batch)
             losses.append(float(loss))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestMultiTableStep:
+    def test_multi_matches_per_table_semantics(self):
+        """Dim-grouped multi-table training works and learns (API parity with
+        the reference's multi-level map; see PERF.md for when to use it)."""
+        import optax
+        from tfplus_tpu.models import (init_state_multi, make_train_step_multi)
+        from tfplus_tpu import train as tft
+        model = DLRM(num_tables=4, embedding_dim=8, bottom_hidden=(16, 8),
+                     top_hidden=(16, 8), capacity=1 << 12)
+        opt = tft.AdagradOptimizer()
+        tx = optax.adagrad(0.05)
+        state = init_state_multi(model, opt, tx, capacity_per_group=1 << 12)
+        assert list(state.tables) == ["__group_8"]  # one physical table
+        step = make_train_step_multi(model, opt, tx, sparse_lr=0.05)
+        losses = []
+        for batch_np in synthetic.dlrm_batches(128, 30, num_tables=4,
+                                               vocab=500):
+            batch = {
+                "ids": {f"T{i}": kv.encode_ids_np_to_device(
+                    batch_np["categorical"][:, i]) for i in range(4)},
+                "features": jnp.asarray(batch_np["numeric"]),
+                "labels": jnp.asarray(batch_np["label"]),
+            }
+            state, loss, _ = step(state, batch)
+            losses.append(float(loss))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5])

@@ -58,12 +58,101 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
 
+def _dim_groups(model: "SparseModel"):
+    """Group logical tables by embedding dim for multi-table packing."""
+    groups: Dict[int, list] = {}
+    for name, spec in sorted(model.table_specs.items()):
+        groups.setdefault(spec["dim"], []).append(name)
+    return groups
+
+
 def init_state(model: SparseModel, sparse_opt: SparseOptimizer,
                dense_tx: optax.GradientTransformation, seed: int = 0) -> TrainState:
     dense = model.init_dense(jax.random.PRNGKey(seed))
     return TrainState(tables=model.init_tables(sparse_opt, seed),
                       dense=dense, opt_state=dense_tx.init(dense),
                       step=jnp.zeros((), jnp.int32))
+
+
+def init_state_multi(model: SparseModel, sparse_opt: SparseOptimizer,
+                     dense_tx: optax.GradientTransformation, *,
+                     seed: int = 0, capacity_per_group: int = 1 << 16
+                     ) -> TrainState:
+    """Multi-table variant of :func:`init_state`: ALL logical tables of the
+    same embedding dim share ONE physical KvTable (the reference's
+    MultiLevelHashMap idea, kv/multi.py) — a 26-table DCN step becomes 2
+    probe/gather/apply passes instead of 26, amortizing every per-op cost."""
+    from ..kv import multi as kvm
+    dense = model.init_dense(jax.random.PRNGKey(seed))
+    tables = {}
+    for dim, names in _dim_groups(model).items():
+        t = kvt.create(dim, capacity_per_group, name=f"multi_dim{dim}",
+                       seed=seed + dim)
+        t = sparse_opt.init(t)
+        tables[f"__group_{dim}"] = t
+    return TrainState(tables=tables, dense=dense,
+                      opt_state=dense_tx.init(dense),
+                      step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
+                          dense_tx: optax.GradientTransformation, *,
+                          sparse_lr: float, train: bool = True,
+                          donate: bool = True) -> Callable:
+    """Jitted step over dim-grouped multi-tables (see init_state_multi)."""
+    from ..kv import hashing, multi as kvm
+    groups = _dim_groups(model)
+    logical_ids = {}
+    for dim, names in groups.items():
+        for j, name in enumerate(names):
+            logical_ids[name] = j
+
+    def step_fn(state: TrainState, batch):
+        tables = dict(state.tables)
+        looks = {}
+        metas = {}
+        for dim, names in groups.items():
+            key = f"__group_{dim}"
+            bs = None
+            tagged = []
+            for name in names:
+                ids = batch["ids"][name]
+                enc = (ids if (getattr(ids, "ndim", 1) == 2)
+                       else hashing.encode_ids_raw(ids))
+                bs = enc.shape[0]
+                tagged.append(kvm.tag_ids(enc, logical_ids[name]))
+            all_ids = jnp.concatenate(tagged, axis=0)      # [n_names*B, 2]
+            look, tables[key] = emb.lookup_unique(tables[key], all_ids,
+                                                  train=train)
+            looks[key] = look
+            metas[key] = (names, bs)
+
+        def loss_fn(dense, rows: Dict[str, jnp.ndarray]):
+            embs = {}
+            for key, (names, bs) in metas.items():
+                flat = emb.gather(looks[key], rows[key])   # [n_names*B, D]
+                for j, name in enumerate(names):
+                    embs[name] = flat[j * bs:(j + 1) * bs]
+            preds = model.apply(dense, embs, batch.get("features"))
+            return model.loss(preds, batch["labels"]), preds
+
+        rows_in = {k: looks[k].rows for k in looks}
+        if not train:
+            loss, preds = loss_fn(state.dense, rows_in)
+            return state, loss, preds
+        (loss, preds), (g_dense, g_rows) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.dense, rows_in)
+        updates, opt_state = dense_tx.update(g_dense, state.opt_state,
+                                             state.dense)
+        dense = optax.apply_updates(state.dense, updates)
+        step = state.step + 1
+        for key in looks:
+            tables[key] = sparse_opt.apply(tables[key], looks[key].slot,
+                                           g_rows[key], lr=sparse_lr,
+                                           step=step)
+        return TrainState(tables, dense, opt_state, step), loss, preds
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
 
 def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
