@@ -18,7 +18,8 @@ from ..ops import flash_attention as fa
 def flash_attention_layer(q, k, v, *, attention_mask=None, lengths=None,
                           causal: bool = False,
                           softmax_scale: Optional[float] = None,
-                          block_q: int = 128, block_k: int = 128):
+                          block_q: int = 128, block_k: int = 128,
+                          interpret: bool = False):
     """q/k/v: [B, S, H, D] (the reference layer's layout). Either
     ``attention_mask`` [B, S] (1 = valid) or ``lengths`` [B] describes
     padding. Returns [B, S, H, D] with padded positions zeroed.
@@ -36,5 +37,6 @@ def flash_attention_layer(q, k, v, *, attention_mask=None, lengths=None,
     out = fa.flash_attention(qt, kt, vt, causal=causal,
                              sm_scale=softmax_scale,
                              q_segment_ids=seg, kv_segment_ids=seg,
-                             block_q=block_q, block_k=block_k)
+                             block_q=block_q, block_k=block_k,
+                             interpret=interpret)
     return jnp.transpose(out, (0, 2, 1, 3))

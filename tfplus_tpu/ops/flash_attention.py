@@ -13,9 +13,11 @@ packed along one axis with **segment ids** (the TPU idiom): tokens attend
 only within their segment; ``segment_id < 0`` marks padding (attends to
 nothing, outputs zeros).
 
-Backward uses the standard flash residuals (o, l, m) with a blockwise XLA
-recomputation (a Pallas dq/dkv kernel pair is a later optimisation; the
-reference's own backward also recomputes from softmax_lse).
+Backward uses the standard flash residuals (o, l, m): on TPU (and in
+interpret mode) a blockwise Pallas dkv/dq kernel pair recomputes p from the
+saved stats tile-by-tile — memory stays O(S), the score matrix is never
+materialised (the reference's backward likewise recomputes from
+softmax_lse). Off-TPU a dense XLA recompute is the fallback.
 
 Shapes: q [B, H, Sq, D], k/v [B, H, Skv, D]; segment ids [B, Sq] / [B, Skv].
 """
@@ -171,6 +173,209 @@ def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
     return out, l[..., 0], m[..., 0]
 
 
+def _bwd_mask(s, causal, q_idx, kv_idx, block_q, block_k, use_segments,
+              qseg, kseg, mask_value):
+    mask = None
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
+            + q_idx * block_q
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
+            + kv_idx * block_k
+        mask = col <= row
+    if use_segments:
+        seg = (qseg[:, None] == kseg[None, :]) & (qseg[:, None] >= 0) \
+            & (kseg[None, :] >= 0)
+        mask = seg if mask is None else (mask & seg)
+    if mask is not None:
+        s = s + jnp.where(mask, 0.0, mask_value)
+    return s
+
+
+def _p_from_stats(s, l, m):
+    """Reconstruct softmax block from saved (l, m): p = exp(s - m) / l with
+    never-hit rows (l == 0) forced to zero."""
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    p = jnp.exp(s - m[:, None]) / l_safe[:, None]
+    return jnp.where((l == 0.0)[:, None], 0.0, p)
+
+
+def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, do_ref, l_ref, m_ref, di_ref,
+                    k_ref, v_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                    *, causal, sm_scale, block_q, block_k, q_len, mask_value,
+                    use_segments):
+    kv_idx = pl.program_id(2)
+    q_idx = pl.program_id(3)
+
+    @pl.when(q_idx == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    if causal:
+        should_run = ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        s = _bwd_mask(s, causal, q_idx, kv_idx, block_q, block_k,
+                      use_segments,
+                      qseg_ref[0, 0] if use_segments else None,
+                      kseg_ref[0, 0] if use_segments else None, mask_value)
+        l = l_ref[0, 0, 0]
+        m = m_ref[0, 0, 0]
+        di = di_ref[0, 0, 0]
+        p = _p_from_stats(s, l, m)                       # [bq, bk]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - di[:, None]) * sm_scale
+        pb = p.astype(q.dtype)
+        dsb = ds.astype(q.dtype)
+        dv_scr[...] += jax.lax.dot_general(
+            pb, do.astype(q.dtype), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bk, d]
+        dk_scr[...] += jax.lax.dot_general(
+            dsb, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(q_idx == (q_len // block_q) - 1)
+    def _store():
+        dk_ref[0, 0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(qseg_ref, kseg_ref, k_ref, v_ref, do_ref, l_ref, m_ref,
+                   di_ref, q_ref, dq_ref, dq_scr,
+                   *, causal, sm_scale, block_q, block_k, kv_len, mask_value,
+                   use_segments):
+    q_idx = pl.program_id(2)
+    kv_idx = pl.program_id(3)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    if causal:
+        should_run = ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _run():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * sm_scale
+        s = _bwd_mask(s, causal, q_idx, kv_idx, block_q, block_k,
+                      use_segments,
+                      qseg_ref[0, 0] if use_segments else None,
+                      kseg_ref[0, 0] if use_segments else None, mask_value)
+        l = l_ref[0, 0, 0]
+        m = m_ref[0, 0, 0]
+        di = di_ref[0, 0, 0]
+        p = _p_from_stats(s, l, m)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = (p * (dp - di[:, None]) * sm_scale).astype(q.dtype)
+        dq_scr[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
+
+    @pl.when(kv_idx == (kv_len // block_k) - 1)
+    def _store():
+        dq_ref[0, 0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"))
+def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
+                block_q, block_k, interpret):
+    b, h, sq, d = q.shape
+    skv = k.shape[2]
+    block_q = min(block_q, sq)
+    block_k = min(block_k, skv)
+    use_segments = q_seg is not None
+    if q_seg is None:
+        q_seg = jnp.zeros((b, sq), jnp.int32)
+        kv_seg = jnp.zeros((b, skv), jnp.int32)
+    q_seg3 = q_seg.reshape(b, 1, sq)
+    kv_seg3 = kv_seg.reshape(b, 1, skv)
+    di = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
+    l4 = l.reshape(b, h, 1, sq)
+    m4 = m.reshape(b, h, 1, sq)
+    di4 = di.reshape(b, h, 1, sq)
+
+    # --- dk/dv: iterate q tiles per kv tile -------------------------------
+    dkv_kernel = functools.partial(
+        _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
+        block_k=block_k, q_len=sq, mask_value=DEFAULT_MASK_VALUE,
+        use_segments=use_segments)
+    dk, dv = pl.pallas_call(
+        dkv_kernel,
+        grid=(b, h, skv // block_k, sq // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, ki, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, qi: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct(k.shape, k.dtype),
+                   jax.ShapeDtypeStruct(v.shape, v.dtype)],
+        scratch_shapes=[pltpu.VMEM((block_k, d), jnp.float32),
+                        pltpu.VMEM((block_k, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(q_seg3, kv_seg3, q, do, l4, m4, di4, k, v)
+
+    # --- dq: iterate kv tiles per q tile ----------------------------------
+    dq_kernel = functools.partial(
+        _bwd_dq_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
+        block_k=block_k, kv_len=skv, mask_value=DEFAULT_MASK_VALUE,
+        use_segments=use_segments)
+    dq = pl.pallas_call(
+        dq_kernel,
+        grid=(b, h, sq // block_q, skv // block_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interpret,
+    )(q_seg3, kv_seg3, k, v, do, l4, m4, di4, q)
+    return dq, dk, dv
+
+
 def _attention_mask(sq, skv, q_seg, kv_seg, causal):
     mask = jnp.ones((q_seg.shape[0] if q_seg is not None else 1, sq, skv),
                     bool)
@@ -225,8 +430,18 @@ def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
 def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
     """Standard flash backward from (o, l, m) residuals:
     p = exp(s−m)/l; di = Σ(do·o); ds = p∘(do·vᵀ − di); dq = ds·k; dk = dsᵀ·q;
-    dv = pᵀ·do (cf. the reference backward consuming softmax_lse)."""
+    dv = pᵀ·do (cf. the reference backward consuming softmax_lse).
+
+    Runs the blockwise Pallas dkv/dq kernel pair on TPU (memory O(S) — the
+    scores are never materialised); the dense XLA recompute below is the
+    non-TPU fallback."""
     q, k, v, q_seg, kv_seg, out, l, m = res
+    if jax.default_backend() == "tpu" or interpret:
+        dq, dk, dv = _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do,
+                                 causal=causal, sm_scale=sm_scale,
+                                 block_q=block_q, block_k=block_k,
+                                 interpret=interpret)
+        return dq, dk, dv, None, None
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
