@@ -29,8 +29,9 @@ def hbm_roofline_gbps() -> float:
     return 819.0
 
 
-def bench_flash_attention():
-    """Secondary: flash-attention fwd TFLOP/s (bf16 causal, B4 H8 S2048 D128)."""
+def bench_flash_attention(grad=False):
+    """Secondary: flash-attention TFLOP/s (bf16 causal, B4 H8 S2048 D128).
+    grad=True measures the full fwd+bwd (value_and_grad), 3.5x fwd FLOPs."""
     import jax
     import jax.numpy as jnp
     from tfplus_tpu.ops import flash_attention as fa
@@ -41,13 +42,20 @@ def bench_flash_attention():
     v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
     reps = 20
 
+    def fwd_sum(q, k, v):
+        return fa.flash_attention(q, k, v, causal=True).astype(
+            jnp.float32).sum()
+
     @jax.jit
     def loop(q, k, v):
         def body(i, acc):
             # vary q per iteration so XLA cannot hoist the loop body
             qi = q + (i * jnp.bfloat16(1e-8))
-            o = fa.flash_attention(qi, k, v, causal=True)
-            return acc + o.astype(jnp.float32).sum()
+            if grad:
+                val, grads = jax.value_and_grad(fwd_sum, argnums=(0,))(
+                    qi, k, v)
+                return acc + val + grads[0].astype(jnp.float32).sum()
+            return acc + fwd_sum(qi, k, v)
         return jax.lax.fori_loop(0, reps, body, 0.0)
 
     def sync(x):
@@ -57,7 +65,7 @@ def bench_flash_attention():
     t0 = time.perf_counter()
     o = loop(q, k, v); sync(o)
     dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / reps
-    flops = 4 * b * h * s * s * d * 0.5
+    flops = 4 * b * h * s * s * d * 0.5 * (3.5 if grad else 1.0)
     return flops / dt / 1e12
 
 
@@ -177,6 +185,10 @@ def main():
     except Exception:
         fa_tflops = None
     try:
+        fa_bwd_tflops = round(bench_flash_attention(grad=True), 1)
+    except Exception:
+        fa_bwd_tflops = None
+    try:
         dcn_eps = round(bench_dcn_examples_per_s(), 0)
     except Exception:
         dcn_eps = None
@@ -195,6 +207,7 @@ def main():
             "capacity": capacity,
             "device": str(jax.devices()[0].device_kind),
             "flash_attention_tflops_bf16": fa_tflops,
+            "flash_attention_grad_tflops_bf16": fa_bwd_tflops,
             "dcn_train_examples_per_s_per_chip": dcn_eps,
         },
     }))

@@ -19,7 +19,7 @@ def flash_attention_layer(q, k, v, *, attention_mask=None, lengths=None,
                           causal: bool = False,
                           softmax_scale: Optional[float] = None,
                           block_q: int = 128, block_k: int = 128,
-                          interpret: bool = False):
+                          interpret: Optional[bool] = None):
     """q/k/v: [B, S, H, D] (the reference layer's layout). Either
     ``attention_mask`` [B, S] (1 = valid) or ``lengths`` [B] describes
     padding. Returns [B, S, H, D] with padded positions zeroed.

@@ -193,10 +193,11 @@ def _bwd_mask(s, causal, q_idx, kv_idx, block_q, block_k, use_segments,
 
 def _p_from_stats(s, l, m):
     """Reconstruct softmax block from saved (l, m): p = exp(s - m) / l with
-    never-hit rows (l == 0) forced to zero."""
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    p = jnp.exp(s - m[:, None]) / l_safe[:, None]
-    return jnp.where((l == 0.0)[:, None], 0.0, p)
+    never-hit rows (l == 0) forced to zero. Comparisons happen after the
+    f32 [:, None] reshape — Mosaic can't reshape sub-32-bit (bool) vectors."""
+    l2 = l[:, None]
+    p = jnp.exp(s - m[:, None]) / jnp.where(l2 == 0.0, 1.0, l2)
+    return jnp.where(l2 == 0.0, 0.0, p)
 
 
 def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, do_ref, l_ref, m_ref, di_ref,
