@@ -140,7 +140,9 @@ class TestLookupInsert:
         t = make_table()
         q = ids(4)
         res = kv.lookup_or_insert(t, q, day=12345)
-        assert int(kv.get_timestamp(res.table, q)[0]) == 12345
+        # day lives on a 13-bit ring (8192 days; packing.py) so the flag
+        # bits fit in the same word — comparisons are wraparound-safe
+        assert int(kv.get_timestamp(res.table, q)[0]) == 12345 % 8192
 
     def test_many_keys_no_overflow(self):
         t = kv.create(4, 1 << 13, seed=1)

@@ -28,8 +28,8 @@ def test_scan_update_full_semantics():
     t_ref = opt.apply(t, slot, grads, lr=0.1, step=3)
 
     # scan path
-    vo, so, meta, flags = scan_update.scan_apply(
-        t.values, t.slots["accum"], t.meta, t.flags, slot, grads, None,
+    vo, so, meta = scan_update.scan_apply(
+        t.values, t.slots["accum"], t.meta, slot, grads, None,
         opt.rule, lr=0.1, step=3, day=105, enter_threshold=0, interpret=True)
 
     np.testing.assert_allclose(np.asarray(vo), np.asarray(t_ref.values),
@@ -38,16 +38,13 @@ def test_scan_update_full_semantics():
                                rtol=1e-5, atol=1e-6)
     print("values+state match scatter path")
 
-    _ = None
-
     # meta: freq +1 per touched row, day=105, touch bits set
     fr = kv.find(t, ids)
     sl = np.asarray(fr.slot)
     m = np.asarray(meta)[sl]
     assert np.all((m & 0xFFFF) == 6), (m & 0xFFFF)[:5]  # 4 insert +1 lookup +1 scan
     assert np.all(((m >> 16) & 0x1FFF) == 105)
-    fl = np.asarray(flags)[sl]
-    assert np.all(fl & 2), "touch_train set"
+    assert np.all(m & np.uint32(1 << 30)), "touch_train set"
     print("meta/flags OK")
 
     # group adam blacklist flows through
@@ -58,18 +55,18 @@ def test_scan_update_full_semantics():
     t2 = res2.table
     tiny = jnp.full((N, D), 1e-6)
     ref2 = opt2.apply(t2, res2.slot, tiny, lr=0.01, step=1)
-    vo2, so2, meta2, flags2 = scan_update.scan_apply(
-        t2.values, t2.slots["m_v_linear"], t2.meta, t2.flags, res2.slot, tiny,
+    vo2, so2, meta2 = scan_update.scan_apply(
+        t2.values, t2.slots["m_v_linear"], t2.meta, res2.slot, tiny,
         None, opt2.rule, lr=0.01, step=1, day=0, enter_threshold=0, interpret=True)
     np.testing.assert_allclose(np.asarray(vo2), np.asarray(ref2.values),
                                rtol=1e-5, atol=1e-7)
     sl2 = np.asarray(kv.find(t2, ids).slot)
-    assert np.all(np.asarray(flags2)[sl2] & 1), "blacklist bits set"
+    assert np.all(np.asarray(meta2)[sl2] & np.uint32(1 << 29)), "blacklist bits set"
     print("group adam blacklist OK")
 
     # freq filter: thr=10 > freq -> untouched rows
-    vo3, so3, _, _ = scan_update.scan_apply(
-        t.values, t.slots["accum"], t.meta, t.flags, slot, grads, None,
+    vo3, so3, _ = scan_update.scan_apply(
+        t.values, t.slots["accum"], t.meta, slot, grads, None,
         opt.rule, lr=0.1, step=3, day=105, enter_threshold=10, interpret=True)
     np.testing.assert_allclose(np.asarray(vo3), np.asarray(t.values))
     print("freq filter OK")

@@ -4,8 +4,9 @@ TPU-native re-design of the reference KvVariable engine
 (``/root/reference/tfplus/kv_variable/kernels/kv_variable.h:88-1015`` and
 ``hybrid_embedding/table_manager.h``): the host-DRAM concurrent hash map with
 per-key locks becomes a **slotted open-addressing table in HBM** —
-fixed-capacity arrays ``keys[C, 2]``, ``values[C, D]``, ``meta[C]`` (packed
-freq/day), ``flags[C]`` (blacklist / delta bits) — probed by double hashing.
+fixed-capacity arrays ``keys[C, 2]``, ``values[C, D]``, ``meta[C]`` (ONE
+packed word per row: freq | day | blacklist/delta bits, utils/packing.py)
+— probed by double hashing.
 Everything is a pure function over a :class:`KvTable` pytree: lookups that
 insert return a *new* table (thread it through your step function and donate
 the buffers so XLA updates in place).
@@ -40,11 +41,12 @@ from . import hashing
 from ..ops import rowops
 from ..utils import packing
 
-# flags bits
-FLAG_BLACKLIST = np.uint32(1)
-FLAG_TOUCH_TRAIN = np.uint32(2)   # train deltalist membership
-FLAG_TOUCH_PRED = np.uint32(4)    # prediction deltalist membership
-FLAG_TOUCH_BOTH = np.uint32(6)
+# flag bits live in the top 3 bits of the packed meta word (packing.py) so
+# the hot path pays ONE metadata gather+scatter per step
+FLAG_BLACKLIST = packing.FLAG_BLACKLIST
+FLAG_TOUCH_TRAIN = packing.FLAG_TOUCH_TRAIN   # train deltalist membership
+FLAG_TOUCH_PRED = packing.FLAG_TOUCH_PRED     # prediction deltalist membership
+FLAG_TOUCH_BOTH = packing.FLAG_TOUCH_BOTH
 
 # 32 probes keeps the per-key miss probability below ~1e-5 at the 0.7 grow
 # threshold (0.7^32); overflow beyond that triggers a host-mediated grow().
@@ -73,8 +75,7 @@ class KvConfig:
 class KvTable:
     keys: jnp.ndarray                  # int32[C, 2]
     values: jnp.ndarray                # vdtype[C, D]
-    meta: jnp.ndarray                  # uint32[C] packed freq|day
-    flags: jnp.ndarray                 # uint32[C] bitfield
+    meta: jnp.ndarray                  # uint32[C] packed freq|day|flags
     init_pool: jnp.ndarray             # vdtype[P, D]
     slots: Dict[str, jnp.ndarray]      # optimizer slot arrays, co-indexed [C, k*D]
     # deletion log for delta checkpoints (reference: DeltaExport delete lists,
@@ -145,7 +146,6 @@ def create(dim: int,
         keys=jnp.broadcast_to(empty_row, (capacity, 2)).copy(),
         values=jnp.zeros((capacity, dim), dtype=value_dtype),
         meta=jnp.zeros((capacity,), dtype=jnp.uint32),
-        flags=jnp.zeros((capacity,), dtype=jnp.uint32),
         init_pool=pool,
         slots={},
         deleted_keys=jnp.broadcast_to(empty_row, (DELETED_LOG_CAPACITY, 2)).copy(),
@@ -266,10 +266,15 @@ def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
 # lookups
 # ---------------------------------------------------------------------------
 
-def _gather_rows(table: KvTable, slot: jnp.ndarray, ok: jnp.ndarray) -> jnp.ndarray:
+def _gather_rows(table: KvTable, slot: jnp.ndarray, ok: jnp.ndarray,
+                 meta_rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """``meta_rows``: pre-gathered per-query meta words, if the caller already
+    has them (saves the second metadata gather on the training path)."""
     safe = jnp.where(ok, slot, 0)
     rows = rowops.gather_rows(table.values, jnp.where(ok, slot, -1))
-    black = (table.flags[safe] & FLAG_BLACKLIST) != 0
+    if meta_rows is None:
+        meta_rows = table.meta[safe]
+    black = (meta_rows & FLAG_BLACKLIST) != 0
     ok = ok & ~black  # blacklisted rows read as zeros (table_manager.h:226-231)
     return jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
 
@@ -311,32 +316,32 @@ def lookup_or_insert(table: KvTable,
     overflow = jnp.any(need & (placed_new < 0))
 
     # --- write new rows -----------------------------------------------------
+    # The init-row scatter is gated on any-miss: a 32k-row scatter costs
+    # ~2 ms on v5e even when every index is dropped (issue-bound per row),
+    # and the steady state has no misses.
     newly = need & (placed_new >= 0)
-    new_idx = jnp.where(newly, placed_new, table.capacity)  # OOB → dropped
-    init_rows = _init_rows_for(table, q)
-    values = rowops.scatter_rows(table.values,
-                                 jnp.where(newly, placed_new, -1), init_rows)
+    init_idx = jnp.where(newly, placed_new, -1)
 
-    # --- metadata -----------------------------------------------------------
+    def _write_new(v):
+        return rowops.scatter_rows(v, init_idx, _init_rows_for(table, q))
+
+    values = jax.lax.cond(jnp.any(newly), _write_new, lambda v: v,
+                          table.values)
+
+    # --- metadata: ONE gather + ONE scatter covers freq count, day stamp,
+    # delta-touch bits and (preserved) blacklist bit ------------------------
     day = jnp.asarray(day, dtype=jnp.uint32)
-    meta = table.meta
     safe = jnp.where(ok, placed, 0)
-    upd_meta = packing.saturating_add_freq(
-        jnp.where(newly, jnp.uint32(0), meta[safe]), counts, day)
-    meta = meta.at[jnp.where(ok, placed, table.capacity)].set(upd_meta, mode="drop")
-
-    # one combined flags write: new rows start at TOUCH_BOTH, existing rows
-    # get delta-touch bits OR'd in (single gather+scatter instead of two)
+    old_meta = jnp.where(newly, jnp.uint32(0), table.meta[safe])
     touch = FLAG_TOUCH_BOTH if mark_delta else jnp.uint32(0)
-    new_fl = jnp.where(newly, FLAG_TOUCH_BOTH, table.flags[safe] | touch)
-    fl_idx = (jnp.where(ok, placed, table.capacity) if mark_delta
-              else new_idx)
-    fl_val = new_fl if mark_delta else jnp.broadcast_to(FLAG_TOUCH_BOTH, (n,))
-    flags = table.flags.at[fl_idx].set(fl_val, mode="drop")
+    upd_meta = packing.saturating_add_freq(old_meta, counts, day) \
+        | jnp.where(newly, FLAG_TOUCH_BOTH, touch)
+    meta = table.meta.at[jnp.where(ok, placed, table.capacity)].set(
+        upd_meta, mode="drop")
 
     new_table = dataclasses.replace(table, keys=new_keys, values=values,
-                                    meta=meta, flags=flags)
-    rows = _gather_rows(new_table, placed, ok)
+                                    meta=meta)
+    rows = _gather_rows(new_table, placed, ok, meta_rows=upd_meta)
     return LookupResult(rows=rows, slot=jnp.where(ok, placed, -1),
                         table=new_table, overflow=overflow)
 
@@ -394,13 +399,11 @@ def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
     day = jnp.asarray(day, dtype=jnp.uint32)
     if freq is None:
         freq = jnp.ones((n,), dtype=jnp.uint32)
-    meta = table.meta.at[idx].set(packing.pack(freq, day), mode="drop")
     fl = jnp.broadcast_to(FLAG_TOUCH_BOTH, (n,)).astype(jnp.uint32)
     if blacklist is not None:
         fl = fl | jnp.where(blacklist, FLAG_BLACKLIST, jnp.uint32(0))
-    flags = table.flags.at[idx].set(fl, mode="drop")
-    return dataclasses.replace(table, keys=new_keys, values=values,
-                               meta=meta, flags=flags)
+    meta = table.meta.at[idx].set(packing.pack(freq, day, fl), mode="drop")
+    return dataclasses.replace(table, keys=new_keys, values=values, meta=meta)
 
 
 _SCATTER_OPS = ("update", "add", "sub", "mul", "div", "min", "max")
@@ -441,9 +444,9 @@ def scatter(table: KvTable, q: jnp.ndarray, updates: jnp.ndarray, op: str,
     idx = jnp.where(ok, res.slot, t.capacity)
     values = rowops.scatter_rows(t.values, jnp.where(ok, res.slot, -1), out)
     # writing a row clears its blacklist bit (re-activation)
-    flags = t.flags.at[idx].set(
-        (t.flags[safe] | FLAG_TOUCH_BOTH) & ~FLAG_BLACKLIST, mode="drop")
-    return dataclasses.replace(t, values=values, flags=flags)
+    meta = t.meta.at[idx].set(
+        (t.meta[safe] | FLAG_TOUCH_BOTH) & ~FLAG_BLACKLIST, mode="drop")
+    return dataclasses.replace(t, values=values, meta=meta)
 
 
 def _log_deletes(table: KvTable, q: jnp.ndarray,
@@ -476,13 +479,12 @@ def delete(table: KvTable, q: jnp.ndarray,
         jnp.array([hashing.TOMB_LO, hashing.TOMB_HI], dtype=jnp.int32), (n, 2))
     keys = table.keys.at[idx].set(tomb, mode="drop")
     meta = table.meta.at[idx].set(jnp.zeros((n,), jnp.uint32), mode="drop")
-    flags = table.flags.at[idx].set(jnp.zeros((n,), jnp.uint32), mode="drop")
     zero_rows = jnp.zeros((n, table.dim), dtype=table.values.dtype)
     values = table.values.at[idx].set(zero_rows, mode="drop")
     slots = {k: v.at[idx].set(jnp.zeros((n,) + v.shape[1:], v.dtype), mode="drop")
              for k, v in table.slots.items()}
     out = dataclasses.replace(table, keys=keys, values=values, meta=meta,
-                              flags=flags, slots=slots)
+                              slots=slots)
     return _log_deletes(out, q, deleted), deleted
 
 
@@ -493,18 +495,17 @@ def delete_with_timestamp(table: KvTable, threshold_days: int,
     evicted_mask[C])`` — extract evicted keys host-side for delta checkpoints.
     """
     occ = occupied_mask(table)
-    row_day = packing.get_day(table.meta).astype(jnp.int32)
-    day = jnp.asarray(day, dtype=jnp.int32)
-    evict = occ & ((day - row_day) > threshold_days)
+    # 13-bit day ring: wraparound-safe age, thresholds < 4096 days
+    age = packing.day_age(day, packing.get_day(table.meta))
+    evict = occ & (age > threshold_days)
     tomb = jnp.array([hashing.TOMB_LO, hashing.TOMB_HI], dtype=jnp.int32)
     keys = jnp.where(evict[:, None], tomb, table.keys)
     meta = jnp.where(evict, jnp.uint32(0), table.meta)
-    flags = jnp.where(evict, jnp.uint32(0), table.flags)
     values = jnp.where(evict[:, None], jnp.zeros((), table.values.dtype), table.values)
     slots = {k: jnp.where(evict[:, None], jnp.zeros((), v.dtype), v)
              for k, v in table.slots.items()}
     out = dataclasses.replace(table, keys=keys, values=values, meta=meta,
-                              flags=flags, slots=slots)
+                              slots=slots)
     # log evicted keys (pre-tombstone identities) for delta export
     return _log_deletes(out, table.keys, evict), evict
 
@@ -549,8 +550,8 @@ def stats(table: KvTable) -> dict:
     """Observability snapshot (reference: Size/StorageSize/Frequency ops +
     VLOG kernel timing, SURVEY.md §5.5/§5.1). Host-side; cheap reductions."""
     occ = occupied_mask(table)
-    black = (table.flags & FLAG_BLACKLIST) != 0
-    touched = (table.flags & FLAG_TOUCH_TRAIN) != 0
+    black = (table.meta & FLAG_BLACKLIST) != 0
+    touched = (table.meta & FLAG_TOUCH_TRAIN) != 0
     n = int(jax.device_get(jnp.sum(occ.astype(jnp.int32))))
     return {
         "name": table.config.name,
@@ -563,8 +564,7 @@ def stats(table: KvTable) -> dict:
         "deleted_log": int(jax.device_get(table.deleted_count)),
         "bytes": int(table.values.nbytes
                      + sum(v.nbytes for v in table.slots.values())
-                     + table.keys.nbytes + table.meta.nbytes
-                     + table.flags.nbytes),
+                     + table.keys.nbytes + table.meta.nbytes),
     }
 
 
@@ -616,14 +616,12 @@ def _rehash(table: KvTable, new_capacity: int) -> KvTable:
         table.values, mode="drop")
     new_meta = jnp.zeros((new_capacity,), jnp.uint32).at[idx].set(
         table.meta, mode="drop")
-    new_flags = jnp.zeros((new_capacity,), jnp.uint32).at[idx].set(
-        table.flags, mode="drop")
     new_slots = {
         k: jnp.zeros((new_capacity,) + v.shape[1:], v.dtype).at[idx].set(v, mode="drop")
         for k, v in table.slots.items()
     }
     return dataclasses.replace(table, keys=new_keys, values=new_values,
-                               meta=new_meta, flags=new_flags, slots=new_slots)
+                               meta=new_meta, slots=new_slots)
 
 
 def grow(table: KvTable, new_capacity: Optional[int] = None) -> KvTable:
@@ -664,20 +662,25 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
     ``enable_cutoff`` drops rows with max|v| < cutoff (kv_variable
     interface :54-55).
     """
-    host = jax.device_get((table.keys, table.values, table.meta, table.flags,
+    host = jax.device_get((table.keys, table.values, table.meta,
                            table.init_pool))
-    keys, values, meta, flags, pool = (np.asarray(x) for x in host)
+    keys, values, meta, pool = (np.asarray(x) for x in host)
     occ = ~((keys[:, 0] == hashing.EMPTY_LO) & (keys[:, 1] == hashing.EMPTY_HI)) \
         & ~((keys[:, 0] == hashing.TOMB_LO) & (keys[:, 1] == hashing.TOMB_HI))
     sel = occ
     if delta:
         bit = int(FLAG_TOUCH_TRAIN if deltalist == "train" else FLAG_TOUCH_PRED)
-        sel = sel & ((flags & bit) != 0)
-    black = (flags & int(FLAG_BLACKLIST)) != 0
+        sel = sel & ((meta & bit) != 0)
+    black = (meta & int(FLAG_BLACKLIST)) != 0
     if enable_cutoff:
         keep = np.abs(values).max(axis=1) >= cutoff_value
         sel = sel & (keep | black)   # blacklist rows survive cutoff as keys
     out_keys = hashing.decode_ids_np(keys[sel])
+    # on-disk "meta" stays the REFERENCE word (freq | day<<16,
+    # embedding_value.h:229-234); flag bits are carried by the blacklist
+    # tensor like the reference export does
+    ref_meta = ((meta & packing.FREQ_MASK)
+                | (((meta >> 16) & packing.DAY_MASK) << 16))
     out = {
         "keys": out_keys,
         "values": values[sel].astype(np.float32),
@@ -685,7 +688,7 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
         "blacklist": hashing.decode_ids_np(keys[occ & black]),
         "freq_keys": out_keys,
         "freq_values": (meta[sel] & packing.FREQ_MASK).astype(np.uint16),
-        "meta": meta[sel],      # full packed freq|day (superset; day preserved)
+        "meta": ref_meta[sel],
     }
     if delta:
         # deletion log → delete_keys; overflow forces a full import on restore
@@ -698,12 +701,13 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
     if clear_deltalist:
         # reference: deltalist swap on export (dynamic_save.hpp:180-193);
         # a full export also resets the baseline for subsequent deltas
-        clear_bit = FLAG_TOUCH_TRAIN if deltalist == "train" else FLAG_TOUCH_PRED
-        new_flags = jnp.asarray(flags & np.uint32(~clear_bit & 0xFFFFFFFF),
-                                dtype=jnp.uint32)
+        clear_bit = int(FLAG_TOUCH_TRAIN if deltalist == "train"
+                        else FLAG_TOUCH_PRED)
+        new_meta = jnp.asarray(meta & np.uint32(~clear_bit & 0xFFFFFFFF),
+                               dtype=jnp.uint32)
         empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], jnp.int32)
         out["table"] = dataclasses.replace(
-            table, flags=new_flags,
+            table, meta=new_meta,
             deleted_keys=jnp.broadcast_to(
                 empty_row, table.deleted_keys.shape).copy(),
             deleted_count=jnp.zeros((), jnp.int32),
@@ -759,11 +763,15 @@ def import_arrays(table: KvTable, data: Dict[str, np.ndarray], *,
         # insert with meta; emulate per-row day by packing meta directly
         table = insert(table, q, vals, freq=jnp.asarray(freq),
                        blacklist=jnp.asarray(black_np), day=0)
-        # overwrite meta with exact packed values (restores per-row day)
+        # overwrite meta with exact packed values (restores per-row day,
+        # keeps the just-set touch/blacklist flag bits)
         fr = find(table, q)
         idx = jnp.where(fr.found, fr.slot, table.capacity)
-        packed = jnp.asarray((days.astype(np.uint32) << 16)
-                             | (freq & packing.FREQ_MASK), dtype=jnp.uint32)
+        fl = (packing.FLAG_TOUCH_BOTH
+              | np.where(black_np, packing.FLAG_BLACKLIST, np.uint32(0)))
+        packed = jnp.asarray(((days.astype(np.uint32) & packing.DAY_MASK) << 16)
+                             | (freq & packing.FREQ_MASK) | fl,
+                             dtype=jnp.uint32)
         meta = table.meta.at[idx].set(packed, mode="drop")
         table = dataclasses.replace(table, meta=meta)
     if delete_keys is not None and np.asarray(delete_keys).size:

@@ -27,7 +27,7 @@ row-update math runs unchanged inside the kernel.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -172,42 +172,15 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
         wave(w)
 
 
-class _ScanMeta:
-    """Packed per-row word used ONLY inside the scan path:
-    bits 0..15 freq | 16..28 day(13b) | 29 blacklist | 30 touch_train |
-    31 touch_pred. Converted from/to the table's (meta, flags) pair around
-    the kernel (cheap [C]-elementwise)."""
-
-    DAY_MASK = np.uint32(0x1FFF)
-
-    @staticmethod
-    def pack(meta: jnp.ndarray, flags: jnp.ndarray) -> jnp.ndarray:
-        freq = meta & jnp.uint32(0xFFFF)
-        day = (meta >> 16) & _ScanMeta.DAY_MASK
-        fl = (flags & jnp.uint32(0x7))
-        return freq | (day << 16) | (fl << 29)
-
-    @staticmethod
-    def unpack(w: jnp.ndarray, old_meta: jnp.ndarray
-               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        freq = w & jnp.uint32(0xFFFF)
-        day13 = (w >> 16) & _ScanMeta.DAY_MASK
-        # preserve day bits 13..15 from the old meta (day values < 8192 in
-        # relative encoding keep this lossless; absolute days use the high
-        # bits of the old word)
-        old_day_hi = ((old_meta >> 16) & jnp.uint32(0xE000))
-        meta = freq | ((day13 | old_day_hi) << 16)
-        flags = (w >> 29) & jnp.uint32(0x7)
-        return meta, flags
-
-
-def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
+def scan_apply(values, state, meta, slot_idx, grads, counts, rule,
                *, lr, step, day, enter_threshold: int,
                interpret: bool = False):
     """Streaming optimizer application. ``slot_idx`` int32[N] (−1 skip),
-    ``grads`` [N, D]; ``state`` may be None for slot-less rules.
+    ``grads`` [N, D]; ``state`` may be None for slot-less rules. ``meta`` is
+    the table's packed word (freq|day|flags — the kernel's native layout,
+    utils/packing.py).
 
-    Returns (values, state, meta, flags).
+    Returns (values, state, meta).
     """
     c, d = values.shape
     n = slot_idx.shape[0]
@@ -234,7 +207,7 @@ def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
         [counts_sorted, jnp.zeros((pad,), jnp.float32)])
     n_pad = n + pad
 
-    word = _ScanMeta.pack(meta, flags).reshape(g, 1, chunk)
+    word = meta.reshape(g, 1, chunk)
     scalars = jnp.stack([
         jnp.asarray(lr, jnp.float32),
         jnp.asarray(step, jnp.float32),
@@ -280,6 +253,4 @@ def scan_apply(values, state, meta, flags, slot_idx, grads, counts, rule,
       counts_sorted.reshape(1, n_pad), grads_sorted,
       values, state_in, word)
 
-    new_word = vm.reshape(c)
-    new_meta, new_flags = _ScanMeta.unpack(new_word, meta)
-    return (vo, (so if slot_width else None), new_meta, new_flags)
+    return (vo, (so if slot_width else None), vm.reshape(c))

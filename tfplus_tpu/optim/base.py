@@ -64,8 +64,8 @@ class SparseOptimizer:
             from ..ops import scan_update
             state = (table.slots.get(self.slot_name)
                      if self.rule.slot_width else None)
-            vo, so, meta, flags = scan_update.scan_apply(
-                table.values, state, table.meta, table.flags, slot_idx,
+            vo, so, meta = scan_update.scan_apply(
+                table.values, state, table.meta, slot_idx,
                 grads, None, self.rule, lr=lr, step=step, day=day,
                 enter_threshold=table.config.enter_threshold,
                 interpret=jax.default_backend() != "tpu")
@@ -73,22 +73,26 @@ class SparseOptimizer:
             if so is not None:
                 slots[self.slot_name] = so
             return dataclasses.replace(table, values=vo, meta=meta,
-                                       flags=flags, slots=slots)
+                                       slots=slots)
         n = slot_idx.shape[0]
         cap = table.capacity
         ok = slot_idx >= 0
         safe = jnp.where(ok, slot_idx, 0)
 
+        # ONE metadata gather serves the freq filter, the blacklist read and
+        # the flag-bit update below (merged word, utils/packing.py)
+        meta_g = table.meta[safe]
+
         # frequency filter (should_filter in the reference kernels)
         thr = table.config.enter_threshold
         if thr > 0:
-            ok = ok & (packing.get_freq(table.meta[safe]) >= np.uint32(thr))
+            ok = ok & (packing.get_freq(meta_g) >= np.uint32(thr))
 
         gidx = jnp.where(ok, slot_idx, -1)
         var = rowops.gather_rows(table.values, gidx)
         # blacklisted rows read as zeros for the update math too (the
         # reference's table_manager zero-buffer reads)
-        was_black = (table.flags[safe] & kvt.FLAG_BLACKLIST) != 0
+        was_black = (meta_g & kvt.FLAG_BLACKLIST) != 0
         var = jnp.where(was_black[:, None], jnp.zeros_like(var), var)
 
         if self.rule.slot_width > 0:
@@ -109,17 +113,16 @@ class SparseOptimizer:
             slots[self.slot_name] = rowops.scatter_rows(
                 slots[self.slot_name], gidx, new_state)
 
-        flags_read = table.flags[safe]
-        new_flags = flags_read
+        new_meta = meta_g
         if mark_delta:
-            new_flags = new_flags | kvt.FLAG_TOUCH_BOTH
+            new_meta = new_meta | kvt.FLAG_TOUCH_BOTH
         if black is not None:
-            new_flags = jnp.where(black,
-                                  new_flags | kvt.FLAG_BLACKLIST,
-                                  new_flags & ~kvt.FLAG_BLACKLIST)
+            new_meta = jnp.where(black,
+                                 new_meta | kvt.FLAG_BLACKLIST,
+                                 new_meta & ~kvt.FLAG_BLACKLIST)
         else:
-            new_flags = new_flags & ~kvt.FLAG_BLACKLIST
-        flags = table.flags.at[idx].set(new_flags, mode="drop")
+            new_meta = new_meta & ~kvt.FLAG_BLACKLIST
+        meta = table.meta.at[idx].set(new_meta, mode="drop")
 
-        return dataclasses.replace(table, values=values, flags=flags,
+        return dataclasses.replace(table, values=values, meta=meta,
                                    slots=slots)
