@@ -138,7 +138,9 @@ def main():
     def one_step(t, ids, step):
         res = kv.lookup_or_insert(t, ids)
         g = res.rows * 0.001 + 0.01    # synthetic gradient, depends on rows
-        return opt.apply(res.table, res.slot, g, lr=0.01, step=step)
+        return opt.apply(res.table, res.slot, g, lr=0.01, step=step,
+                         payload_rows=res.payload_rows,
+                         meta_rows=res.meta_rows)
 
     import functools
 

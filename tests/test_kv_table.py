@@ -257,8 +257,8 @@ class TestGrow:
         q = ids(5)
         res = kv.lookup_or_insert(t, q)
         t = res.table
-        slot_vals = t.slots["m_v"].at[res.slot[0]].set(jnp.arange(8.0))
-        t = t.__class__(**{**t.__dict__, "slots": {"m_v": slot_vals}})
+        t = kv.set_slot_rows(t, "m_v", res.slot[:1],
+                             jnp.arange(8.0).reshape(1, 8))
         t = kv.grow(t)
         fr = kv.find(t, q)
         np.testing.assert_allclose(np.asarray(t.slots["m_v"][int(fr.slot[0])]),

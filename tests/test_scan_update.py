@@ -28,13 +28,12 @@ def test_scan_update_full_semantics():
     t_ref = opt.apply(t, slot, grads, lr=0.1, step=3)
 
     # scan path
-    vo, so, meta = scan_update.scan_apply(
-        t.values, t.slots["accum"], t.meta, slot, grads, None,
-        opt.rule, lr=0.1, step=3, day=105, enter_threshold=0, interpret=True)
+    po, meta = scan_update.scan_apply(
+        t.payload, t.meta, slot, grads, None,
+        opt.rule, dim=D, lr=0.1, step=3, day=105, enter_threshold=0,
+        interpret=True)
 
-    np.testing.assert_allclose(np.asarray(vo), np.asarray(t_ref.values),
-                               rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(so), np.asarray(t_ref.slots["accum"]),
+    np.testing.assert_allclose(np.asarray(po), np.asarray(t_ref.payload),
                                rtol=1e-5, atol=1e-6)
     print("values+state match scatter path")
 
@@ -55,19 +54,21 @@ def test_scan_update_full_semantics():
     t2 = res2.table
     tiny = jnp.full((N, D), 1e-6)
     ref2 = opt2.apply(t2, res2.slot, tiny, lr=0.01, step=1)
-    vo2, so2, meta2 = scan_update.scan_apply(
-        t2.values, t2.slots["m_v_linear"], t2.meta, res2.slot, tiny,
-        None, opt2.rule, lr=0.01, step=1, day=0, enter_threshold=0, interpret=True)
-    np.testing.assert_allclose(np.asarray(vo2), np.asarray(ref2.values),
+    po2, meta2 = scan_update.scan_apply(
+        t2.payload, t2.meta, res2.slot, tiny,
+        None, opt2.rule, dim=D, lr=0.01, step=1, day=0, enter_threshold=0,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(po2)[:, :D], np.asarray(ref2.values),
                                rtol=1e-5, atol=1e-7)
     sl2 = np.asarray(kv.find(t2, ids).slot)
     assert np.all(np.asarray(meta2)[sl2] & np.uint32(1 << 29)), "blacklist bits set"
     print("group adam blacklist OK")
 
     # freq filter: thr=10 > freq -> untouched rows
-    vo3, so3, _ = scan_update.scan_apply(
-        t.values, t.slots["accum"], t.meta, slot, grads, None,
-        opt.rule, lr=0.1, step=3, day=105, enter_threshold=10, interpret=True)
-    np.testing.assert_allclose(np.asarray(vo3), np.asarray(t.values))
+    po3, _ = scan_update.scan_apply(
+        t.payload, t.meta, slot, grads, None,
+        opt.rule, dim=D, lr=0.1, step=3, day=105, enter_threshold=10,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(po3), np.asarray(t.payload))
     print("freq filter OK")
     print("ALL SCAN TESTS PASSED")

@@ -84,20 +84,15 @@ def restore_repartitioned(reader: bundle.BundleReader, name: str,
         # redistribute optimizer slot rows
         if slot_suffixes and data["keys"].size:
             import jax.numpy as jnp
-            import dataclasses
             from ..kv import hashing
             q = hashing.encode_ids_np_to_device(data["keys"])
             fr = kvt.find(t, q)
-            idx = jnp.where(fr.found, fr.slot, t.capacity)
-            slots = dict(t.slots)
+            idx = jnp.where(fr.found, fr.slot, -1)
             for s in slot_suffixes:
                 rows = slot_rows[s][sel]
                 k = rows.shape[1] // t.dim
-                if s not in slots:
+                if s not in t.config.slot_columns():
                     t = kvt.ensure_slots(t, {s: k})
-                    slots = dict(t.slots)
-                slots[s] = slots[s].at[idx].set(
-                    jnp.asarray(rows, dtype=slots[s].dtype), mode="drop")
-            t = dataclasses.replace(t, slots=slots)
+                t = kvt.set_slot_rows(t, s, idx, jnp.asarray(rows))
         out.append(t)
     return out

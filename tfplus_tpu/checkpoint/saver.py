@@ -115,18 +115,13 @@ def restore_table(reader: bundle.BundleReader, name: str,
         q = hashing.encode_ids_np_to_device(data["keys"])
         fr = kvt.find(table, q)
         import jax.numpy as jnp
-        idx = jnp.where(fr.found, fr.slot, table.capacity)
-        slots = dict(table.slots)
+        idx = jnp.where(fr.found, fr.slot, -1)
         for sname in slot_names:
             rows = np.asarray(reader.lookup(f"{name}-slot-{sname}"))
             k = rows.shape[1] // table.dim
-            if sname not in slots:
+            if sname not in table.config.slot_columns():
                 table = kvt.ensure_slots(table, {sname: k})
-                slots = dict(table.slots)
-            slots[sname] = slots[sname].at[idx].set(
-                jnp.asarray(rows, dtype=slots[sname].dtype), mode="drop")
-        import dataclasses
-        table = dataclasses.replace(table, slots=slots)
+            table = kvt.set_slot_rows(table, sname, idx, jnp.asarray(rows))
     return table
 
 

@@ -56,6 +56,10 @@ class Lookup(NamedTuple):
     counts: jnp.ndarray       # int32[N] multiplicity per unique row
     valid: jnp.ndarray        # bool[N] validity of each *input* position
     num_unique: jnp.ndarray   # int32 scalar
+    # raw payload/meta rows from the lookup (train mode) — pass to
+    # SparseOptimizer.apply to skip its gathers (kv/table.py LookupResult)
+    payload_rows: Optional[jnp.ndarray] = None
+    meta_rows: Optional[jnp.ndarray] = None
 
 
 def lookup_unique(table: kvt.KvTable, ids, *, train: bool = True,
@@ -77,13 +81,16 @@ def lookup_unique(table: kvt.KvTable, ids, *, train: bool = True,
         res = kvt.lookup_or_insert(table, u.unique_keys, counts=u.counts,
                                    valid=uvalid, day=day)
         rows, slot, new_table = res.rows, res.slot, res.table
+        prow, mrow = res.payload_rows, res.meta_rows
     else:
         fr = kvt.find(table, u.unique_keys, uvalid)
         rows = kvt._gather_rows(table, fr.slot, fr.found)
         slot = jnp.where(fr.found, fr.slot, -1)
         new_table = table
+        prow = mrow = None
     return (Lookup(rows=rows, slot=slot, inverse=u.inverse, counts=u.counts,
-                   valid=valid, num_unique=u.num_unique), new_table)
+                   valid=valid, num_unique=u.num_unique,
+                   payload_rows=prow, meta_rows=mrow), new_table)
 
 
 def gather(look: Lookup, rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:

@@ -5,7 +5,8 @@ from .table import (KvConfig, KvTable, LookupResult, FindResult, create, find,
                     lookup_or_insert, lookup_or_zeros, lookup_with_init,
                     insert, scatter, delete, delete_with_timestamp, size,
                     sum_freq, get_count, get_timestamp, occupied_mask,
-                    load_factor, needs_grow, ensure_slots, grow, compact,
+                    load_factor, needs_grow, ensure_slots, get_slot,
+                    set_slot_rows, grow, compact,
                     export_arrays, import_arrays,
                     FLAG_BLACKLIST, FLAG_TOUCH_TRAIN, FLAG_TOUCH_PRED)
 from .unique import unique_with_counts, UniqueResult

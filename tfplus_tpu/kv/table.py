@@ -4,9 +4,12 @@ TPU-native re-design of the reference KvVariable engine
 (``/root/reference/tfplus/kv_variable/kernels/kv_variable.h:88-1015`` and
 ``hybrid_embedding/table_manager.h``): the host-DRAM concurrent hash map with
 per-key locks becomes a **slotted open-addressing table in HBM** —
-fixed-capacity arrays ``keys[C, 2]``, ``values[C, D]``, ``meta[C]`` (ONE
-packed word per row: freq | day | blacklist/delta bits, utils/packing.py)
-— probed by double hashing.
+fixed-capacity arrays ``keys[C, 2]``, ``payload[C, W]`` (embedding columns
+followed by co-located optimizer slot segments) and ``meta[C]`` (ONE packed
+word per row: freq | day | blacklist/delta bits, utils/packing.py) — probed
+by double hashing. Random row writes are issue-bound per (row, op) on TPU,
+so the layout minimises the NUMBER of gather/scatter ops per step, not
+bytes: one wide payload op and one meta op.
 Everything is a pure function over a :class:`KvTable` pytree: lookups that
 insert return a *new* table (thread it through your step function and donate
 the buffers so XLA updates in place).
@@ -59,25 +62,48 @@ DELETED_LOG_CAPACITY = 4096       # per-table deletion log for delta ckpts
 @dataclasses.dataclass(frozen=True)
 class KvConfig:
     """Static per-table options (reference: op attrs + KvOptions,
-    ops/kv_variable_ops.cc:37-201, kv_variable_options.py)."""
+    ops/kv_variable_ops.cc:37-201, kv_variable_options.py).
+
+    ``slot_layout``: ordered ``(slot_name, width_multiplier)`` pairs — the
+    optimizer slot segments that live in the payload columns after the
+    embedding columns (AdamV4's ``m|v|linear`` concat slot is the reference
+    precedent, training_ops.cc:7156-7162; co-locating them in the SAME
+    physical array halves the per-step scatter count, PERF.md).
+    """
     dim: int
     enter_threshold: int = 0          # frequency filter (0 = off)
     max_probes: int = DEFAULT_MAX_PROBES
     value_dtype: Any = jnp.float32
     name: str = "kv_table"
+    slot_layout: tuple = ()           # ((name, k), ...): k*dim columns each
 
     def __post_init__(self):
         object.__setattr__(self, "value_dtype", jnp.dtype(self.value_dtype))
+
+    @property
+    def payload_width(self) -> int:
+        return self.dim * (1 + sum(k for _, k in self.slot_layout))
+
+    def slot_columns(self) -> Dict[str, tuple]:
+        """name -> (start_col, num_cols) within the payload."""
+        out, col = {}, self.dim
+        for name, k in self.slot_layout:
+            out[name] = (col, k * self.dim)
+            col += k * self.dim
+        return out
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KvTable:
     keys: jnp.ndarray                  # int32[C, 2]
-    values: jnp.ndarray                # vdtype[C, D]
+    # ONE physical array per table: embedding columns [:, :D] followed by
+    # optimizer slot segments (config.slot_layout). Random row writes are
+    # issue-bound per (row, op) on TPU (~85 ns/row regardless of width,
+    # PERF.md), so one wide scatter beats separate values+slot scatters 2x.
+    payload: jnp.ndarray               # vdtype[C, D + Σk·D]
     meta: jnp.ndarray                  # uint32[C] packed freq|day|flags
     init_pool: jnp.ndarray             # vdtype[P, D]
-    slots: Dict[str, jnp.ndarray]      # optimizer slot arrays, co-indexed [C, k*D]
     # deletion log for delta checkpoints (reference: DeltaExport delete lists,
     # dynamic_save.hpp:197-450). Fixed ring; overflow forces need_full_import.
     deleted_keys: jnp.ndarray          # int32[DELBUF, 2]
@@ -93,6 +119,18 @@ class KvTable:
     def dim(self) -> int:
         return self.config.dim
 
+    # Convenience VIEWS (column slices of the payload). Fine host-side and
+    # for whole-array reads; do NOT gather/scatter through them in jitted
+    # hot paths — slice-then-gather materialises the slice (PERF.md).
+    @property
+    def values(self) -> jnp.ndarray:
+        return self.payload[..., :self.config.dim]
+
+    @property
+    def slots(self) -> Dict[str, jnp.ndarray]:
+        return {name: self.payload[..., s:s + w]
+                for name, (s, w) in self.config.slot_columns().items()}
+
 
 class FindResult(NamedTuple):
     slot: jnp.ndarray         # int32[N]; -1 if not found
@@ -105,6 +143,12 @@ class LookupResult(NamedTuple):
     slot: jnp.ndarray      # int32[N]; -1 invalid/overflow — feed back to apply_grads
     table: "KvTable"
     overflow: jnp.ndarray  # bool scalar: some id could not be placed → grow()
+    # full gathered payload rows [N, W] (values + slot columns, raw — no
+    # blacklist zeroing). Optimizer.apply reuses them to skip its gather.
+    payload_rows: Optional[jnp.ndarray] = None
+    # per-query packed meta AFTER this lookup's freq/day/touch update —
+    # lets the optimizer skip its metadata gather too
+    meta_rows: Optional[jnp.ndarray] = None
 
 
 def create(dim: int,
@@ -144,10 +188,9 @@ def create(dim: int,
     empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], dtype=jnp.int32)
     return KvTable(
         keys=jnp.broadcast_to(empty_row, (capacity, 2)).copy(),
-        values=jnp.zeros((capacity, dim), dtype=value_dtype),
+        payload=jnp.zeros((capacity, dim), dtype=value_dtype),
         meta=jnp.zeros((capacity,), dtype=jnp.uint32),
         init_pool=pool,
-        slots={},
         deleted_keys=jnp.broadcast_to(empty_row, (DELETED_LOG_CAPACITY, 2)).copy(),
         deleted_count=jnp.zeros((), jnp.int32),
         deleted_overflow=jnp.zeros((), bool),
@@ -266,17 +309,30 @@ def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
 # lookups
 # ---------------------------------------------------------------------------
 
+def _gather_payload(table: KvTable, slot: jnp.ndarray,
+                    ok: jnp.ndarray) -> jnp.ndarray:
+    """Gather FULL payload rows [N, W]. Wide gathers cost the same as narrow
+    ones on TPU (issue-bound per row, PERF.md) and the optimizer reuses the
+    slot columns, saving its own gathers."""
+    return rowops.gather_rows(table.payload, jnp.where(ok, slot, -1))
+
+
+def _rows_view(table: KvTable, payload_rows: jnp.ndarray, ok: jnp.ndarray,
+               meta_rows: jnp.ndarray) -> jnp.ndarray:
+    """Embedding columns of gathered payload rows, with blacklisted /
+    invalid rows read as zeros (table_manager.h:226-231)."""
+    rows = payload_rows[:, :table.config.dim]
+    black = (meta_rows & FLAG_BLACKLIST) != 0
+    ok = ok & ~black
+    return jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
+
+
 def _gather_rows(table: KvTable, slot: jnp.ndarray, ok: jnp.ndarray,
                  meta_rows: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    """``meta_rows``: pre-gathered per-query meta words, if the caller already
-    has them (saves the second metadata gather on the training path)."""
     safe = jnp.where(ok, slot, 0)
-    rows = rowops.gather_rows(table.values, jnp.where(ok, slot, -1))
     if meta_rows is None:
         meta_rows = table.meta[safe]
-    black = (meta_rows & FLAG_BLACKLIST) != 0
-    ok = ok & ~black  # blacklisted rows read as zeros (table_manager.h:226-231)
-    return jnp.where(ok[:, None], rows, jnp.zeros_like(rows))
+    return _rows_view(table, _gather_payload(table, slot, ok), ok, meta_rows)
 
 
 def _init_rows_for(table: KvTable, q: jnp.ndarray) -> jnp.ndarray:
@@ -318,32 +374,41 @@ def lookup_or_insert(table: KvTable,
     # --- write new rows -----------------------------------------------------
     # The init-row scatter is gated on any-miss: a 32k-row scatter costs
     # ~2 ms on v5e even when every index is dropped (issue-bound per row),
-    # and the steady state has no misses.
+    # and the steady state has no misses. New rows get init-pool embedding
+    # columns and ZERO slot columns (fresh optimizer state).
     newly = need & (placed_new >= 0)
     init_idx = jnp.where(newly, placed_new, -1)
+    w = table.payload.shape[1]
+    dim = table.config.dim
 
-    def _write_new(v):
-        return rowops.scatter_rows(v, init_idx, _init_rows_for(table, q))
+    def _write_new(p):
+        init = _init_rows_for(table, q)
+        if w != dim:
+            init = jnp.concatenate(
+                [init, jnp.zeros((n, w - dim), init.dtype)], axis=1)
+        return rowops.scatter_rows(p, init_idx, init)
 
-    values = jax.lax.cond(jnp.any(newly), _write_new, lambda v: v,
-                          table.values)
+    payload = jax.lax.cond(jnp.any(newly), _write_new, lambda p: p,
+                           table.payload)
 
     # --- metadata: ONE gather + ONE scatter covers freq count, day stamp,
     # delta-touch bits and (preserved) blacklist bit ------------------------
     day = jnp.asarray(day, dtype=jnp.uint32)
-    safe = jnp.where(ok, placed, 0)
-    old_meta = jnp.where(newly, jnp.uint32(0), table.meta[safe])
+    old_meta = jnp.where(newly, jnp.uint32(0),
+                         table.meta[jnp.where(ok, placed, 0)])
     touch = FLAG_TOUCH_BOTH if mark_delta else jnp.uint32(0)
     upd_meta = packing.saturating_add_freq(old_meta, counts, day) \
         | jnp.where(newly, FLAG_TOUCH_BOTH, touch)
     meta = table.meta.at[jnp.where(ok, placed, table.capacity)].set(
         upd_meta, mode="drop")
 
-    new_table = dataclasses.replace(table, keys=new_keys, values=values,
+    new_table = dataclasses.replace(table, keys=new_keys, payload=payload,
                                     meta=meta)
-    rows = _gather_rows(new_table, placed, ok, meta_rows=upd_meta)
+    prow = _gather_payload(new_table, placed, ok)
+    rows = _rows_view(new_table, prow, ok, upd_meta)
     return LookupResult(rows=rows, slot=jnp.where(ok, placed, -1),
-                        table=new_table, overflow=overflow)
+                        table=new_table, overflow=overflow,
+                        payload_rows=prow, meta_rows=upd_meta)
 
 
 def lookup_or_zeros(table: KvTable, q: jnp.ndarray,
@@ -394,8 +459,20 @@ def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
     ok = valid & (placed >= 0)
     idx = jnp.where(ok, placed, table.capacity)
 
-    values = rowops.scatter_rows(table.values, jnp.where(ok, placed, -1),
-                                 rows.astype(table.values.dtype))
+    # upsert keeps existing slot columns (the reference's InsertOrUpdate
+    # leaves the separate slot variables untouched); new rows get zeros
+    dim = table.config.dim
+    w = table.payload.shape[1]
+    gidx = jnp.where(ok, placed, -1)
+    if w != dim:
+        cur = rowops.gather_rows(table.payload, gidx)
+        slot_cols = jnp.where((fr.found & ok)[:, None], cur[:, dim:],
+                              jnp.zeros((n, w - dim), cur.dtype))
+        wide = jnp.concatenate(
+            [rows.astype(table.payload.dtype), slot_cols], axis=1)
+    else:
+        wide = rows.astype(table.payload.dtype)
+    payload = rowops.scatter_rows(table.payload, gidx, wide)
     day = jnp.asarray(day, dtype=jnp.uint32)
     if freq is None:
         freq = jnp.ones((n,), dtype=jnp.uint32)
@@ -403,7 +480,7 @@ def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
     if blacklist is not None:
         fl = fl | jnp.where(blacklist, FLAG_BLACKLIST, jnp.uint32(0))
     meta = table.meta.at[idx].set(packing.pack(freq, day, fl), mode="drop")
-    return dataclasses.replace(table, keys=new_keys, values=values, meta=meta)
+    return dataclasses.replace(table, keys=new_keys, payload=payload, meta=meta)
 
 
 _SCATTER_OPS = ("update", "add", "sub", "mul", "div", "min", "max")
@@ -425,7 +502,9 @@ def scatter(table: KvTable, q: jnp.ndarray, updates: jnp.ndarray, op: str,
     t = res.table
     ok = res.slot >= 0
     safe = jnp.where(ok, res.slot, 0)
-    cur = rowops.gather_rows(t.values, jnp.where(ok, res.slot, -1))
+    dim = t.config.dim
+    cur_wide = res.payload_rows
+    cur = cur_wide[:, :dim]
     u = updates.astype(cur.dtype)
     if op == "update":
         out = u
@@ -442,11 +521,12 @@ def scatter(table: KvTable, q: jnp.ndarray, updates: jnp.ndarray, op: str,
     else:
         out = jnp.maximum(cur, u)
     idx = jnp.where(ok, res.slot, t.capacity)
-    values = rowops.scatter_rows(t.values, jnp.where(ok, res.slot, -1), out)
+    wide = jnp.concatenate([out, cur_wide[:, dim:]], axis=1)
+    payload = rowops.scatter_rows(t.payload, jnp.where(ok, res.slot, -1), wide)
     # writing a row clears its blacklist bit (re-activation)
     meta = t.meta.at[idx].set(
-        (t.meta[safe] | FLAG_TOUCH_BOTH) & ~FLAG_BLACKLIST, mode="drop")
-    return dataclasses.replace(t, values=values, meta=meta)
+        (res.meta_rows | FLAG_TOUCH_BOTH) & ~FLAG_BLACKLIST, mode="drop")
+    return dataclasses.replace(t, payload=payload, meta=meta)
 
 
 def _log_deletes(table: KvTable, q: jnp.ndarray,
@@ -479,12 +559,9 @@ def delete(table: KvTable, q: jnp.ndarray,
         jnp.array([hashing.TOMB_LO, hashing.TOMB_HI], dtype=jnp.int32), (n, 2))
     keys = table.keys.at[idx].set(tomb, mode="drop")
     meta = table.meta.at[idx].set(jnp.zeros((n,), jnp.uint32), mode="drop")
-    zero_rows = jnp.zeros((n, table.dim), dtype=table.values.dtype)
-    values = table.values.at[idx].set(zero_rows, mode="drop")
-    slots = {k: v.at[idx].set(jnp.zeros((n,) + v.shape[1:], v.dtype), mode="drop")
-             for k, v in table.slots.items()}
-    out = dataclasses.replace(table, keys=keys, values=values, meta=meta,
-                              slots=slots)
+    zero_rows = jnp.zeros((n, table.payload.shape[1]), table.payload.dtype)
+    payload = table.payload.at[idx].set(zero_rows, mode="drop")
+    out = dataclasses.replace(table, keys=keys, payload=payload, meta=meta)
     return _log_deletes(out, q, deleted), deleted
 
 
@@ -501,11 +578,9 @@ def delete_with_timestamp(table: KvTable, threshold_days: int,
     tomb = jnp.array([hashing.TOMB_LO, hashing.TOMB_HI], dtype=jnp.int32)
     keys = jnp.where(evict[:, None], tomb, table.keys)
     meta = jnp.where(evict, jnp.uint32(0), table.meta)
-    values = jnp.where(evict[:, None], jnp.zeros((), table.values.dtype), table.values)
-    slots = {k: jnp.where(evict[:, None], jnp.zeros((), v.dtype), v)
-             for k, v in table.slots.items()}
-    out = dataclasses.replace(table, keys=keys, values=values, meta=meta,
-                              slots=slots)
+    payload = jnp.where(evict[:, None], jnp.zeros((), table.payload.dtype),
+                        table.payload)
+    out = dataclasses.replace(table, keys=keys, payload=payload, meta=meta)
     # log evicted keys (pre-tombstone identities) for delta export
     return _log_deletes(out, table.keys, evict), evict
 
@@ -562,8 +637,7 @@ def stats(table: KvTable) -> dict:
         "blacklisted": int(jax.device_get(jnp.sum((occ & black).astype(jnp.int32)))),
         "delta_pending": int(jax.device_get(jnp.sum((occ & touched).astype(jnp.int32)))),
         "deleted_log": int(jax.device_get(table.deleted_count)),
-        "bytes": int(table.values.nbytes
-                     + sum(v.nbytes for v in table.slots.values())
+        "bytes": int(table.payload.nbytes
                      + table.keys.nbytes + table.meta.nbytes),
     }
 
@@ -584,17 +658,45 @@ def needs_grow(table: KvTable, incoming: int = 0,
 # ---------------------------------------------------------------------------
 
 def ensure_slots(table: KvTable, slot_specs: Dict[str, int]) -> KvTable:
-    """Make sure slot arrays exist: ``name -> width multiplier k`` gives a
-    ``[C, k*dim]`` zero array (AdamV4's single ``m_v_linear`` 3×dim concat slot
-    is the precedent — training_ops.cc:7156-7162)."""
-    slots = dict(table.slots)
-    changed = False
+    """Make sure slot segments exist in the payload: ``name -> width
+    multiplier k`` appends ``k*dim`` zero columns (AdamV4's single
+    ``m_v_linear`` 3×dim concat slot is the precedent —
+    training_ops.cc:7156-7162). Call outside jit (payload width is static)."""
+    layout = list(table.config.slot_layout)
+    have = {name for name, _ in layout}
+    extra = 0
     for name, k in slot_specs.items():
-        if name not in slots:
-            slots[name] = jnp.zeros((table.capacity, k * table.dim),
-                                    dtype=table.values.dtype)
-            changed = True
-    return dataclasses.replace(table, slots=slots) if changed else table
+        if name not in have:
+            layout.append((name, k))
+            extra += k * table.dim
+    if not extra:
+        return table
+    pad_shape = table.payload.shape[:-1] + (extra,)
+    payload = jnp.concatenate(
+        [table.payload, jnp.zeros(pad_shape, table.payload.dtype)], axis=-1)
+    cfg = dataclasses.replace(table.config, slot_layout=tuple(layout))
+    return dataclasses.replace(table, payload=payload, config=cfg)
+
+
+def get_slot(table: KvTable, name: str) -> jnp.ndarray:
+    """Whole slot segment [C, k*dim] (view — see ``KvTable.slots``)."""
+    s, w = table.config.slot_columns()[name]
+    return table.payload[..., s:s + w]
+
+
+def set_slot_rows(table: KvTable, name: str, idx: jnp.ndarray,
+                  rows: jnp.ndarray) -> KvTable:
+    """Overwrite ``rows`` of one slot segment at row indices ``idx``
+    (out-of-range indices dropped). Checkpoint-restore helper — NOT a hot
+    path (it gathers+rewrites full payload rows)."""
+    s, w = table.config.slot_columns()[name]
+    cap = table.capacity
+    ok = (idx >= 0) & (idx < cap)
+    gidx = jnp.where(ok, idx, -1)
+    cur = rowops.gather_rows(table.payload, gidx)
+    cur = cur.at[:, s:s + w].set(rows.astype(cur.dtype))
+    payload = rowops.scatter_rows(table.payload, gidx, cur)
+    return dataclasses.replace(table, payload=payload)
 
 
 # ---------------------------------------------------------------------------
@@ -611,17 +713,13 @@ def _rehash(table: KvTable, new_capacity: int) -> KvTable:
     new_keys, placed = _claim_insert(new_keys, table.keys, occ,
                                      max(table.config.max_probes, 32))
     idx = jnp.where(occ & (placed >= 0), placed, new_capacity)
-    dim = table.values.shape[1]
-    new_values = jnp.zeros((new_capacity, dim), table.values.dtype).at[idx].set(
-        table.values, mode="drop")
+    w = table.payload.shape[1]
+    new_payload = jnp.zeros((new_capacity, w), table.payload.dtype).at[idx].set(
+        table.payload, mode="drop")
     new_meta = jnp.zeros((new_capacity,), jnp.uint32).at[idx].set(
         table.meta, mode="drop")
-    new_slots = {
-        k: jnp.zeros((new_capacity,) + v.shape[1:], v.dtype).at[idx].set(v, mode="drop")
-        for k, v in table.slots.items()
-    }
-    return dataclasses.replace(table, keys=new_keys, values=new_values,
-                               meta=new_meta, slots=new_slots)
+    return dataclasses.replace(table, keys=new_keys, payload=new_payload,
+                               meta=new_meta)
 
 
 def grow(table: KvTable, new_capacity: Optional[int] = None) -> KvTable:
@@ -662,8 +760,8 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
     ``enable_cutoff`` drops rows with max|v| < cutoff (kv_variable
     interface :54-55).
     """
-    host = jax.device_get((table.keys, table.values, table.meta,
-                           table.init_pool))
+    host = jax.device_get((table.keys, table.payload[:, :table.config.dim],
+                           table.meta, table.init_pool))
     keys, values, meta, pool = (np.asarray(x) for x in host)
     occ = ~((keys[:, 0] == hashing.EMPTY_LO) & (keys[:, 1] == hashing.EMPTY_HI)) \
         & ~((keys[:, 0] == hashing.TOMB_LO) & (keys[:, 1] == hashing.TOMB_HI))
@@ -730,8 +828,7 @@ def import_arrays(table: KvTable, data: Dict[str, np.ndarray], *,
                        max_probes=table.config.max_probes,
                        value_dtype=table.config.value_dtype,
                        name=table.config.name)
-        fresh = ensure_slots(fresh, {k: v.shape[1] // table.dim
-                                     for k, v in table.slots.items()})
+        fresh = ensure_slots(fresh, dict(table.config.slot_layout))
         table = fresh
     cap = table.capacity
     cur = 0 if clear else int(jax.device_get(size(table)))
@@ -742,7 +839,8 @@ def import_arrays(table: KvTable, data: Dict[str, np.ndarray], *,
 
     if n:
         q = hashing.encode_ids_np_to_device(np.asarray(data["keys"]))
-        vals = jnp.asarray(np.asarray(data["values"]), dtype=table.values.dtype)
+        vals = jnp.asarray(np.asarray(data["values"]),
+                           dtype=table.payload.dtype)
         freq = np.zeros((n,), np.uint32)
         if "meta" in data:
             meta_in = np.asarray(data["meta"], dtype=np.uint32)

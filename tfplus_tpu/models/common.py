@@ -149,7 +149,9 @@ def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
         for key in looks:
             tables[key] = sparse_opt.apply(tables[key], looks[key].slot,
                                            g_rows[key], lr=sparse_lr,
-                                           step=step)
+                                           step=step,
+                                           payload_rows=looks[key].payload_rows,
+                                           meta_rows=looks[key].meta_rows)
         return TrainState(tables, dense, opt_state, step), loss, preds
 
     return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
@@ -189,7 +191,9 @@ def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
             for name in sorted(tables):
                 tables[name] = sparse_opt.apply(
                     tables[name], looks[name].slot, g_rows[name],
-                    lr=sparse_lr, step=step)
+                    lr=sparse_lr, step=step,
+                    payload_rows=looks[name].payload_rows,
+                    meta_rows=looks[name].meta_rows)
             return TrainState(tables, dense, opt_state, step), loss, preds
         loss, preds = loss_fn(state.dense, rows_in)
         return state, loss, preds

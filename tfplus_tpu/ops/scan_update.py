@@ -1,19 +1,19 @@
 """Scan-update — streaming sparse-optimizer application kernel.
 
 Replaces the random gather/scatter optimizer path with ONE sequential pass
-over the table: values, slot state, and metadata stream through VMEM in
-chunks at HBM bandwidth (~590 GB/s measured on v5e; PERF.md), and each
-chunk's touched rows are gathered/updated/scattered **via one-hot matmuls on
-the MXU** — no per-row scalar loops, no issue-rate-bound random writes
-(XLA/DMA random row writes bottom out at ~85 ns/row; a 32k-row scatter costs
-2.7 ms while this pass streams half a GB in the same time).
+over the table: the payload (embedding + slot columns, kv/table.py) and
+metadata stream through VMEM in chunks at HBM bandwidth (~590 GB/s measured
+on v5e; PERF.md), and each chunk's touched rows are gathered/updated/
+scattered **via one-hot matmuls on the MXU** — no per-row scalar loops, no
+issue-rate-bound random writes (XLA/DMA random row writes bottom out at
+~85 ns/row; a 32k-row scatter costs 2.7 ms while this pass streams half a
+GB in the same time).
 
 Algorithm per chunk i of CHUNK rows:
     onehot[r, q] = (sorted_slots[qs_i + q] == base_i + r)     # built by iota
-    var_q   = onehotᵀ @ values_chunk      (MXU gather)
-    state_q = onehotᵀ @ state_chunk
+    wide_q  = onehotᵀ @ payload_chunk     (MXU gather: var + slot state)
     new_var_q, new_state_q, blacklist_q = rule.update(...)    # VPU, vectorized
-    values_chunk = values_chunk·(1−hit) + onehot @ new_var_q  (MXU scatter)
+    payload_chunk = payload_chunk·(1−hit) + onehot @ new_wide (MXU scatter)
     meta_chunk: freq += onehot @ counts (saturating), day/touch/blacklist bits
 
 Queries are pre-sorted by slot in XLA so each chunk's queries are one
@@ -65,8 +65,8 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
             slots_ref,                  # VMEM int32[1, N] sorted slots
             counts_ref,                 # VMEM f32[1, N] per-slot counts
             grads_ref,                  # VMEM f32[N, D] sorted grads
-            v_ref, s_ref, meta_ref,     # blocks: (CHUNK,D), (CHUNK,S), (1,1,CHUNK) u32
-            vo_ref, so_ref, mo_ref,
+            p_ref, meta_ref,            # blocks: (CHUNK, W), (1,1,CHUNK) u32
+            po_ref, mo_ref,
             *, rule, dim, slot_width, chunk, num_waves):
     i = pl.program_id(0)
     base = i * chunk
@@ -77,11 +77,8 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
     day = scalars_ref[2].astype(jnp.int32).astype(jnp.uint32)
     thr = scalars_ref[3]
 
-    vo_ref[...] = v_ref[...]
-    if slot_width:
-        so_ref[...] = s_ref[...]
-    meta = meta_ref[0, 0]
-    mo_ref[0, 0] = meta
+    po_ref[...] = p_ref[...]
+    mo_ref[0, 0] = meta_ref[0, 0]
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (chunk, MAXQ), 0) + base
 
@@ -105,10 +102,10 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
             meta_now = mo_ref[0, 0]
             freq_f = (meta_now & jnp.uint32(0xFFFF)).astype(jnp.int32).astype(jnp.float32)
 
-            # gather rows + per-row meta via MXU
-            var_q = jax.lax.dot_general(
-                onehot, vo_ref[...], (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)             # [MAXQ, D]
+            # gather full payload rows + per-row meta via MXU
+            wide_q = jax.lax.dot_general(
+                onehot, po_ref[...], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)             # [MAXQ, W]
             freq_q = jax.lax.dot_general(
                 onehot, freq_f[:, None], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)[:, 0]       # [MAXQ]
@@ -116,11 +113,9 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
             black_qf = jax.lax.dot_general(
                 onehot, black_f[:, None], (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)   # [MAXQ, 1]
-            var_q = var_q * (1.0 - black_qf)
+            var_q = wide_q[:, :dim] * (1.0 - black_qf)
             if slot_width:
-                state_q = jax.lax.dot_general(
-                    onehot, so_ref[...], (((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                state_q = wide_q[:, dim:]
             else:
                 state_q = jnp.zeros((MAXQ, 0), jnp.float32)
 
@@ -133,6 +128,9 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
             new_var = var_q * skip_f + new_var * (1.0 - skip_f)
             if slot_width:
                 new_state = state_q * skip_f + new_state * (1.0 - skip_f)
+                new_wide = jnp.concatenate([new_var, new_state], axis=1)
+            else:
+                new_wide = new_var
             if bl is None:
                 bl_f = jnp.zeros((MAXQ, 1), jnp.float32)
             else:
@@ -140,13 +138,9 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
 
             valid_f = jnp.where(active, 1.0, 0.0).reshape(MAXQ, 1)
             sel = (hit > 0).astype(jnp.float32)                 # [CHUNK, 1]
-            vo_ref[...] = vo_ref[...] * (1.0 - sel) + jax.lax.dot(
-                onehot, new_var * valid_f,
+            po_ref[...] = po_ref[...] * (1.0 - sel) + jax.lax.dot(
+                onehot, new_wide * valid_f,
                 preferred_element_type=jnp.float32)
-            if slot_width:
-                so_ref[...] = so_ref[...] * (1.0 - sel) + jax.lax.dot(
-                    onehot, new_state * valid_f,
-                    preferred_element_type=jnp.float32)
 
             # --- metadata: freq += counts (saturated), day refresh, touch,
             #     blacklist bit from the rule -----------------------------
@@ -172,19 +166,19 @@ def _kernel(qstart_ref,                 # SMEM int32[G+1]
         wave(w)
 
 
-def scan_apply(values, state, meta, slot_idx, grads, counts, rule,
-               *, lr, step, day, enter_threshold: int,
+def scan_apply(payload, meta, slot_idx, grads, counts, rule, *, dim,
+               lr, step, day, enter_threshold: int,
                interpret: bool = False):
-    """Streaming optimizer application. ``slot_idx`` int32[N] (−1 skip),
-    ``grads`` [N, D]; ``state`` may be None for slot-less rules. ``meta`` is
-    the table's packed word (freq|day|flags — the kernel's native layout,
-    utils/packing.py).
+    """Streaming optimizer application over the table payload
+    (``[C, W]``: embedding columns then ONE slot segment — multi-slot
+    layouts are not supported here). ``slot_idx`` int32[N] (−1 skip),
+    ``grads`` [N, D]; ``meta`` is the packed word (utils/packing.py).
 
-    Returns (values, state, meta).
+    Returns (payload, meta).
     """
-    c, d = values.shape
+    c, w_cols = payload.shape
     n = slot_idx.shape[0]
-    slot_width = 0 if state is None else state.shape[1] // d
+    slot_width = (w_cols - dim) // dim
     chunk = min(CHUNK, c)
     g = c // chunk
 
@@ -202,7 +196,7 @@ def scan_apply(values, state, meta, slot_idx, grads, counts, rule,
     sorted_slots = jnp.concatenate(
         [sorted_slots, jnp.full((pad,), c, jnp.int32)])
     grads_sorted = jnp.concatenate(
-        [grads_sorted, jnp.zeros((pad, d), jnp.float32)])
+        [grads_sorted, jnp.zeros((pad, dim), jnp.float32)])
     counts_sorted = jnp.concatenate(
         [counts_sorted, jnp.zeros((pad,), jnp.float32)])
     n_pad = n + pad
@@ -216,10 +210,7 @@ def scan_apply(values, state, meta, slot_idx, grads, counts, rule,
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
         jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)])
 
-    state_in = state if slot_width else jnp.zeros((c, 1), jnp.float32)
-    s_cols = state_in.shape[1]
-
-    kernel = functools.partial(_kernel, rule=rule, dim=d,
+    kernel = functools.partial(_kernel, rule=rule, dim=dim,
                                slot_width=slot_width, chunk=chunk,
                                num_waves=max(chunk // MAXQ, 1) + 1)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -229,28 +220,25 @@ def scan_apply(values, state, meta, slot_idx, grads, counts, rule,
             pl.BlockSpec(memory_space=pltpu.VMEM),            # slots [1,N]
             pl.BlockSpec(memory_space=pltpu.VMEM),            # counts [1,N]
             pl.BlockSpec(memory_space=pltpu.VMEM),            # grads [N,D]
-            pl.BlockSpec((chunk, d), lambda i, *_: (i, 0)),
-            pl.BlockSpec((chunk, s_cols), lambda i, *_: (i, 0)),
+            pl.BlockSpec((chunk, w_cols), lambda i, *_: (i, 0)),
             pl.BlockSpec((1, 1, chunk), lambda i, *_: (i, 0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((chunk, d), lambda i, *_: (i, 0)),
-            pl.BlockSpec((chunk, s_cols), lambda i, *_: (i, 0)),
+            pl.BlockSpec((chunk, w_cols), lambda i, *_: (i, 0)),
             pl.BlockSpec((1, 1, chunk), lambda i, *_: (i, 0, 0)),
         ],
         )
-    vo, so, vm = pl.pallas_call(
+    po, vm = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((c, d), jnp.float32),
-            jax.ShapeDtypeStruct((c, s_cols), jnp.float32),
+            jax.ShapeDtypeStruct((c, w_cols), jnp.float32),
             jax.ShapeDtypeStruct((g, 1, chunk), jnp.uint32),
         ],
-        input_output_aliases={5: 0, 6: 1, 7: 2},
+        input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
     )(qstart, scalars, sorted_slots.reshape(1, n_pad),
       counts_sorted.reshape(1, n_pad), grads_sorted,
-      values, state_in, word)
+      payload, word)
 
-    return (vo, (so if slot_width else None), vm.reshape(c))
+    return po, vm.reshape(c)

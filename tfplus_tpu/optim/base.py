@@ -51,7 +51,9 @@ class SparseOptimizer:
               extra: Optional[jnp.ndarray] = None,
               mark_delta: bool = True,
               use_scan: Optional[bool] = None,
-              day: int | jnp.ndarray = 0) -> kvt.KvTable:
+              day: int | jnp.ndarray = 0,
+              payload_rows: Optional[jnp.ndarray] = None,
+              meta_rows: Optional[jnp.ndarray] = None) -> kvt.KvTable:
         """Update rows at ``slot_idx`` (from ``LookupResult.slot``; -1 entries
         are skipped) with per-unique-row ``grads``.
 
@@ -59,29 +61,33 @@ class SparseOptimizer:
         ``lr`` may be a python float or traced scalar. ``use_scan=True``
         routes through the streaming scan-update Pallas kernel
         (ops/scan_update.py) instead of gather/scatter — opt-in; see PERF.md.
+
+        ``payload_rows``/``meta_rows``: pass ``LookupResult.payload_rows`` /
+        ``.meta_rows`` from the SAME step's lookup to skip both gathers here
+        (valid because only metadata changed between lookup and apply).
         """
         if use_scan:
             from ..ops import scan_update
-            state = (table.slots.get(self.slot_name)
-                     if self.rule.slot_width else None)
-            vo, so, meta = scan_update.scan_apply(
-                table.values, state, table.meta, slot_idx,
-                grads, None, self.rule, lr=lr, step=step, day=day,
+            vo, meta = scan_update.scan_apply(
+                table.payload, table.meta, slot_idx,
+                grads, None, self.rule, dim=table.config.dim,
+                lr=lr, step=step, day=day,
                 enter_threshold=table.config.enter_threshold,
                 interpret=jax.default_backend() != "tpu")
-            slots = dict(table.slots)
-            if so is not None:
-                slots[self.slot_name] = so
-            return dataclasses.replace(table, values=vo, meta=meta,
-                                       slots=slots)
+            return dataclasses.replace(table, payload=vo, meta=meta)
         n = slot_idx.shape[0]
         cap = table.capacity
+        dim = table.config.dim
+        k = self.rule.slot_width
+        if k > 0 and self.slot_name not in table.config.slot_columns():
+            raise ValueError(
+                f"slot '{self.slot_name}' missing — call optimizer.init(table) first")
         ok = slot_idx >= 0
         safe = jnp.where(ok, slot_idx, 0)
 
         # ONE metadata gather serves the freq filter, the blacklist read and
         # the flag-bit update below (merged word, utils/packing.py)
-        meta_g = table.meta[safe]
+        meta_g = table.meta[safe] if meta_rows is None else meta_rows
 
         # frequency filter (should_filter in the reference kernels)
         thr = table.config.enter_threshold
@@ -89,17 +95,19 @@ class SparseOptimizer:
             ok = ok & (packing.get_freq(meta_g) >= np.uint32(thr))
 
         gidx = jnp.where(ok, slot_idx, -1)
-        var = rowops.gather_rows(table.values, gidx)
+        # ONE wide gather (or none, if the lookup's rows were passed in)
+        # covers the variable AND its slot state
+        wide = (rowops.gather_rows(table.payload, gidx)
+                if payload_rows is None else payload_rows)
+        var = wide[:, :dim]
         # blacklisted rows read as zeros for the update math too (the
         # reference's table_manager zero-buffer reads)
         was_black = (meta_g & kvt.FLAG_BLACKLIST) != 0
         var = jnp.where(was_black[:, None], jnp.zeros_like(var), var)
 
-        if self.rule.slot_width > 0:
-            if self.slot_name not in table.slots:
-                raise ValueError(
-                    f"slot '{self.slot_name}' missing — call optimizer.init(table) first")
-            state = rowops.gather_rows(table.slots[self.slot_name], gidx)
+        if k > 0:
+            s, w = table.config.slot_columns()[self.slot_name]
+            state = wide[:, s:s + w]
         else:
             state = jnp.zeros((n, 0), dtype=var.dtype)
 
@@ -107,11 +115,12 @@ class SparseOptimizer:
             var, state, grads.astype(var.dtype), lr=lr, step=step, extra=extra)
 
         idx = jnp.where(ok, slot_idx, cap)  # OOB rows dropped
-        values = rowops.scatter_rows(table.values, gidx, new_var)
-        slots = dict(table.slots)
-        if self.rule.slot_width > 0:
-            slots[self.slot_name] = rowops.scatter_rows(
-                slots[self.slot_name], gidx, new_state)
+        # ONE wide scatter writes variable + slot state together (random row
+        # writes are issue-bound per row — this halves the scatter cost)
+        new_wide = wide.at[:, :dim].set(new_var.astype(wide.dtype))
+        if k > 0:
+            new_wide = new_wide.at[:, s:s + w].set(new_state.astype(wide.dtype))
+        payload = rowops.scatter_rows(table.payload, gidx, new_wide)
 
         new_meta = meta_g
         if mark_delta:
@@ -124,5 +133,4 @@ class SparseOptimizer:
             new_meta = new_meta & ~kvt.FLAG_BLACKLIST
         meta = table.meta.at[idx].set(new_meta, mode="drop")
 
-        return dataclasses.replace(table, values=values, meta=meta,
-                                   slots=slots)
+        return dataclasses.replace(table, payload=payload, meta=meta)

@@ -59,13 +59,11 @@ def init_optimizer_sharded(opt: SparseOptimizer,
     """Sharded analogue of ``opt.init(table)`` — adds the concat slot array
     with a leading shard axis (call before device_put / shard_map)."""
     k = opt.rule.slot_width
-    if k == 0 or opt.slot_name in sharded.slots:
+    if k == 0 or opt.slot_name in sharded.config.slot_columns():
         return sharded
-    s, c = sharded.keys.shape[0], sharded.keys.shape[1]
-    slots = dict(sharded.slots)
-    slots[opt.slot_name] = jnp.zeros((s, c, k * sharded.config.dim),
-                                     sharded.values.dtype)
-    return dataclasses.replace(sharded, slots=slots)
+    # payload has a leading shard axis here; ensure_slots concatenates the
+    # new zero slot columns along the last axis for any leading shape
+    return kvt.ensure_slots(sharded, {opt.slot_name: k})
 
 
 def local_shard(sharded: kvt.KvTable, index: int = 0) -> kvt.KvTable:
