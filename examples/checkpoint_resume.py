@@ -30,19 +30,32 @@ def main():
     rng = np.random.RandomState(0)
     opt = tft.GroupAdamOptimizer(learning_rate=0.05)
 
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def shard_step(table, q, valid, s):
+        # fixed [256]-shaped batch with a validity mask: one compile total,
+        # instead of retracing for every (shard, step) id-count
+        res = kv.lookup_or_insert(table, q, valid=valid)
+        g = res.rows * 0.1 + 0.01
+        return opt.apply(res.table, res.slot, g, lr=0.05, step=s,
+                         payload_rows=res.payload_rows,
+                         meta_rows=res.meta_rows)
+
     def train_steps(shards, start_step, n_steps, ids_stream):
         num_shards = len(shards)
         for s in range(start_step, start_step + n_steps):
             ids = next(ids_stream)
             assign = ids % num_shards
             for i in range(num_shards):
-                sel = ids[assign == i]
-                if not len(sel):
-                    continue
-                q = kv.encode_ids_np_to_device(sel.astype(np.int64))
-                res = kv.lookup_or_insert(shards[i], q)
-                g = res.rows * 0.1 + 0.01
-                shards[i] = opt.apply(res.table, res.slot, g, lr=0.05, step=s)
+                # lookup_or_insert requires DEDUPLICATED keys
+                sel = np.unique(ids[assign == i])
+                padded = np.zeros((len(ids),), np.int64)
+                padded[:len(sel)] = sel
+                valid = jnp.asarray(np.arange(len(ids)) < len(sel))
+                q = kv.encode_ids_np_to_device(padded)
+                shards[i] = shard_step(shards[i], q, valid, s)
         return shards
 
     def id_stream():
