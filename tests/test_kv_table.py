@@ -265,6 +265,22 @@ class TestGrow:
                                    np.arange(8.0))
 
 
+class TestDuplicateMissSafety:
+    def test_duplicate_misses_claim_one_slot(self):
+        """Duplicated keys in one batch must not claim two slots: twins
+        probe in lockstep, the claim loser adopts the winner's slot."""
+        t = make_table()
+        ids = np.array([7, 7, 7, 9, 9, 3], np.uint64)
+        q = kv.encode_ids_np_to_device(ids)
+        res = kv.lookup_or_insert(t, q)
+        assert int(kv.size(res.table)) == 3
+        sl = np.asarray(res.slot)
+        assert sl[0] == sl[1] == sl[2]
+        assert sl[3] == sl[4]
+        t2 = kv.insert(make_table(), q, jnp.ones((6, make_table().dim)))
+        assert int(kv.size(t2)) == 3
+
+
 class TestBlacklist:
     def test_blacklist_reads_zero(self):
         t = make_table(dim=4)

@@ -285,7 +285,11 @@ def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
         won = attempt & (claim[pos] == iota)
         scatter_idx = jnp.where(won, pos, cap)   # cap = OOB → dropped
         karr = karr.at[scatter_idx].set(q, mode="drop")
-        placed = jnp.where(won, pos, placed)
+        # duplicate safety: instances of the same key probe in lockstep, so
+        # a claim loser whose slot now holds ITS key was raced by its own
+        # twin — adopt that slot instead of claiming a second one
+        dup_hit = active & hashing.keys_equal(karr[pos], q)
+        placed = jnp.where(won | dup_hit, pos, placed)
         return j + 1, karr, placed
 
     def round_cond(state):
@@ -352,9 +356,10 @@ def lookup_or_insert(table: KvTable,
     """Training-path gather: find each key, insert misses with init-pool rows.
 
     Parity: KvVariableGatherOrInsert(WithCounts) (kernels/kv_variable_ops.cc:
-    498-631) + FindOrInsertLocally (kv_variable.h:287-380). ``q`` must be
-    **deduplicated** (use :func:`tfplus_tpu.kv.unique.unique_with_counts`);
-    ``counts`` is the per-key multiplicity used for frequency accounting.
+    498-631) + FindOrInsertLocally (kv_variable.h:287-380). Dedup ``q``
+    first (:func:`tfplus_tpu.kv.unique.unique_with_counts`) for exact
+    frequency accounting and deterministic updates; placement itself is
+    duplicate-safe. ``counts`` is the per-key multiplicity.
     """
     n = q.shape[0]
     if valid is None:
@@ -446,7 +451,8 @@ def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
            freq: Optional[jnp.ndarray] = None) -> KvTable:
     """Unconditional upsert of ``q → rows`` (parity: KvVariableInsert,
     kernels/kv_variable_ops.cc:703-747; InsertOrUpdate kv_variable.h:423-485).
-    ``q`` must be deduplicated."""
+    Dedup ``q`` for deterministic last-write semantics (placement is
+    duplicate-safe)."""
     n = q.shape[0]
     if valid is None:
         valid = ~hashing.is_reserved_id(q)
