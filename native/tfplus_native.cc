@@ -142,4 +142,206 @@ int64_t tfp_parse_criteo(const char* buf, int64_t len, int64_t max_rows,
   return rows;
 }
 
+
+// ---------------------------------------------------------------------------
+// Multithreaded prefetching Criteo loader — the native data-loader runtime.
+//
+// Reference counterpart: TFPlus feeds Criteo through TF's C++ tf.data
+// runtime (example/dcn/train.py builds a TextLineDataset input_fn); the
+// TPU-native framework has no TF runtime, so this supplies the equivalent:
+// a reader thread streams the file in ~4 MB line-aligned chunks, a pool of
+// parser threads turns chunks into row blocks (same field semantics as
+// tfp_parse_criteo above), and a bounded queue hands blocks to the trainer.
+// Row ORDER ACROSS CHUNKS IS NOT PRESERVED when threads > 1 (irrelevant for
+// shuffled training; use threads=1 for deterministic order).
+// ---------------------------------------------------------------------------
+
+}  // extern "C"   (C++ internals below; C ABI re-opened at the end)
+
+#include <condition_variable>
+#include <cstdio>
+#include <deque>
+#include <memory>
+#include <mutex>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct RowBlock {
+  int64_t n = 0;
+  std::vector<float> numeric;   // [n, 13]
+  std::vector<int64_t> cats;    // [n, 26]
+  std::vector<float> labels;    // [n]
+};
+
+struct Chunk {
+  std::vector<char> data;
+};
+
+constexpr int64_t kChunkBytes = 4 << 20;
+
+struct Loader {
+  FILE* f = nullptr;
+  int64_t queue_cap = 8;
+  bool reader_done = false;
+  int active_parsers = 0;
+  std::mutex mu;
+  std::condition_variable cv_chunk_space, cv_chunk_avail, cv_block_avail,
+      cv_block_space;
+  std::deque<std::unique_ptr<Chunk>> chunks;
+  std::deque<std::unique_ptr<RowBlock>> blocks;
+  std::unique_ptr<RowBlock> partial;  // handed-out remainder
+  int64_t partial_off = 0;
+  std::vector<std::thread> threads;
+  bool closing = false;
+
+  void reader() {
+    std::vector<char> carry;
+    while (true) {
+      auto ck = std::make_unique<Chunk>();
+      ck->data.resize(carry.size() + kChunkBytes);
+      memcpy(ck->data.data(), carry.data(), carry.size());
+      size_t got = fread(ck->data.data() + carry.size(), 1, kChunkBytes, f);
+      int64_t total = (int64_t)(carry.size() + got);
+      carry.clear();
+      if (total == 0) break;
+      ck->data.resize(total);
+      if (got > 0) {
+        // cut at the last newline; carry the tail to the next chunk
+        int64_t cut = total;
+        while (cut > 0 && ck->data[cut - 1] != '\n') --cut;
+        if (cut == 0) { // pathological single long line; keep growing
+          carry.assign(ck->data.begin(), ck->data.end());
+          continue;
+        }
+        carry.assign(ck->data.begin() + cut, ck->data.end());
+        ck->data.resize(cut);
+      } else if (total > 0 && ck->data[total - 1] != '\n') {
+        ck->data.push_back('\n');  // EOF without trailing newline
+      }
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_chunk_space.wait(lk, [&] {
+          return closing || (int64_t)chunks.size() < queue_cap; });
+        if (closing) return;
+        chunks.push_back(std::move(ck));
+        cv_chunk_avail.notify_one();
+      }
+      if (got == 0) break;
+    }
+    std::unique_lock<std::mutex> lk(mu);
+    reader_done = true;
+    cv_chunk_avail.notify_all();
+  }
+
+  void parser() {
+    while (true) {
+      std::unique_ptr<Chunk> ck;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_chunk_avail.wait(lk, [&] {
+          return closing || !chunks.empty() || reader_done; });
+        if (closing) return;
+        if (chunks.empty()) {  // reader done and queue drained
+          if (--active_parsers == 0) cv_block_avail.notify_all();
+          return;
+        }
+        ck = std::move(chunks.front());
+        chunks.pop_front();
+        cv_chunk_space.notify_one();
+      }
+      auto blk = std::make_unique<RowBlock>();
+      int64_t max_rows = 1 + (int64_t)ck->data.size() / 20;  // lower bound ~20B/line
+      blk->numeric.resize(max_rows * 13);
+      blk->cats.resize(max_rows * 26);
+      blk->labels.resize(max_rows);
+      int64_t consumed = 0;
+      blk->n = tfp_parse_criteo(ck->data.data(), (int64_t)ck->data.size(),
+                                max_rows, blk->numeric.data(),
+                                blk->cats.data(), blk->labels.data(),
+                                &consumed);
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_block_space.wait(lk, [&] {
+          return closing || (int64_t)blocks.size() < queue_cap; });
+        if (closing) return;
+        if (blk->n) {
+          blocks.push_back(std::move(blk));
+          cv_block_avail.notify_one();
+        }
+      }
+    }
+  }
+
+  // Fill caller buffers with up to `want` rows; 0 => end of stream.
+  int64_t next(int64_t want, float* numeric, int64_t* cats, float* labels) {
+    int64_t filled = 0;
+    while (filled < want) {
+      if (!partial) {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_block_avail.wait(lk, [&] {
+          return !blocks.empty() || active_parsers == 0 || closing; });
+        if (closing) break;
+        if (blocks.empty()) break;  // drained + all parsers exited
+        partial = std::move(blocks.front());
+        blocks.pop_front();
+        partial_off = 0;
+        cv_block_space.notify_all();
+      }
+      int64_t take = std::min(want - filled, partial->n - partial_off);
+      memcpy(numeric + filled * 13, partial->numeric.data() + partial_off * 13,
+             take * 13 * sizeof(float));
+      memcpy(cats + filled * 26, partial->cats.data() + partial_off * 26,
+             take * 26 * sizeof(int64_t));
+      memcpy(labels + filled, partial->labels.data() + partial_off,
+             take * sizeof(float));
+      filled += take;
+      partial_off += take;
+      if (partial_off >= partial->n) { partial.reset(); partial_off = 0; }
+    }
+    return filled;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* tfp_loader_open(const char* path, int threads, int64_t queue_cap) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  auto* L = new Loader();
+  L->f = f;
+  if (queue_cap > 0) L->queue_cap = queue_cap;
+  if (threads < 1) threads = 1;
+  L->active_parsers = threads;
+  L->threads.emplace_back([L] { L->reader(); });
+  for (int i = 0; i < threads; ++i)
+    L->threads.emplace_back([L] { L->parser(); });
+  return L;
+}
+
+int64_t tfp_loader_next(void* loader, int64_t want, float* numeric,
+                        int64_t* cats, float* labels) {
+  if (!loader) return -1;
+  return static_cast<Loader*>(loader)->next(want, numeric, cats, labels);
+}
+
+void tfp_loader_close(void* loader) {
+  if (!loader) return;
+  auto* L = static_cast<Loader*>(loader);
+  {
+    std::unique_lock<std::mutex> lk(L->mu);
+    L->closing = true;
+    L->cv_chunk_space.notify_all();
+    L->cv_chunk_avail.notify_all();
+    L->cv_block_space.notify_all();
+    L->cv_block_avail.notify_all();
+  }
+  for (auto& t : L->threads) t.join();
+  fclose(L->f);
+  delete L;
+}
+
 }  // extern "C"

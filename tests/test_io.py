@@ -126,3 +126,56 @@ class TestNative:
         numeric, cats, labels, consumed = out
         assert len(labels) == 1
         assert consumed == blob.index(b"incomplete")
+
+
+class TestCriteoLoader:
+    """Native multithreaded loader (tfp_loader_*) vs the one-shot parser."""
+
+    def _mkfile(self, tmp_path, n=3000, trailing_newline=False):
+        rng = np.random.RandomState(7)
+        lines = []
+        for _ in range(n):
+            ints = ["" if rng.rand() < .2 else str(rng.randint(0, 1000))
+                    for _ in range(13)]
+            cats = ["" if rng.rand() < .1
+                    else format(rng.randint(0, 1 << 32), "08x")
+                    for _ in range(26)]
+            lines.append("\t".join([str(rng.randint(0, 2))] + ints + cats))
+        p = tmp_path / "criteo.tsv"
+        p.write_text("\n".join(lines) + ("\n" if trailing_newline else ""))
+        return str(p), n
+
+    def test_matches_parser_totals(self, tmp_path):
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        path, n = self._mkfile(tmp_path)
+        rn, rc, rl, _ = native.parse_criteo_batch(
+            open(path, "rb").read() + b"\n", n + 10)
+        tot, s_lab, s_cat = 0, 0.0, 0
+        with native.CriteoLoader(path, 256, threads=4) as L:
+            for numeric, cats, labels in L:
+                tot += len(labels)
+                s_lab += float(labels.sum())
+                s_cat += int(cats.astype(np.int64).sum())
+        assert tot == n == len(rl)
+        assert abs(s_lab - float(rl.sum())) < 1e-3
+        assert s_cat == int(rc.astype(np.int64).sum())
+
+    def test_single_thread_order_and_trailing_newline(self, tmp_path):
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        path, n = self._mkfile(tmp_path, n=500, trailing_newline=True)
+        rn, rc, rl, _ = native.parse_criteo_batch(
+            open(path, "rb").read(), n + 10)
+        with native.CriteoLoader(path, 200, threads=1) as L:
+            batches = list(L)
+        got_l = np.concatenate([b[2] for b in batches])
+        got_c = np.concatenate([b[1] for b in batches])
+        np.testing.assert_array_equal(got_l, rl)
+        np.testing.assert_array_equal(got_c, rc)
+
+    def test_missing_file(self):
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        with pytest.raises(FileNotFoundError):
+            native.CriteoLoader("/nonexistent/file.tsv", 64)

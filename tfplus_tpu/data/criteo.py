@@ -33,10 +33,28 @@ def available(path: Optional[str] = None) -> Optional[str]:
 
 
 def batches(path: str, batch_size: int,
-            max_batches: Optional[int] = None) -> Iterator[Dict[str, np.ndarray]]:
-    """Stream batches; uses the native C++ parser when available (~50x faster
-    than the Python line loop), falling back transparently."""
+            max_batches: Optional[int] = None, *,
+            threads: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+    """Stream batches.
+
+    ``threads > 1`` uses the native multithreaded prefetching loader
+    (io.native.CriteoLoader — reader thread + parser pool + bounded queue,
+    ~1.1 M rows/s at 8 threads on this host; row order not preserved).
+    ``threads in (0, 1)`` keeps deterministic order via the one-shot native
+    parser (~0.35 M rows/s), falling back to pure Python without the .so."""
     from ..io import native as _native
+    if threads > 1 and _native.available():
+        n_out = 0
+        with _native.CriteoLoader(path, batch_size, threads=threads) as ld:
+            for numeric, cats, labels in ld:
+                if len(labels) < batch_size:
+                    break  # fixed shapes for jit; drop the short tail
+                yield {"numeric": numeric, "categorical": cats,
+                       "label": labels}
+                n_out += 1
+                if max_batches and n_out >= max_batches:
+                    return
+        return
     if _native.available():
         yield from _batches_native(path, batch_size, max_batches)
         return

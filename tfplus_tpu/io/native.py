@@ -59,6 +59,16 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.tfp_fnv1a64_batch.argtypes = [
             ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.POINTER(ctypes.c_uint64)]
+        lib.tfp_loader_open.restype = ctypes.c_void_p
+        lib.tfp_loader_open.argtypes = [ctypes.c_char_p, ctypes.c_int,
+                                        ctypes.c_int64]
+        lib.tfp_loader_next.restype = ctypes.c_int64
+        lib.tfp_loader_next.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_float)]
+        lib.tfp_loader_close.restype = None
+        lib.tfp_loader_close.argtypes = [ctypes.c_void_p]
         _LIB = lib
         return _LIB
 
@@ -124,3 +134,67 @@ def parse_criteo_batch(buf: bytes, max_rows: int):
         ctypes.byref(consumed))
     rows = int(rows)
     return numeric[:rows], cats[:rows], labels[:rows], int(consumed.value)
+
+
+class CriteoLoader:
+    """Multithreaded prefetching Criteo TSV loader (native runtime).
+
+    A C++ reader thread streams the file in line-aligned ~4 MB chunks; a
+    parser-thread pool converts them to row blocks behind a bounded queue
+    (tfp_loader_* in native/tfplus_native.cc). Replaces the reference's
+    tf.data C++ input pipeline (example/dcn/train.py TextLineDataset).
+
+    Row order across chunks is NOT preserved for ``threads > 1`` — use
+    ``threads=1`` for deterministic order. Iterate or call :meth:`next`;
+    the final batch may be short; ``None`` marks end-of-stream.
+    """
+
+    def __init__(self, path: str, batch_size: int, *, threads: int = 4,
+                 queue_cap: int = 8):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("native library unavailable — use the "
+                               "python reader in tfplus_tpu.data.criteo")
+        self._lib = lib
+        self._batch = int(batch_size)
+        self._h = lib.tfp_loader_open(path.encode(), int(threads),
+                                      int(queue_cap))
+        if not self._h:
+            raise FileNotFoundError(path)
+
+    def next(self):
+        numeric = np.zeros((self._batch, 13), np.float32)
+        cats = np.zeros((self._batch, 26), np.int64)
+        labels = np.zeros((self._batch,), np.float32)
+        got = self._lib.tfp_loader_next(
+            self._h, self._batch,
+            numeric.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            cats.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            labels.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+        if got <= 0:
+            return None
+        return numeric[:got], cats[:got], labels[:got]
+
+    def __iter__(self):
+        while True:
+            b = self.next()
+            if b is None:
+                return
+            yield b
+
+    def close(self):
+        if getattr(self, "_h", None):
+            self._lib.tfp_loader_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
