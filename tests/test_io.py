@@ -179,3 +179,24 @@ class TestCriteoLoader:
             pytest.skip("native lib unavailable")
         with pytest.raises(FileNotFoundError):
             native.CriteoLoader("/nonexistent/file.tsv", 64)
+
+
+class TestProgressBar:
+    def test_draws_and_completes(self):
+        import io
+        from tfplus_tpu.utils.progress import ProgressBar
+        buf = io.StringIO()
+        with ProgressBar("restore", total=3, stream=buf, enabled=True) as bar:
+            for _ in range(3):
+                bar.update(1)
+        out = buf.getvalue()
+        assert "restore" in out and "100.0%" in out
+
+    def test_disabled_is_silent(self):
+        import io
+        from tfplus_tpu.utils.progress import ProgressBar
+        buf = io.StringIO()
+        bar = ProgressBar("x", total=5, stream=buf, enabled=False)
+        bar.update(5)
+        bar.done()
+        assert buf.getvalue() == ""

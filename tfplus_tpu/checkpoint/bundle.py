@@ -146,6 +146,13 @@ class BundleReader:
     def shape(self, name: str):
         return tuple(self._index[name]["shape"])
 
+    def num_elements(self, name: str) -> int:
+        """Leading-axis length of a tensor, 0 if absent (cheap index read)."""
+        e = self._index.get(name)
+        if not e or not e["shape"]:
+            return 0
+        return int(e["shape"][0])
+
     def dtype(self, name: str):
         return np.dtype(self._index[name]["dtype"])
 

@@ -170,6 +170,7 @@ def restore(prefix: str, tables: Dict[str, TableOrShards],
     Returns ``(tables, dense)``.
     """
     from . import repartition
+    from ..utils.progress import ProgressBar, MIN_ROWS_FOR_BAR
     reader = bundle.BundleReader(prefix)
     out: Dict[str, TableOrShards] = {}
     for name, t in tables.items():
@@ -177,13 +178,26 @@ def restore(prefix: str, tables: Dict[str, TableOrShards],
         n_want = len(want)
         n_ckpt = int(reader.lookup(name + "-num_shards")[0]) \
             if name + "-num_shards" in reader else 1
+        # progress for big restores (reference: utils/progress_bar.{h,cc},
+        # drawn during long restores)
+        ckpt_rows = sum(
+            reader.num_elements(shard_name(name, i, n_ckpt) + "-keys") or 0
+            for i in range(n_ckpt)) if hasattr(reader, "num_elements") else 0
+        bar = ProgressBar(f"restore {name}", total=max(n_want, 1),
+                          enabled=None if ckpt_rows >= MIN_ROWS_FOR_BAR
+                          else False)
         if n_ckpt == n_want:
-            shards = [restore_table(reader, shard_name(name, i, n_want),
-                                    want[i], delta=delta)
-                      for i in range(n_want)]
+            shards = []
+            for i in range(n_want):
+                shards.append(restore_table(
+                    reader, shard_name(name, i, n_want), want[i],
+                    delta=delta))
+                bar.update(1)
         else:
             shards = repartition.restore_repartitioned(
                 reader, name, want, n_ckpt, delta=delta)
+            bar.update(n_want)
+        bar.done()
         out[name] = shards if isinstance(t, (list, tuple)) else shards[0]
     new_dense = None
     if dense is not None:
