@@ -57,7 +57,9 @@ def main():
     path = criteo.available(args.data)
     if path:
         print("using real criteo data:", path)
-        train_iter = criteo.batches(path, args.batch_size, args.train_batches)
+        # threads>1 → native multithreaded prefetching loader (io/native.py)
+        train_iter = criteo.batches(path, args.batch_size, args.train_batches,
+                                    threads=8)
         eval_iter = criteo.batches(path, args.batch_size, args.eval_batches)
     else:
         print("criteo TSV not found — using planted criteo-like stream")
