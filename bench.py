@@ -111,6 +111,42 @@ def bench_dcn_examples_per_s():
     return bs / dt
 
 
+def bench_inference_lookup():
+    """Serving path: lookup_or_zeros throughput (ids/s) on a 1M-row table."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from tfplus_tpu import kv
+
+    dim, capacity, n, reps = 128, 1 << 20, 1 << 15, 30
+    t = kv.create(dim, capacity, max_probes=16, seed=0)
+    rng = np.random.RandomState(0)
+    ids = kv.encode_ids_np_to_device(
+        rng.choice(capacity * 4, n, replace=False).astype(np.int64))
+    t = kv.lookup_or_insert(t, ids).table
+
+    ids_flip = jnp.flip(ids, axis=0)
+
+    @jax.jit
+    def run(t, ids, ids_flip):
+        def body(i, acc):
+            # alternate the id order so the loop body is loop-variant —
+            # otherwise XLA hoists the lookup out of the while loop and the
+            # measurement is fiction (PERF.md lesson)
+            idsi = jnp.where((i % 2) == 0, ids, ids_flip)
+            rows = kv.lookup_or_zeros(t, idsi)
+            return acc + rows[0, 0]
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros(()))
+
+    o = run(t, ids, ids_flip)
+    np.asarray(jax.device_get(o))
+    t0 = time.perf_counter()
+    o = run(t, ids, ids_flip)
+    np.asarray(jax.device_get(o))
+    dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / reps
+    return n / dt
+
+
 def main():
     if os.environ.get("BENCH_CPU"):
         import jax
@@ -194,6 +230,10 @@ def main():
         dcn_eps = round(bench_dcn_examples_per_s(), 0)
     except Exception:
         dcn_eps = None
+    try:
+        infer_ips = round(bench_inference_lookup(), 0)
+    except Exception:
+        infer_ips = None
 
     print(json.dumps({
         "metric": "fused_lookup_update_bandwidth",
@@ -211,6 +251,7 @@ def main():
             "flash_attention_tflops_bf16": fa_tflops,
             "flash_attention_grad_tflops_bf16": fa_bwd_tflops,
             "dcn_train_examples_per_s_per_chip": dcn_eps,
+            "inference_lookup_ids_per_s": infer_ips,
         },
     }))
 
