@@ -172,7 +172,7 @@ def main():
     t = kv.lookup_or_insert(t, ids).table
 
     def one_step(t, ids, step):
-        res = kv.lookup_or_insert(t, ids)
+        res = kv.lookup_or_insert(t, ids, defer_meta=True)
         g = res.rows * 0.001 + 0.01    # synthetic gradient, depends on rows
         return opt.apply(res.table, res.slot, g, lr=0.01, step=step,
                          payload_rows=res.payload_rows,

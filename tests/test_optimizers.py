@@ -489,3 +489,47 @@ class TestGroupTemplateGoldens:
             var = self._solve(linear, y, 0.0, 0.0, 0.0, DIM)
             m, v = m_new, v_new
         np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+
+class TestDeferredMetaWrite:
+    def test_defer_meta_equivalent_to_eager(self):
+        """lookup(defer_meta=True) + apply(meta_rows=...) must leave the
+        table in exactly the state of the eager two-write path."""
+        import numpy as np
+        from tfplus_tpu import kv, train as tft
+        opt = tft.AdagradOptimizer()
+
+        def run(defer):
+            t = opt.init(kv.create(8, 256, seed=3))
+            ids = kv.encode_ids_np_to_device(
+                np.arange(1, 40, dtype=np.uint64) * 31)
+            for step in range(1, 4):
+                res = kv.lookup_or_insert(t, ids, day=10 + step,
+                                          defer_meta=defer)
+                g = res.rows * 0.01 + 0.001
+                t = opt.apply(res.table, res.slot, g, lr=0.1, step=step,
+                              payload_rows=res.payload_rows,
+                              meta_rows=res.meta_rows)
+            return t
+
+        a, b = run(False), run(True)
+        np.testing.assert_array_equal(np.asarray(a.meta), np.asarray(b.meta))
+        np.testing.assert_array_equal(np.asarray(a.payload),
+                                      np.asarray(b.payload))
+
+    def test_defer_ignored_with_freq_filter(self):
+        """enter_threshold > 0 must force the eager lookup meta write (a
+        filtered row's freq count would otherwise be lost in apply)."""
+        import numpy as np
+        from tfplus_tpu import kv, train as tft
+        opt = tft.AdagradOptimizer()
+        t = opt.init(kv.create(8, 256, seed=3, enter_threshold=5))
+        ids = kv.encode_ids_np_to_device(np.arange(1, 10, dtype=np.uint64))
+        res = kv.lookup_or_insert(t, ids, defer_meta=True)
+        # freq=1 < threshold: apply skips the rows, but the lookup's meta
+        # write must have landed anyway
+        t2 = opt.apply(res.table, res.slot, res.rows * 0 + 1.0, lr=0.1,
+                       step=1, payload_rows=res.payload_rows,
+                       meta_rows=res.meta_rows)
+        counts = np.asarray(kv.get_count(t2, ids))
+        np.testing.assert_array_equal(counts, 1)

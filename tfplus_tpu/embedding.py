@@ -64,7 +64,8 @@ class Lookup(NamedTuple):
 
 def lookup_unique(table: kvt.KvTable, ids, *, train: bool = True,
                   valid: Optional[jnp.ndarray] = None,
-                  day: int | jnp.ndarray = 0):
+                  day: int | jnp.ndarray = 0,
+                  defer_meta: bool = False):
     """Dedup ids then gather (inserting on miss when training).
 
     Mirrors ``KvVariable.sparse_read`` routing on IS_TRAINING
@@ -79,7 +80,8 @@ def lookup_unique(table: kvt.KvTable, ids, *, train: bool = True,
     uvalid = ~hashing.is_empty(u.unique_keys)
     if train:
         res = kvt.lookup_or_insert(table, u.unique_keys, counts=u.counts,
-                                   valid=uvalid, day=day)
+                                   valid=uvalid, day=day,
+                                   defer_meta=defer_meta)
         rows, slot, new_table = res.rows, res.slot, res.table
         prow, mrow = res.payload_rows, res.meta_rows
     else:

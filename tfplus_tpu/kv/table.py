@@ -352,7 +352,8 @@ def lookup_or_insert(table: KvTable,
                      *,
                      valid: Optional[jnp.ndarray] = None,
                      day: int | jnp.ndarray = 0,
-                     mark_delta: bool = True) -> LookupResult:
+                     mark_delta: bool = True,
+                     defer_meta: bool = False) -> LookupResult:
     """Training-path gather: find each key, insert misses with init-pool rows.
 
     Parity: KvVariableGatherOrInsert(WithCounts) (kernels/kv_variable_ops.cc:
@@ -404,8 +405,16 @@ def lookup_or_insert(table: KvTable,
     touch = FLAG_TOUCH_BOTH if mark_delta else jnp.uint32(0)
     upd_meta = packing.saturating_add_freq(old_meta, counts, day) \
         | jnp.where(newly, FLAG_TOUCH_BOTH, touch)
-    meta = table.meta.at[jnp.where(ok, placed, table.capacity)].set(
-        upd_meta, mode="drop")
+    # defer_meta: the train step promises an optimizer.apply over the SAME
+    # slots in the same jit, passing this result's meta_rows — apply's meta
+    # scatter then carries the freq/day/touch update too, saving one 32k-row
+    # scatter per step. Only valid without a frequency filter (a filtered
+    # row's freq update would otherwise be dropped by apply).
+    if defer_meta and table.config.enter_threshold == 0:
+        meta = table.meta
+    else:
+        meta = table.meta.at[jnp.where(ok, placed, table.capacity)].set(
+            upd_meta, mode="drop")
 
     new_table = dataclasses.replace(table, keys=new_keys, payload=payload,
                                     meta=meta)

@@ -122,8 +122,11 @@ def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
                 bs = enc.shape[0]
                 tagged.append(kvm.tag_ids(enc, logical_ids[name]))
             all_ids = jnp.concatenate(tagged, axis=0)      # [n_names*B, 2]
+            # defer_meta: apply() below re-writes the meta word from this
+            # lookup's meta_rows — one metadata scatter per step
             look, tables[key] = emb.lookup_unique(tables[key], all_ids,
-                                                  train=train)
+                                                  train=train,
+                                                  defer_meta=train)
             looks[key] = look
             metas[key] = (names, bs)
 
@@ -172,7 +175,8 @@ def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
         looks = {}
         for name in sorted(tables):
             look, tables[name] = emb.lookup_unique(
-                tables[name], batch["ids"][name], train=train)
+                tables[name], batch["ids"][name], train=train,
+                defer_meta=train)
             looks[name] = look
 
         def loss_fn(dense, rows: Dict[str, jnp.ndarray]):
