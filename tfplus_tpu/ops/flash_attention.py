@@ -37,10 +37,17 @@ _LANES = 128
 
 
 def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
-                o_ref, l_ref, m_ref,
-                m_scr, l_scr, acc_scr,
-                *, causal, sm_scale, block_q, block_k, kv_len, mask_value,
-                use_segments):
+                *out_and_scratch,
+                causal, sm_scale, block_q, block_k, kv_len, mask_value,
+                use_segments, save_residuals):
+    # l/m residuals are only materialised on the VJP path — the plain
+    # forward call skips two [B,H,S,LANES] f32 HBM writes (they dominated
+    # fwd-only time: 512 MB/call at the bench shape)
+    if save_residuals:
+        o_ref, l_ref, m_ref, m_scr, l_scr, acc_scr = out_and_scratch
+    else:
+        (o_ref, m_scr, l_scr, acc_scr) = out_and_scratch
+        l_ref = m_ref = None
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -50,14 +57,7 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    # causal: skip KV tiles entirely above the diagonal
-    if causal:
-        should_run = ((q_idx + 1) * block_q - 1) >= (kv_idx * block_k)
-    else:
-        should_run = True
-
-    @pl.when(should_run)
-    def _run():
+    def _run(apply_causal_mask):
         # feed native (bf16) operands to the MXU, accumulate f32 — casting
         # to f32 first would force 4-8x slower f32 MXU passes
         q = q_ref[0, 0]                              # [bq, d]
@@ -68,7 +68,7 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
             s = s * sm_scale
 
         mask = None
-        if causal:
+        if apply_causal_mask:
             row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
                 + q_idx * block_q
             col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
@@ -99,6 +99,18 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
         acc_scr[...] += jax.lax.dot(p.astype(v.dtype), v,
                                     preferred_element_type=jnp.float32)
 
+    if causal:
+        # run only tiles touching/below the diagonal; pay the iota-mask VPU
+        # work only on tiles the diagonal actually crosses (fully-below
+        # tiles are unmasked — the official kernel's schedule)
+        last_row = (q_idx + 1) * block_q - 1
+        should_run = last_row >= (kv_idx * block_k)
+        fully_below = ((kv_idx + 1) * block_k - 1) <= (q_idx * block_q)
+        pl.when(should_run & fully_below)(lambda: _run(False))
+        pl.when(should_run & ~fully_below)(lambda: _run(True))
+    else:
+        _run(False)
+
     @pl.when(kv_idx == (kv_len // block_k) - 1)
     def _store():
         l = l_scr[...][:, :1]
@@ -109,13 +121,16 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
         never_hit = m_scr[...][:, :1] <= (0.5 * mask_value)
         o = jnp.where(never_hit, 0.0, acc_scr[...] * l_inv)
         o_ref[0, 0] = o.astype(o_ref.dtype)
-        l_ref[0, 0] = jnp.where(never_hit, 0.0, l_scr[...]).astype(l_ref.dtype)
-        m_ref[0, 0] = m_scr[...].astype(m_ref.dtype)
+        if save_residuals:
+            l_ref[0, 0] = jnp.where(never_hit, 0.0,
+                                    l_scr[...]).astype(l_ref.dtype)
+            m_ref[0, 0] = m_scr[...].astype(m_ref.dtype)
 
 
 def _fwd_single_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
-                       o_ref, l_ref, m_ref,
-                       *, sm_scale, block_q, mask_value, use_segments):
+                       o_ref, l_ref=None, m_ref=None,
+                       *, sm_scale, block_q, mask_value, use_segments,
+                       save_residuals):
     """Whole-KV-in-one-block specialization: when the entire key sequence
     fits a single VMEM block there is nothing to accumulate across steps —
     the online-softmax m/l carry, the acc rescale and the scratch traffic
@@ -142,15 +157,17 @@ def _fwd_single_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = jnp.where(never_hit, 0.0, o / l_safe).astype(o_ref.dtype)
-    l_ref[0, 0] = jnp.broadcast_to(jnp.where(never_hit, 0.0, l),
-                                   (block_q, _LANES)).astype(l_ref.dtype)
-    m_ref[0, 0] = jnp.broadcast_to(m, (block_q, _LANES)).astype(m_ref.dtype)
+    if save_residuals:
+        l_ref[0, 0] = jnp.broadcast_to(jnp.where(never_hit, 0.0, l),
+                                       (block_q, _LANES)).astype(l_ref.dtype)
+        m_ref[0, 0] = jnp.broadcast_to(m, (block_q, _LANES)).astype(m_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_q", "interpret"))
-def _fwd_single(q, k, v, q_seg, kv_seg, *, sm_scale, block_q, interpret):
+    static_argnames=("sm_scale", "block_q", "interpret", "save_residuals"))
+def _fwd_single(q, k, v, q_seg, kv_seg, *, sm_scale, block_q, interpret,
+                save_residuals=True):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     block_q = min(block_q, sq)
@@ -165,8 +182,17 @@ def _fwd_single(q, k, v, q_seg, kv_seg, *, sm_scale, block_q, interpret):
     kv_seg3 = kv_seg.reshape(b, 1, skv)
     kernel = functools.partial(
         _fwd_single_kernel, sm_scale=sm_scale, block_q=block_q,
-        mask_value=DEFAULT_MASK_VALUE, use_segments=use_segments)
-    out, l, m = pl.pallas_call(
+        mask_value=DEFAULT_MASK_VALUE, use_segments=use_segments,
+        save_residuals=save_residuals)
+    lm_specs = [
+        pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi: (bi, hi, qi, 0)),
+    ]
+    lm_shapes = [
+        jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
+    ]
+    outs = pl.pallas_call(
         kernel,
         grid=(b, h, sq // block_q),
         in_specs=[
@@ -178,19 +204,18 @@ def _fwd_single(q, k, v, q_seg, kv_seg, *, sm_scale, block_q, interpret):
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi: (bi, hi, qi, 0)),
-        ],
+        ] + (lm_specs if save_residuals else []),
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
-        ],
+        ] + (lm_shapes if save_residuals else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
     )(q_seg3, kv_seg3, q, k, v)
-    return out, l[..., 0], m[..., 0]
+    if save_residuals:
+        out, l, m = outs
+        return out, l[..., 0], m[..., 0]
+    return outs[0], None, None
 
 
 # whole-KV single-step limit: s/p tiles are [block_q, Skv] f32 in VMEM
@@ -199,9 +224,10 @@ _SINGLE_STEP_MAX_KV = 4096
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"))
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
+                     "save_residuals"))
 def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
-         interpret):
+         interpret, save_residuals=True):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     block_q = min(block_q, sq)
@@ -222,9 +248,17 @@ def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_k=block_k, kv_len=skv, mask_value=DEFAULT_MASK_VALUE,
-        use_segments=use_segments)
+        use_segments=use_segments, save_residuals=save_residuals)
 
-    out, l, m = pl.pallas_call(
+    lm_specs = [
+        pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+        pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
+    ]
+    lm_shapes = [
+        jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
+    ]
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -236,14 +270,10 @@ def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-        ],
+        ] + (lm_specs if save_residuals else []),
         out_shape=[
             jax.ShapeDtypeStruct(q.shape, q.dtype),
-            jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
-            jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
-        ],
+        ] + (lm_shapes if save_residuals else []),
         scratch_shapes=[
             pltpu.VMEM((block_q, _LANES), jnp.float32),
             pltpu.VMEM((block_q, _LANES), jnp.float32),
@@ -254,7 +284,10 @@ def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
                                  "arbitrary")),
         interpret=interpret,
     )(q_seg3, kv_seg3, q, k, v)
-    return out, l[..., 0], m[..., 0]
+    if save_residuals:
+        out, l, m = outs
+        return out, l[..., 0], m[..., 0]
+    return outs[0], None, None
 
 
 def _bwd_mask(s, causal, q_idx, kv_idx, block_q, block_k, use_segments,
@@ -495,16 +528,18 @@ def reference_attention(q, k, v, *, causal=False, sm_scale=None,
 
 
 def _fwd_dispatch(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
-                  interpret):
+                  interpret, save_residuals):
     """Route to the single-step kernel when the whole KV sequence fits one
     VMEM block and there is no causal tile-skipping to exploit (causal
     measured FASTER tiled: skipping above-diagonal tiles outweighs the
     saved online-softmax VPU work)."""
     if not causal and k.shape[2] <= _SINGLE_STEP_MAX_KV:
         return _fwd_single(q, k, v, q_seg, kv_seg, sm_scale=sm_scale,
-                           block_q=block_q, interpret=interpret)
+                           block_q=block_q, interpret=interpret,
+                           save_residuals=save_residuals)
     return _fwd(q, k, v, q_seg, kv_seg, causal=causal, sm_scale=sm_scale,
-                block_q=block_q, block_k=block_k, interpret=interpret)
+                block_q=block_q, block_k=block_k, interpret=interpret,
+                save_residuals=save_residuals)
 
 
 @functools.partial(jax.custom_vjp,
@@ -512,14 +547,16 @@ def _fwd_dispatch(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
 def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
            interpret):
     out, _, _ = _fwd_dispatch(q, k, v, q_seg, kv_seg, causal, sm_scale,
-                              block_q, block_k, interpret)
+                              block_q, block_k, interpret,
+                              save_residuals=False)
     return out
 
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
                interpret):
     out, l, m = _fwd_dispatch(q, k, v, q_seg, kv_seg, causal, sm_scale,
-                              block_q, block_k, interpret)
+                              block_q, block_k, interpret,
+                              save_residuals=True)
     return out, (q, k, v, q_seg, kv_seg, out, l, m)
 
 
