@@ -258,15 +258,29 @@ def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
         jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
         jax.ShapeDtypeStruct((b, h, sq, _LANES), jnp.float32),
     ]
+    if causal:
+        # skipped above-diagonal grid steps would still DMA their K/V
+        # blocks — clamp the index map to the diagonal block so Mosaic sees
+        # the same block as the previous step and elides the fetch
+        # (halves K/V HBM traffic; the compute skip alone doesn't)
+        def ki_map(bi, hi, qi, ki):
+            return jnp.minimum(ki, ((qi + 1) * block_q - 1) // block_k)
+    else:
+        def ki_map(bi, hi, qi, ki):
+            return ki
+
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
-            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, hi, qi, ki: (bi, 0, ki_map(bi, hi, qi, ki))),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, qi, ki: (bi, hi, ki_map(bi, hi, qi, ki), 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, qi, ki: (bi, hi, ki_map(bi, hi, qi, ki), 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -431,6 +445,16 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
     di4 = di.reshape(b, h, 1, sq)
 
     # --- dk/dv: iterate q tiles per kv tile -------------------------------
+    # causal: q tiles strictly above the diagonal are compute-skipped; clamp
+    # their index maps forward to the first contributing q block so Mosaic
+    # elides the block fetches too (mirrors the fwd kernel's ki_map)
+    if causal:
+        def qi_map(bi, hi, ki, qi):
+            return jnp.maximum(qi, (ki * block_k) // block_q)
+    else:
+        def qi_map(bi, hi, ki, qi):
+            return qi
+
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_k=block_k, q_len=sq, mask_value=DEFAULT_MASK_VALUE,
@@ -439,13 +463,19 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
         dkv_kernel,
         grid=(b, h, skv // block_k, sq // block_q),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q), lambda bi, hi, ki, qi: (bi, 0, qi)),
+            pl.BlockSpec((1, 1, block_q),
+                         lambda bi, hi, ki, qi: (bi, 0, qi_map(bi, hi, ki, qi))),
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, qi: (bi, 0, ki)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, ki, qi: (bi, hi, qi, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, ki, qi: (bi, hi, 0, qi)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, hi, ki, qi: (bi, hi, qi_map(bi, hi, ki, qi), 0)),
+            pl.BlockSpec((1, 1, block_q, d),
+                         lambda bi, hi, ki, qi: (bi, hi, qi_map(bi, hi, ki, qi), 0)),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda bi, hi, ki, qi: (bi, hi, 0, qi_map(bi, hi, ki, qi))),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda bi, hi, ki, qi: (bi, hi, 0, qi_map(bi, hi, ki, qi))),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda bi, hi, ki, qi: (bi, hi, 0, qi_map(bi, hi, ki, qi))),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
             pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, ki, qi: (bi, hi, ki, 0)),
         ],
@@ -468,14 +498,24 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
         _bwd_dq_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_k=block_k, kv_len=skv, mask_value=DEFAULT_MASK_VALUE,
         use_segments=use_segments)
+    if causal:
+        def dq_ki_map(bi, hi, qi, ki):
+            return jnp.minimum(ki, ((qi + 1) * block_q - 1) // block_k)
+    else:
+        def dq_ki_map(bi, hi, qi, ki):
+            return ki
+
     dq = pl.pallas_call(
         dq_kernel,
         grid=(b, h, sq // block_q, skv // block_k),
         in_specs=[
             pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
-            pl.BlockSpec((1, 1, block_k), lambda bi, hi, qi, ki: (bi, 0, ki)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
-            pl.BlockSpec((1, 1, block_k, d), lambda bi, hi, qi, ki: (bi, hi, ki, 0)),
+            pl.BlockSpec((1, 1, block_k),
+                         lambda bi, hi, qi, ki: (bi, 0, dq_ki_map(bi, hi, qi, ki))),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, qi, ki: (bi, hi, dq_ki_map(bi, hi, qi, ki), 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bi, hi, qi, ki: (bi, hi, dq_ki_map(bi, hi, qi, ki), 0)),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
             pl.BlockSpec((1, 1, 1, block_q), lambda bi, hi, qi, ki: (bi, hi, 0, qi)),
