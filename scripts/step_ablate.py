@@ -98,12 +98,12 @@ timeit("D wide payload scatter", scatter_only, (t.payload, jnp.zeros(())))
 
 # --- E. meta scatter only --------------------------------------------------
 def meta_scatter_only(state, i):
-    m, acc = state
+    h, acc = state
     upd = (jnp.full((n,), 3, jnp.uint32) + i.astype(jnp.uint32))
-    m = m.at[slot_dev].set(upd, mode="drop")
-    return m, acc
+    h = kvt._set_meta_at(h, slot_dev, upd)
+    return h, acc
 
-timeit("E meta scatter", meta_scatter_only, (t.meta, jnp.zeros(())))
+timeit("E meta scatter", meta_scatter_only, (t.header, jnp.zeros(())))
 
 
 # --- F. meta gather only ---------------------------------------------------
@@ -155,10 +155,10 @@ def step_no_math(state, i):
     import dataclasses
     upd = res.payload_rows + (i * jnp.float32(1e-8))
     payload = rowops.scatter_rows(res.table.payload, res.slot, upd)
-    meta = res.table.meta.at[jnp.where(res.slot >= 0, res.slot,
-                                       tt.capacity)].set(
-        res.meta_rows, mode="drop")
-    tt = dataclasses.replace(res.table, payload=payload, meta=meta)
+    header = kvt._set_meta_at(res.table.header,
+                              jnp.where(res.slot >= 0, res.slot, tt.capacity),
+                              res.meta_rows)
+    tt = dataclasses.replace(res.table, payload=payload, header=header)
     return tt, acc
 
 timeit("I full minus rule math", step_no_math, (t, jnp.zeros(())))

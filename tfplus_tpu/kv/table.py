@@ -93,16 +93,73 @@ class KvConfig:
         return out
 
 
+def _meta_i32(m: jnp.ndarray) -> jnp.ndarray:
+    """uint32 packed meta → bit-identical int32 (header lane storage)."""
+    return jax.lax.bitcast_convert_type(m, jnp.int32)
+
+
+def _meta_u32(m: jnp.ndarray) -> jnp.ndarray:
+    return jax.lax.bitcast_convert_type(m, jnp.uint32)
+
+
+# planar header flat-position helpers: slot idx -> positions of its lanes
+# in header.reshape(-1). Buckets are 64-lane rows (16 slots x 4 fields).
+def _hpos_lo(idx):
+    return (idx >> 4) * 64 + (idx & 15)
+
+
+def _hpos_hi(idx):
+    return (idx >> 4) * 64 + 16 + (idx & 15)
+
+
+def _hpos_meta(idx):
+    return (idx >> 4) * 64 + 32 + (idx & 15)
+
+
+def _set_meta_at(header: jnp.ndarray, idx: jnp.ndarray,
+                 meta: jnp.ndarray) -> jnp.ndarray:
+    """Scatter packed meta words at slot indices ``idx`` (entries == capacity
+    are dropped; callers use the capacity sentinel, never negatives)."""
+    flat = header.reshape(-1)
+    flat = flat.at[_hpos_meta(idx)].set(_meta_i32(meta), mode="drop")
+    return flat.reshape(header.shape)
+
+
+def _set_all_meta(header: jnp.ndarray, meta: jnp.ndarray) -> jnp.ndarray:
+    """Replace the whole meta plane (meta is uint32[C])."""
+    g = header.shape[0]
+    v = header.reshape(g, 4, -1)
+    v = v.at[:, 2, :].set(_meta_i32(meta).reshape(g, -1))
+    return v.reshape(header.shape)
+
+
+def _empty_header(num_buckets: int) -> jnp.ndarray:
+    """All-empty planar header: key lanes = EMPTY sentinel, meta/pad = 0."""
+    row = jnp.concatenate([
+        jnp.full((32,), hashing.EMPTY_LO, jnp.int32),   # lo & hi lanes (-1)
+        jnp.zeros((32,), jnp.int32),                    # meta + pad lanes
+    ])
+    return jnp.broadcast_to(row, (num_buckets, 64)).copy()
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KvTable:
-    keys: jnp.ndarray                  # int32[C, 2]
+    # Bucket-PLANAR control array: one 64-lane row per 16-slot bucket —
+    # lanes 0-15 = key_lo of the bucket's slots, 16-31 = key_hi,
+    # 32-47 = packed meta (bitcast uint32), 48-63 = pad. Keys and meta
+    # share the array so ONE 256 B bucket gather feeds the whole probe
+    # (keys AND candidate meta); the planar lane grouping makes field
+    # extraction free lane slices. Measured (32k ids, 1M rows, v5e):
+    # planar find 0.35 ms vs 0.68 for split keys[C,2]+meta[C] (the meta
+    # gather) vs 0.92 for an interleaved [C,4] header (minor-dim-4 gathers
+    # and reshapes are Mosaic-hostile). See PERF.md.
+    header: jnp.ndarray                # int32[C // 16, 64]
     # ONE physical array per table: embedding columns [:, :D] followed by
     # optimizer slot segments (config.slot_layout). Random row writes are
     # issue-bound per (row, op) on TPU (~85 ns/row regardless of width,
     # PERF.md), so one wide scatter beats separate values+slot scatters 2x.
     payload: jnp.ndarray               # vdtype[C, D + Σk·D]
-    meta: jnp.ndarray                  # uint32[C] packed freq|day|flags
     init_pool: jnp.ndarray             # vdtype[P, D]
     # deletion log for delta checkpoints (reference: DeltaExport delete lists,
     # dynamic_save.hpp:197-450). Fixed ring; overflow forces need_full_import.
@@ -113,11 +170,26 @@ class KvTable:
 
     @property
     def capacity(self) -> int:
-        return self.keys.shape[0]
+        return self.header.shape[0] * _B
 
     @property
     def dim(self) -> int:
         return self.config.dim
+
+    # keys/meta VIEWS of the planar header (materialise a [C, ...] copy).
+    # Fine for whole-array reads (export, stats, eviction sweeps); hot
+    # paths read meta from the probe gather instead, and mutations write
+    # header lanes directly.
+    @property
+    def keys(self) -> jnp.ndarray:
+        v = self.header.reshape(-1, 4, _B)
+        return jnp.stack([v[:, 0, :].reshape(-1), v[:, 1, :].reshape(-1)],
+                         axis=-1)
+
+    @property
+    def meta(self) -> jnp.ndarray:
+        v = self.header.reshape(-1, 4, _B)
+        return _meta_u32(v[:, 2, :].reshape(-1))
 
     # Convenience VIEWS (column slices of the payload). Fine host-side and
     # for whole-array reads; do NOT gather/scatter through them in jitted
@@ -136,6 +208,8 @@ class FindResult(NamedTuple):
     slot: jnp.ndarray         # int32[N]; -1 if not found
     found: jnp.ndarray        # bool[N]
     insert_slot: jnp.ndarray  # int32[N]; first free candidate (-1 if chain full)
+    meta: jnp.ndarray         # uint32[N] packed meta of the found slot (0 if none)
+    # — comes free from the probe's bucket gather (header co-location)
 
 
 class LookupResult(NamedTuple):
@@ -187,9 +261,8 @@ def create(dim: int,
             raise ValueError(f"init pool must be [P, {dim}], got {pool.shape}")
     empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], dtype=jnp.int32)
     return KvTable(
-        keys=jnp.broadcast_to(empty_row, (capacity, 2)).copy(),
+        header=_empty_header(capacity // _B),
         payload=jnp.zeros((capacity, dim), dtype=value_dtype),
-        meta=jnp.zeros((capacity,), dtype=jnp.uint32),
         init_pool=pool,
         deleted_keys=jnp.broadcast_to(empty_row, (DELETED_LOG_CAPACITY, 2)).copy(),
         deleted_count=jnp.zeros((), jnp.int32),
@@ -205,28 +278,26 @@ def create(dim: int,
 _B = hashing.BUCKET_SIZE
 
 
-def _candidates(table_keys: jnp.ndarray, q: jnp.ndarray):
-    """All 32 candidate slots (two contiguous 16-slot buckets) per key.
+def _bucket_scan(g: jnp.ndarray, q: jnp.ndarray, valid: jnp.ndarray):
+    """Scan ONE gathered planar bucket ``g`` [N, 64] for a key match and the
+    first free lane. Field extraction is free lane slicing (planar layout);
+    everything else is VPU compares + min-reduces — no further gathers.
 
-    Returns ``(b1, b2, cand_keys int32[N, 32, 2])`` via two (1, 16, 2)-slice
-    gathers — the TPU-fast probe shape. Candidate *positions* are derived
-    arithmetically from (b1, b2) by callers — materialising a pos[N, 32]
-    array and take_along_axis-ing it costs extra per-row gathers.
-    """
-    cap = table_keys.shape[0]
-    b1, b2 = hashing.bucket_choices(q, cap)
-    kv_view = table_keys.reshape(cap // _B, _B, 2)
-    c1 = kv_view[b1]                       # [N, 16, 2]
-    c2 = kv_view[b2]
-    cand = jnp.concatenate([c1, c2], axis=1)
-    return b1, b2, cand
-
-
-def _pos_of_j(b1: jnp.ndarray, b2: jnp.ndarray, j: jnp.ndarray) -> jnp.ndarray:
-    """Slot position of probe-order candidate ``j`` ∈ [0, 32): bucket-1 lanes
-    first, then bucket-2 lanes (pure arithmetic — no gathers)."""
-    base = jnp.where(j < _B, b1, b2)
-    return base * _B + (j & (_B - 1))
+    Returns ``(mj, fj, meta)``: first matching lane, first free lane (both
+    == _B when none) and the matched slot's packed meta (0 when none; at
+    most one lane matches, so a masked sum extracts it)."""
+    lo = g[:, :_B]
+    hi = g[:, _B:2 * _B]
+    match = (lo == q[:, :1]) & (hi == q[:, 1:2]) & valid[:, None]
+    free = ((lo == hashing.EMPTY_LO) | (lo == hashing.TOMB_LO)) \
+        & (hi == hashing.EMPTY_HI)
+    big = jnp.int32(_B)
+    j = jnp.arange(_B, dtype=jnp.int32)[None, :]
+    mj = jnp.min(jnp.where(match, j, big), axis=1)
+    fj = jnp.min(jnp.where(free, j, big), axis=1)
+    meta = jnp.sum(jnp.where(match, _meta_u32(g[:, 2 * _B:3 * _B]),
+                             jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+    return mj, fj, meta
 
 
 def find(table: KvTable, q: jnp.ndarray,
@@ -235,7 +306,8 @@ def find(table: KvTable, q: jnp.ndarray,
 
     Mirrors TableManager find semantics (table_manager.h:167-190) without
     locks. Bucketized two-choice hashing scans all 32 candidates, so
-    deletions need no chain repair (tombstones == empties here).
+    deletions need no chain repair (tombstones == empties here). Two
+    256 B planar bucket gathers feed the whole probe, keys AND meta.
     """
     n = q.shape[0]
     if valid is None:
@@ -243,25 +315,28 @@ def find(table: KvTable, q: jnp.ndarray,
     else:
         valid = valid & ~hashing.is_reserved_id(q)
 
-    b1, b2, cand = _candidates(table.keys, q)
-    match = hashing.keys_equal(cand, q[:, None, :]) & valid[:, None]
-    free = hashing.is_free(cand)
+    b1, b2 = hashing.bucket_choices(q, table.capacity)
+    g1 = table.header[b1]                  # [N, 64]
+    g2 = table.header[b2]
+    mj1, fj1, meta1 = _bucket_scan(g1, q, valid)
+    mj2, fj2, meta2 = _bucket_scan(g2, q, valid)
 
-    # first match / first free in probe order via a min-reduce over the
-    # order index; the slot position is then reconstructed arithmetically
-    # (take_along_axis here lowered to 32k-slice gathers, ~0.4 ms/step)
-    big = jnp.int32(2 * _B)
-    j = jnp.arange(2 * _B, dtype=jnp.int32)[None, :]
-    mj = jnp.min(jnp.where(match, j, big), axis=1)
-    found = mj < big
-    slot = jnp.where(found, _pos_of_j(b1, b2, mj), -1)
-    fj = jnp.min(jnp.where(free, j, big), axis=1)
-    has_free = (fj < big) & valid
-    ins = jnp.where(has_free, _pos_of_j(b1, b2, fj), -1)
-    return FindResult(slot=slot, found=found, insert_slot=ins)
+    big = jnp.int32(_B)
+    f1 = mj1 < big
+    f2 = mj2 < big
+    found = f1 | f2
+    slot = jnp.where(f1, b1 * _B + mj1,
+                     jnp.where(f2, b2 * _B + mj2, -1))
+    meta = jnp.where(f1, meta1, meta2)
+    hf1 = fj1 < big
+    hf2 = fj2 < big
+    has_free = (hf1 | hf2) & valid
+    ins_pos = jnp.where(hf1, b1 * _B + fj1, b2 * _B + fj2)
+    ins = jnp.where(has_free, ins_pos, -1)
+    return FindResult(slot=slot, found=found, insert_slot=ins, meta=meta)
 
 
-def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
+def _claim_insert(header: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
                   max_probes: int):
     """Deterministic parallel insert of **unique** keys.
 
@@ -271,12 +346,16 @@ def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
     read-lock→upgrade-to-writer protocol (table_manager.h:172-189) with a
     deterministic data-parallel schedule.
 
-    Returns ``(new_keys_arr, placed int32[N] (-1 = overflow))``.
+    Returns ``(new_header, placed int32[N] (-1 = overflow))``. Claimed rows
+    get meta 0 (free slots hold meta 0 by invariant, so this is a no-op
+    semantically; callers stamp real meta afterwards).
     """
     n = q.shape[0]
-    cap = keys_arr.shape[0]
+    cap = header.shape[0] * _B
     iota = jnp.arange(n, dtype=jnp.int32)
     b1, b2 = hashing.bucket_choices(q, cap)
+    q_lo = q[:, 0]
+    q_hi = q[:, 1]
 
     def pos_at(j):
         in_b1 = j < _B
@@ -284,23 +363,27 @@ def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
         lane = jnp.where(in_b1, j, j - _B)
         return base * _B + lane
 
+    def read_key(flat, pos):
+        return jnp.stack([flat[_hpos_lo(pos)], flat[_hpos_hi(pos)]], axis=-1)
+
     def round_body(state):
-        j, karr, placed = state
+        j, flat, placed = state
         active = need & (placed < 0)
         pos = pos_at(j)
-        cur = karr[pos]
+        cur = read_key(flat, pos)
         attempt = active & hashing.is_free(cur)
         claim = jnp.full((cap,), n, dtype=jnp.int32)
         claim = claim.at[pos].min(jnp.where(attempt, iota, n), mode="drop")
         won = attempt & (claim[pos] == iota)
         scatter_idx = jnp.where(won, pos, cap)   # cap = OOB → dropped
-        karr = karr.at[scatter_idx].set(q, mode="drop")
+        flat = flat.at[_hpos_lo(scatter_idx)].set(q_lo, mode="drop")
+        flat = flat.at[_hpos_hi(scatter_idx)].set(q_hi, mode="drop")
         # duplicate safety: instances of the same key probe in lockstep, so
         # a claim loser whose slot now holds ITS key was raced by its own
         # twin — adopt that slot instead of claiming a second one
-        dup_hit = active & hashing.keys_equal(karr[pos], q)
+        dup_hit = active & hashing.keys_equal(read_key(flat, pos), q)
         placed = jnp.where(won | dup_hit, pos, placed)
-        return j + 1, karr, placed
+        return j + 1, flat, placed
 
     def round_cond(state):
         j, _, placed = state
@@ -313,10 +396,11 @@ def _claim_insert(keys_arr: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
     def skip(state):
         return state
 
-    init = (jnp.zeros((), jnp.int32), keys_arr, jnp.full((n,), -1, jnp.int32))
+    init = (jnp.zeros((), jnp.int32), header.reshape(-1),
+            jnp.full((n,), -1, jnp.int32))
     # skip all insert work when the batch has no misses (the steady state)
-    _, karr, placed = jax.lax.cond(jnp.any(need), run, skip, init)
-    return karr, placed
+    _, flat, placed = jax.lax.cond(jnp.any(need), run, skip, init)
+    return flat.reshape(header.shape), placed
 
 
 # ---------------------------------------------------------------------------
@@ -382,7 +466,8 @@ def lookup_or_insert(table: KvTable,
 
     fr = find(table, q, valid)
     need = valid & ~fr.found
-    new_keys, placed_new = _claim_insert(table.keys, q, need, table.config.max_probes)
+    new_header, placed_new = _claim_insert(table.header, q, need,
+                                           table.config.max_probes)
     placed = jnp.where(fr.found, fr.slot, placed_new)
     ok = valid & (placed >= 0)
     overflow = jnp.any(need & (placed_new < 0))
@@ -407,13 +492,12 @@ def lookup_or_insert(table: KvTable,
     payload = jax.lax.cond(jnp.any(newly), _write_new, lambda p: p,
                            table.payload)
 
-    # --- metadata: ONE gather + ONE scatter covers freq count, day stamp,
-    # delta-touch bits and (preserved) blacklist bit ------------------------
+    # --- metadata: freq count, day stamp, delta-touch bits and (preserved)
+    # blacklist bit. The OLD meta came free with the probe gather (fr.meta;
+    # 0 for new rows by the free-slot invariant) — no separate gather.
     day = jnp.asarray(day, dtype=jnp.uint32)
-    old_meta = jnp.where(newly, jnp.uint32(0),
-                         table.meta[jnp.where(ok, placed, 0)])
     touch = FLAG_TOUCH_BOTH if mark_delta else jnp.uint32(0)
-    upd_meta = packing.saturating_add_freq(old_meta, counts, day) \
+    upd_meta = packing.saturating_add_freq(fr.meta, counts, day) \
         | jnp.where(newly, FLAG_TOUCH_BOTH, touch)
     # defer_meta: the train step promises an optimizer.apply over the SAME
     # slots in the same jit, passing this result's meta_rows — apply's meta
@@ -421,13 +505,12 @@ def lookup_or_insert(table: KvTable,
     # scatter per step. Only valid without a frequency filter (a filtered
     # row's freq update would otherwise be dropped by apply).
     if defer_meta and table.config.enter_threshold == 0:
-        meta = table.meta
+        header = new_header
     else:
-        meta = table.meta.at[jnp.where(ok, placed, table.capacity)].set(
-            upd_meta, mode="drop")
+        header = _set_meta_at(new_header,
+                              jnp.where(ok, placed, table.capacity), upd_meta)
 
-    new_table = dataclasses.replace(table, keys=new_keys, payload=payload,
-                                    meta=meta)
+    new_table = dataclasses.replace(table, header=header, payload=payload)
     prow = _gather_payload(new_table, placed, ok)
     rows = _rows_view(new_table, prow, ok, upd_meta)
     return LookupResult(rows=rows, slot=jnp.where(ok, placed, -1),
@@ -443,7 +526,7 @@ def lookup_or_zeros(table: KvTable, q: jnp.ndarray,
     when ``IS_TRAINING`` is false (kv_variable_ops.py:1057-1113).
     """
     fr = find(table, q, valid)
-    return _gather_rows(table, fr.slot, fr.found)
+    return _gather_rows(table, fr.slot, fr.found, fr.meta)
 
 
 def lookup_with_init(table: KvTable, q: jnp.ndarray,
@@ -452,7 +535,7 @@ def lookup_with_init(table: KvTable, q: jnp.ndarray,
     (parity: KvVariableGather with use_init_value,
     kernels/kv_variable_ops.cc:633-701)."""
     fr = find(table, q, valid)
-    rows = _gather_rows(table, fr.slot, fr.found)
+    rows = _gather_rows(table, fr.slot, fr.found, fr.meta)
     if valid is None:
         valid = ~hashing.is_reserved_id(q)
     miss = valid & ~fr.found
@@ -479,7 +562,8 @@ def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
         valid = valid & ~hashing.is_reserved_id(q)
     fr = find(table, q, valid)
     need = valid & ~fr.found
-    new_keys, placed_new = _claim_insert(table.keys, q, need, table.config.max_probes)
+    new_header, placed_new = _claim_insert(table.header, q, need,
+                                           table.config.max_probes)
     placed = jnp.where(fr.found, fr.slot, placed_new)
     ok = valid & (placed >= 0)
     idx = jnp.where(ok, placed, table.capacity)
@@ -504,8 +588,8 @@ def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
     fl = jnp.broadcast_to(FLAG_TOUCH_BOTH, (n,)).astype(jnp.uint32)
     if blacklist is not None:
         fl = fl | jnp.where(blacklist, FLAG_BLACKLIST, jnp.uint32(0))
-    meta = table.meta.at[idx].set(packing.pack(freq, day, fl), mode="drop")
-    return dataclasses.replace(table, keys=new_keys, payload=payload, meta=meta)
+    header = _set_meta_at(new_header, idx, packing.pack(freq, day, fl))
+    return dataclasses.replace(table, header=header, payload=payload)
 
 
 _SCATTER_OPS = ("update", "add", "sub", "mul", "div", "min", "max")
@@ -549,9 +633,9 @@ def scatter(table: KvTable, q: jnp.ndarray, updates: jnp.ndarray, op: str,
     wide = jnp.concatenate([out, cur_wide[:, dim:]], axis=1)
     payload = rowops.scatter_rows(t.payload, jnp.where(ok, res.slot, -1), wide)
     # writing a row clears its blacklist bit (re-activation)
-    meta = t.meta.at[idx].set(
-        (res.meta_rows | FLAG_TOUCH_BOTH) & ~FLAG_BLACKLIST, mode="drop")
-    return dataclasses.replace(t, payload=payload, meta=meta)
+    header = _set_meta_at(t.header, idx,
+                          (res.meta_rows | FLAG_TOUCH_BOTH) & ~FLAG_BLACKLIST)
+    return dataclasses.replace(t, payload=payload, header=header)
 
 
 def _log_deletes(table: KvTable, q: jnp.ndarray,
@@ -580,13 +664,15 @@ def delete(table: KvTable, q: jnp.ndarray,
     deleted = fr.found
     idx = jnp.where(deleted, fr.slot, table.capacity)
     n = q.shape[0]
-    tomb = jnp.broadcast_to(
-        jnp.array([hashing.TOMB_LO, hashing.TOMB_HI], dtype=jnp.int32), (n, 2))
-    keys = table.keys.at[idx].set(tomb, mode="drop")
-    meta = table.meta.at[idx].set(jnp.zeros((n,), jnp.uint32), mode="drop")
+    # tombstone key + zero meta: three lane scatters into the planar header
+    flat = table.header.reshape(-1)
+    flat = flat.at[_hpos_lo(idx)].set(hashing.TOMB_LO, mode="drop")
+    flat = flat.at[_hpos_hi(idx)].set(hashing.TOMB_HI, mode="drop")
+    flat = flat.at[_hpos_meta(idx)].set(0, mode="drop")
+    header = flat.reshape(table.header.shape)
     zero_rows = jnp.zeros((n, table.payload.shape[1]), table.payload.dtype)
     payload = table.payload.at[idx].set(zero_rows, mode="drop")
-    out = dataclasses.replace(table, keys=keys, payload=payload, meta=meta)
+    out = dataclasses.replace(table, header=header, payload=payload)
     return _log_deletes(out, q, deleted), deleted
 
 
@@ -600,12 +686,16 @@ def delete_with_timestamp(table: KvTable, threshold_days: int,
     # 13-bit day ring: wraparound-safe age, thresholds < 4096 days
     age = packing.day_age(day, packing.get_day(table.meta))
     evict = occ & (age > threshold_days)
-    tomb = jnp.array([hashing.TOMB_LO, hashing.TOMB_HI], dtype=jnp.int32)
-    keys = jnp.where(evict[:, None], tomb, table.keys)
-    meta = jnp.where(evict, jnp.uint32(0), table.meta)
+    # whole-array planar sweep: per-field replacement where evicted
+    g = table.header.shape[0]
+    v = table.header.reshape(g, 4, _B)
+    ev = evict.reshape(g, 1, _B)
+    repl = jnp.array([hashing.TOMB_LO, hashing.TOMB_HI, 0, 0],
+                     dtype=jnp.int32).reshape(1, 4, 1)
+    header = jnp.where(ev, repl, v).reshape(table.header.shape)
     payload = jnp.where(evict[:, None], jnp.zeros((), table.payload.dtype),
                         table.payload)
-    out = dataclasses.replace(table, keys=keys, payload=payload, meta=meta)
+    out = dataclasses.replace(table, header=header, payload=payload)
     # log evicted keys (pre-tombstone identities) for delta export
     return _log_deletes(out, table.keys, evict), evict
 
@@ -633,16 +723,14 @@ def sum_freq(table: KvTable) -> jnp.ndarray:
 def get_count(table: KvTable, q: jnp.ndarray) -> jnp.ndarray:
     """Per-key visit frequency (parity: KvVariableGetCount)."""
     fr = find(table, q)
-    safe = jnp.where(fr.found, fr.slot, 0)
-    return jnp.where(fr.found, packing.get_freq(table.meta[safe]),
+    return jnp.where(fr.found, packing.get_freq(fr.meta),
                      jnp.uint32(0)).astype(jnp.int32)
 
 
 def get_timestamp(table: KvTable, q: jnp.ndarray) -> jnp.ndarray:
     """Per-key last-update day (parity: KvVariableGetTimeStamp)."""
     fr = find(table, q)
-    safe = jnp.where(fr.found, fr.slot, 0)
-    return jnp.where(fr.found, packing.get_day(table.meta[safe]),
+    return jnp.where(fr.found, packing.get_day(fr.meta),
                      jnp.uint32(0)).astype(jnp.int32)
 
 
@@ -662,8 +750,7 @@ def stats(table: KvTable) -> dict:
         "blacklisted": int(jax.device_get(jnp.sum((occ & black).astype(jnp.int32)))),
         "delta_pending": int(jax.device_get(jnp.sum((occ & touched).astype(jnp.int32)))),
         "deleted_log": int(jax.device_get(table.deleted_count)),
-        "bytes": int(table.payload.nbytes
-                     + table.keys.nbytes + table.meta.nbytes),
+        "bytes": int(table.payload.nbytes + table.header.nbytes),
     }
 
 
@@ -732,19 +819,16 @@ def set_slot_rows(table: KvTable, name: str, idx: jnp.ndarray,
 def _rehash(table: KvTable, new_capacity: int) -> KvTable:
     old_cap = table.capacity
     occ = occupied_mask(table)
-    empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], dtype=jnp.int32)
-    new_keys = jnp.broadcast_to(empty_row, (new_capacity, 2)).copy()
+    new_header = _empty_header(new_capacity // _B)
     # Re-inserting C keys needs enough probe rounds even at momentary clustering.
-    new_keys, placed = _claim_insert(new_keys, table.keys, occ,
-                                     max(table.config.max_probes, 32))
+    new_header, placed = _claim_insert(new_header, table.keys, occ,
+                                       max(table.config.max_probes, 32))
     idx = jnp.where(occ & (placed >= 0), placed, new_capacity)
     w = table.payload.shape[1]
     new_payload = jnp.zeros((new_capacity, w), table.payload.dtype).at[idx].set(
         table.payload, mode="drop")
-    new_meta = jnp.zeros((new_capacity,), jnp.uint32).at[idx].set(
-        table.meta, mode="drop")
-    return dataclasses.replace(table, keys=new_keys, payload=new_payload,
-                               meta=new_meta)
+    new_header = _set_meta_at(new_header, idx, table.meta)
+    return dataclasses.replace(table, header=new_header, payload=new_payload)
 
 
 def grow(table: KvTable, new_capacity: Optional[int] = None) -> KvTable:
@@ -830,7 +914,7 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
                                dtype=jnp.uint32)
         empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], jnp.int32)
         out["table"] = dataclasses.replace(
-            table, meta=new_meta,
+            table, header=_set_all_meta(table.header, new_meta),
             deleted_keys=jnp.broadcast_to(
                 empty_row, table.deleted_keys.shape).copy(),
             deleted_count=jnp.zeros((), jnp.int32),
@@ -895,8 +979,8 @@ def import_arrays(table: KvTable, data: Dict[str, np.ndarray], *,
         packed = jnp.asarray(((days.astype(np.uint32) & packing.DAY_MASK) << 16)
                              | (freq & packing.FREQ_MASK) | fl,
                              dtype=jnp.uint32)
-        meta = table.meta.at[idx].set(packed, mode="drop")
-        table = dataclasses.replace(table, meta=meta)
+        header = _set_meta_at(table.header, idx, packed)
+        table = dataclasses.replace(table, header=header)
     if delete_keys is not None and np.asarray(delete_keys).size:
         qd = hashing.encode_ids_np_to_device(np.asarray(delete_keys))
         table, _ = delete(table, qd)

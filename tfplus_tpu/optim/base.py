@@ -68,13 +68,16 @@ class SparseOptimizer:
         """
         if use_scan:
             from ..ops import scan_update
+            # table.meta is a header-column view; the scan kernel streams
+            # the whole table anyway, so materialising it is in-budget
             vo, meta = scan_update.scan_apply(
                 table.payload, table.meta, slot_idx,
                 grads, None, self.rule, dim=table.config.dim,
                 lr=lr, step=step, day=day,
                 enter_threshold=table.config.enter_threshold,
                 interpret=jax.default_backend() != "tpu")
-            return dataclasses.replace(table, payload=vo, meta=meta)
+            header = kvt._set_all_meta(table.header, meta)
+            return dataclasses.replace(table, payload=vo, header=header)
         n = slot_idx.shape[0]
         cap = table.capacity
         dim = table.config.dim
@@ -131,6 +134,6 @@ class SparseOptimizer:
                                  new_meta & ~kvt.FLAG_BLACKLIST)
         else:
             new_meta = new_meta & ~kvt.FLAG_BLACKLIST
-        meta = table.meta.at[idx].set(new_meta, mode="drop")
+        header = kvt._set_meta_at(table.header, idx, new_meta)
 
-        return dataclasses.replace(table, payload=payload, meta=meta)
+        return dataclasses.replace(table, payload=payload, header=header)
