@@ -99,8 +99,16 @@ def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
                           dense_tx: optax.GradientTransformation, *,
                           sparse_lr: float, train: bool = True,
                           donate: bool = True) -> Callable:
-    """Jitted step over dim-grouped multi-tables (see init_state_multi)."""
-    from ..kv import hashing, multi as kvm
+    """Jitted step over dim-grouped multi-tables (see init_state_multi).
+
+    Dedup runs PER LOGICAL TABLE (many small sorts pipeline fine), then the
+    already-unique id sets are tag-concatenated — tags make them disjoint
+    across tables, so the fused probe/gather/apply runs once per dim group
+    with NO global dedup. A global sort over the concatenated batch was
+    the superlinear cost that made the first fused attempt 3x slower than
+    per-table steps (PERF.md).
+    """
+    from ..kv import hashing, multi as kvm, unique as kvu
     groups = _dim_groups(model)
     logical_ids = {}
     for dim, names in groups.items():
@@ -109,33 +117,58 @@ def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
 
     def step_fn(state: TrainState, batch):
         tables = dict(state.tables)
-        looks = {}
-        metas = {}
+        looks = {}    # group key -> lookup result over fused unique ids
+        parts = {}    # group key -> (names, bs, per-name UniqueResult)
         for dim, names in groups.items():
             key = f"__group_{dim}"
+            uniqs, tagged, counts, valids = [], [], [], []
             bs = None
-            tagged = []
             for name in names:
                 ids = batch["ids"][name]
                 enc = (ids if (getattr(ids, "ndim", 1) == 2)
                        else hashing.encode_ids_raw(ids))
                 bs = enc.shape[0]
-                tagged.append(kvm.tag_ids(enc, logical_ids[name]))
+                u = kvu.unique_with_counts(enc)
+                uniqs.append(u)
+                # pad rows keep the EMPTY sentinel; mask them out BEFORE
+                # tagging (tagging would turn them into ordinary keys)
+                valids.append(~hashing.is_empty(u.unique_keys))
+                tagged.append(kvm.tag_ids(u.unique_keys, logical_ids[name]))
+                counts.append(u.counts)
             all_ids = jnp.concatenate(tagged, axis=0)      # [n_names*B, 2]
-            # defer_meta: apply() below re-writes the meta word from this
-            # lookup's meta_rows — one metadata scatter per step
-            look, tables[key] = emb.lookup_unique(tables[key], all_ids,
-                                                  train=train,
-                                                  defer_meta=train)
+            all_valid = jnp.concatenate(valids, axis=0)
+            all_counts = jnp.concatenate(counts, axis=0)
+            if train:
+                res = kvt.lookup_or_insert(tables[key], all_ids,
+                                           counts=all_counts,
+                                           valid=all_valid,
+                                           defer_meta=True)
+                rows, tables[key] = res.rows, res.table
+                look = emb.Lookup(rows=rows, slot=res.slot, inverse=None,
+                                  counts=all_counts, valid=all_valid,
+                                  num_unique=None,
+                                  payload_rows=res.payload_rows,
+                                  meta_rows=res.meta_rows)
+            else:
+                fr = kvt.find(tables[key], all_ids, all_valid)
+                rows = kvt._gather_rows(tables[key], fr.slot, fr.found,
+                                        fr.meta)
+                look = emb.Lookup(rows=rows,
+                                  slot=jnp.where(fr.found, fr.slot, -1),
+                                  inverse=None, counts=all_counts,
+                                  valid=all_valid, num_unique=None,
+                                  payload_rows=None, meta_rows=None)
             looks[key] = look
-            metas[key] = (names, bs)
+            parts[key] = (names, bs, uniqs)
 
         def loss_fn(dense, rows: Dict[str, jnp.ndarray]):
             embs = {}
-            for key, (names, bs) in metas.items():
-                flat = emb.gather(looks[key], rows[key])   # [n_names*B, D]
+            for key, (names, bs, uniqs) in parts.items():
+                flat = rows[key]                           # [n_names*B, D]
                 for j, name in enumerate(names):
-                    embs[name] = flat[j * bs:(j + 1) * bs]
+                    u = uniqs[j]
+                    uniq_rows = flat[j * bs:(j + 1) * bs]
+                    embs[name] = uniq_rows[u.inverse]      # expand to batch
             preds = model.apply(dense, embs, batch.get("features"))
             return model.loss(preds, batch["labels"]), preds
 
