@@ -94,6 +94,12 @@ class ExchangeState(NamedTuple):
     own_slot: Arr         # int32[S*K] owner-unique index -> table slot (-1 pad)
     own_counts: Arr       # int32[S*K] summed counts per owner-unique id
     overflow: Arr         # bool: bucket overflow (some ids dropped)
+    # raw payload/meta rows from the owner-side lookup (train mode) — passed
+    # to the fused optimizer apply so it skips its own gathers, and (with
+    # defer_meta) carries the freq/day/touch update in apply's one meta
+    # write (mirrors the single-table fused train path)
+    own_payload_rows: Optional[Arr] = None
+    own_meta_rows: Optional[Arr] = None
 
 
 def _bucket(keys: Arr, owner: Arr, valid: Arr, num_shards: int,
@@ -127,12 +133,18 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
                    valid: Optional[Arr] = None,
                    day: int | Arr = 0,
                    bucket_capacity: Optional[int] = None,
+                   defer_meta: bool = False,
                    ) -> Tuple[Arr, ExchangeState, kvt.KvTable]:
     """Per-device body (call inside ``shard_map``; sharded arrays arrive with
     leading axis 1). ``ids`` is this device's batch slice, rank-1 raw int32
     or [B,2] encoded.
 
     Returns ``(batch_rows [B_l, D], state, new_sharded_local)``.
+
+    ``defer_meta=True`` (train mode): the same jitted step MUST follow with
+    ``sharded_apply_grads`` over the returned state — the lookup defers its
+    metadata write into the apply (one meta write per step, as in the
+    single-table fused train path).
     """
     table = _squeeze(sharded_local)
     S = jax.lax.psum(1, axis_name)
@@ -168,13 +180,16 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
 
     if train:
         res = kvt.lookup_or_insert(table, ou.unique_keys, counts=osum,
-                                   valid=ovalid, day=day)
+                                   valid=ovalid, day=day,
+                                   defer_meta=defer_meta)
         own_rows, own_slot, table = res.rows, res.slot, res.table
         overflow = overflow | res.overflow
+        own_prow, own_mrow = res.payload_rows, res.meta_rows
     else:
         fr = kvt.find(table, ou.unique_keys, ovalid)
-        own_rows = kvt._gather_rows(table, fr.slot, fr.found)
+        own_rows = kvt._gather_rows(table, fr.slot, fr.found, fr.meta)
         own_slot = jnp.where(fr.found, fr.slot, -1)
+        own_prow = own_mrow = None
 
     # rows back to sources (mirror exchange)
     back_rows = own_rows[ou.inverse]                    # [S*cap, D]
@@ -194,7 +209,8 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
                           src_counts=u.counts, dest=dest,
                           own_inverse=ou.inverse, own_valid=rvalid,
                           own_slot=own_slot, own_counts=osum,
-                          overflow=overflow)
+                          overflow=overflow,
+                          own_payload_rows=own_prow, own_meta_rows=own_mrow)
     return batch_rows, state, _unsqueeze(table)
 
 
@@ -221,5 +237,7 @@ def sharded_apply_grads(opt: SparseOptimizer, sharded_local: kvt.KvTable,
     own_g = jax.ops.segment_sum(
         jnp.where(state.own_valid[:, None], recv, 0.0),
         state.own_inverse, num_segments=total)
-    table = opt.apply(table, state.own_slot, own_g, lr=lr, step=step)
+    table = opt.apply(table, state.own_slot, own_g, lr=lr, step=step,
+                      payload_rows=state.own_payload_rows,
+                      meta_rows=state.own_meta_rows)
     return _unsqueeze(table)
