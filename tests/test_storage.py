@@ -1,0 +1,334 @@
+"""Hybrid storage tier tests (kv/storage.py).
+
+Reference analogue: StorageTableInterface / MemStorageTable / TableManager
+tier indirection (hybrid_embedding/storage_table.h:41-196,
+table_manager.h:45-544). The OSS drop ships the memory tier only; our second
+tier is host DRAM, so these tests pin the tier-move invariants: a key lives
+in exactly one tier, rows migrate with full payload (values + optimizer
+slots) and packed meta intact, and checkpoints see the union.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tfplus_tpu import kv, optim
+from tfplus_tpu.kv import storage
+from tfplus_tpu.utils import packing
+
+
+def ids(*xs):
+    return kv.encode_ids_np_to_device(np.array(xs, dtype=np.int64))
+
+
+def u64(*xs):
+    return np.array(xs, dtype=np.uint64)
+
+
+def lookup_freqs(table, raw):
+    return np.asarray(jax.device_get(kv.get_count(table, ids(*raw))))
+
+
+class TestHostStorageTier:
+    def test_put_take_roundtrip(self):
+        t = storage.HostStorageTier(dim=4, payload_width=4)
+        pay = np.arange(12, dtype=np.float32).reshape(3, 4)
+        meta = np.array([1, 2, 3], np.uint32)
+        t.put(u64(10, 20, 30), pay, meta)
+        assert t.size == 3 and 20 in t and 99 not in t
+        found, p, m = t.take(u64(20, 99, 10))
+        np.testing.assert_array_equal(found, [True, False, True])
+        np.testing.assert_array_equal(p[0], pay[1])
+        np.testing.assert_array_equal(p[2], pay[0])
+        assert m[0] == 2 and m[2] == 1
+        assert t.size == 1  # take removes
+
+    def test_upsert_overwrites(self):
+        t = storage.HostStorageTier(dim=2, payload_width=2)
+        t.put(u64(5), np.ones((1, 2), np.float32), np.array([7], np.uint32))
+        t.put(u64(5), np.full((1, 2), 9.0, np.float32),
+              np.array([8], np.uint32))
+        assert t.size == 1
+        _, p, m = t.lookup_rows(u64(5))
+        assert p[0, 0] == 9.0 and m[0] == 8
+
+    def test_arena_growth_and_recycle(self):
+        t = storage.HostStorageTier(dim=2, payload_width=2)
+        n = 5000  # > initial arena
+        keys = np.arange(n, dtype=np.uint64)
+        t.put(keys, np.random.randn(n, 2).astype(np.float32),
+              np.arange(n, dtype=np.uint32))
+        assert t.size == n
+        t.delete(keys[:100])
+        assert t.size == n - 100
+        t.put(keys[:50], np.zeros((50, 2), np.float32),
+              np.zeros((50,), np.uint32))
+        assert t.size == n - 50
+
+    def test_capacity_bound(self):
+        t = storage.HostStorageTier(dim=2, payload_width=2, capacity=2)
+        t.put(u64(1, 2), np.zeros((2, 2), np.float32),
+              np.zeros((2,), np.uint32))
+        with pytest.raises(RuntimeError):
+            t.put(u64(3), np.zeros((1, 2), np.float32),
+                  np.zeros((1,), np.uint32))
+
+    def test_ensure_width_preserves_rows(self):
+        t = storage.HostStorageTier(dim=2, payload_width=2)
+        t.put(u64(1), np.array([[1.0, 2.0]], np.float32),
+              np.array([0], np.uint32))
+        t.ensure_width(6)
+        _, p, _ = t.lookup_rows(u64(1))
+        np.testing.assert_array_equal(p[0], [1, 2, 0, 0, 0, 0])
+
+
+class TestSpillPrefetch:
+    def _warm_table(self, dim=8, capacity=256):
+        """Table with hot keys (freq 5) and cold keys (freq 1)."""
+        table = kv.create(dim, capacity, seed=3)
+        hot = np.arange(0, 8, dtype=np.int64)
+        cold = np.arange(100, 108, dtype=np.int64)
+        for _ in range(5):
+            table = kv.lookup_or_insert(table, ids(*hot), day=10).table
+        table = kv.lookup_or_insert(table, ids(*cold), day=10).table
+        return table, hot, cold
+
+    def test_spill_by_min_freq(self):
+        table, hot, cold = self._warm_table()
+        tier = storage.HostStorageTier(8, table.payload.shape[1])
+        table, n = storage.spill(table, tier, min_freq=2)
+        assert n == len(cold)
+        assert tier.size == len(cold)
+        # device no longer has the cold rows...
+        z = np.asarray(jax.device_get(kv.lookup_or_zeros(table, ids(*cold))))
+        np.testing.assert_array_equal(z, 0)
+        # ...but still has the hot ones
+        assert (lookup_freqs(table, hot) == 5).all()
+
+    def test_spill_preserves_values_and_meta(self):
+        dim = 4
+        table = kv.create(dim, 256, seed=1)
+        rows = np.arange(8, dtype=np.float32).reshape(2, 4)
+        table = kv.insert(table, ids(7, 8), jnp.asarray(rows), day=42,
+                          freq=jnp.array([3, 4], jnp.uint32))
+        tier = storage.HostStorageTier(dim, table.payload.shape[1])
+        table, n = storage.spill(table, tier, min_freq=100)  # spill all
+        assert n == 2
+        found, p, m = tier.lookup_rows(u64(7, 8))
+        assert found.all()
+        np.testing.assert_allclose(p[:, :dim], rows)
+        np.testing.assert_array_equal(m & packing.FREQ_MASK, [3, 4])
+        np.testing.assert_array_equal((m >> 16) & packing.DAY_MASK, [42, 42])
+
+    def test_prefetch_restores_rows(self):
+        table, hot, cold = self._warm_table()
+        want = np.asarray(jax.device_get(
+            kv.lookup_or_zeros(table, ids(*cold))))
+        tier = storage.HostStorageTier(8, table.payload.shape[1])
+        table, _ = storage.spill(table, tier, min_freq=2)
+        table, n = storage.prefetch(table, tier, ids(*cold))
+        assert n == len(cold) and tier.size == 0
+        got = np.asarray(jax.device_get(kv.lookup_or_zeros(table, ids(*cold))))
+        np.testing.assert_allclose(got, want)
+        # freq survived the round trip
+        assert (lookup_freqs(table, cold) == 1).all()
+
+    def test_prefetch_unknown_ids_noop(self):
+        table, hot, cold = self._warm_table()
+        tier = storage.HostStorageTier(8, table.payload.shape[1])
+        table, _ = storage.spill(table, tier, min_freq=2)
+        table, n = storage.prefetch(table, tier, ids(5555, 6666))
+        assert n == 0 and tier.size == len(cold)
+
+    def test_spill_max_live_evicts_coldest(self):
+        table, hot, cold = self._warm_table()
+        tier = storage.HostStorageTier(8, table.payload.shape[1])
+        table, n = storage.spill(table, tier, max_live=len(hot))
+        assert n == len(cold)
+        # all spilled keys are the cold (freq-1) ones
+        spilled = set(int(k) for k in tier.live_rows()[0])
+        assert spilled == set(int(c) for c in cold)
+
+    def test_spill_by_age(self):
+        dim = 4
+        table = kv.create(dim, 256, seed=1)
+        table = kv.lookup_or_insert(table, ids(1, 2), day=10).table
+        table = kv.lookup_or_insert(table, ids(3, 4), day=50).table
+        tier = storage.HostStorageTier(dim, table.payload.shape[1])
+        table, n = storage.spill(table, tier, older_than_days=20, day=50)
+        assert n == 2
+        assert set(int(k) for k in tier.live_rows()[0]) == {1, 2}
+
+    def test_spill_preserves_optimizer_slots(self):
+        dim = 4
+        opt = optim.SparseOptimizer(optim.rules.Adagrad())
+        table = opt.init(kv.create(dim, 256, seed=2))
+        res = kv.lookup_or_insert(table, ids(1, 2, 3))
+        g = jnp.ones((3, dim)) * 0.5
+        table = opt.apply(res.table, res.slot, g, lr=0.1, step=1)
+        slot_before = np.asarray(jax.device_get(
+            kv.get_slot(table, opt.slot_name)[
+                jnp.where(kv.find(table, ids(1, 2, 3)).found,
+                          kv.find(table, ids(1, 2, 3)).slot, 0)]))
+        tier = storage.HostStorageTier(dim, table.payload.shape[1])
+        table, _ = storage.spill(table, tier, min_freq=100)
+        table, n = storage.prefetch(table, tier, ids(1, 2, 3))
+        assert n == 3
+        fr = kv.find(table, ids(1, 2, 3))
+        slot_after = np.asarray(jax.device_get(
+            kv.get_slot(table, opt.slot_name)[
+                jnp.where(fr.found, fr.slot, 0)]))
+        np.testing.assert_allclose(slot_after, slot_before)
+
+    def test_prefetch_grows_table(self):
+        dim = 4
+        table = kv.create(dim, 32, seed=1)
+        tier = storage.HostStorageTier(dim, dim)
+        n = 64
+        tier.put(np.arange(n, dtype=np.uint64),
+                 np.random.randn(n, dim).astype(np.float32),
+                 np.ones((n,), np.uint32))
+        table, promoted = storage.prefetch(table, tier,
+                                           np.arange(n, dtype=np.uint64))
+        assert promoted == n
+        assert table.capacity > 32
+        assert int(jax.device_get(kv.size(table))) == n
+
+
+class TestHybridCheckpoint:
+    def test_export_union(self):
+        dim = 4
+        table = kv.create(dim, 256, seed=5)
+        table = kv.lookup_or_insert(table, ids(1, 2, 3, 4)).table
+        tier = storage.HostStorageTier(dim, table.payload.shape[1])
+        table, _ = storage.spill(table, tier, max_live=2)
+        ex = storage.export_hybrid_arrays(table, tier)
+        assert set(ex["keys"].astype(np.int64)) == {1, 2, 3, 4}
+        assert ex["values"].shape == (4, dim)
+        assert ex["meta"].shape == (4,)
+
+    def test_delta_export_includes_tier_rows(self):
+        dim = 4
+        table = kv.create(dim, 256, seed=5)
+        table = kv.lookup_or_insert(table, ids(1, 2, 3, 4)).table
+        tier = storage.HostStorageTier(dim, table.payload.shape[1])
+        # spill 2 touched rows, then delta-export: both tiers contribute
+        table, _ = storage.spill(table, tier, max_live=2)
+        ex = storage.export_hybrid_arrays(table, tier, delta=True)
+        assert set(ex["keys"].astype(np.int64)) == {1, 2, 3, 4}
+        table = ex["table"]
+        # second delta: nothing pending anywhere (both deltalists cleared)
+        ex2 = storage.export_hybrid_arrays(table, tier, delta=True)
+        assert ex2["keys"].size == 0
+
+    def test_restore_hybrid_split(self):
+        dim = 4
+        table = kv.create(dim, 256, seed=5)
+        # freq gradient: key k looked up k+1 times
+        for k in range(4):
+            for _ in range(k + 1):
+                table = kv.lookup_or_insert(table, ids(k)).table
+        tier0 = storage.HostStorageTier(dim, table.payload.shape[1])
+        ex = storage.export_hybrid_arrays(table, tier0)
+        template = kv.create(dim, 256, seed=5)
+        tier = storage.HostStorageTier(dim, dim)
+        restored = storage.restore_hybrid_split(template, tier, ex,
+                                                max_live=2)
+        assert int(jax.device_get(kv.size(restored))) == 2
+        assert tier.size == 2
+        # hot rows (highest freq = keys 2, 3) on device
+        fr = kv.find(restored, ids(2, 3))
+        assert np.asarray(jax.device_get(fr.found)).all()
+        # cold rows promotable with exact values
+        want = {int(k): v for k, v in
+                zip(ex["keys"].astype(np.int64), ex["values"])}
+        restored, n = storage.prefetch(restored, tier, u64(0, 1))
+        assert n == 2
+        got = np.asarray(jax.device_get(kv.lookup_or_zeros(restored, ids(0, 1))))
+        np.testing.assert_allclose(got[0], want[0])
+        np.testing.assert_allclose(got[1], want[1])
+
+    def test_restore_hybrid_split_with_slots(self):
+        dim = 4
+        opt = optim.SparseOptimizer(optim.rules.Adagrad())
+        table = opt.init(kv.create(dim, 256, seed=2))
+        res = kv.lookup_or_insert(table, ids(1, 2, 3, 4))
+        table = opt.apply(res.table, res.slot, jnp.ones((4, dim)),
+                          lr=0.1, step=1)
+        tier0 = storage.HostStorageTier(dim, table.payload.shape[1])
+        ex = storage.export_hybrid_arrays(table, tier0)
+        slots = {opt.slot_name: ex[f"slot-{opt.slot_name}"]}
+        template = opt.init(kv.create(dim, 256, seed=2))
+        tier = storage.HostStorageTier(dim, dim)
+        restored = storage.restore_hybrid_split(template, tier, ex,
+                                                max_live=2, slots=slots)
+        restored, _ = storage.prefetch(
+            restored, tier, ex["keys"].astype(np.uint64))
+        q = kv.encode_ids_np_to_device(ex["keys"])
+        fr = kv.find(restored, q)
+        assert np.asarray(jax.device_get(fr.found)).all()
+        got = np.asarray(jax.device_get(
+            kv.get_slot(restored, opt.slot_name)[
+                jnp.where(fr.found, fr.slot, 0)]))
+        np.testing.assert_allclose(got, ex[f"slot-{opt.slot_name}"],
+                                   rtol=1e-6)
+
+
+class TestHybridTableProtocol:
+    def test_train_loop_with_budget(self):
+        """Standard protocol: prefetch(ids) -> jitted step -> maybe_spill.
+        The device live count respects the budget while the logical table
+        keeps every row."""
+        dim = 8
+        opt = optim.SparseOptimizer(optim.rules.Adagrad())
+        ht = storage.HybridTable(opt.init(kv.create(dim, 512, seed=0)),
+                                 max_live=64)
+
+        @jax.jit
+        def step(table, q, step_no):
+            res = kv.lookup_or_insert(table, q)
+            # toy loss: pull rows toward zero
+            g = res.rows * 0.1
+            return opt.apply(res.table, res.slot, g, lr=0.5, step=step_no)
+
+        rng = np.random.RandomState(0)
+        seen = set()
+        for s in range(1, 9):
+            raw = rng.randint(0, 400, size=32).astype(np.int64)
+            seen.update(int(x) for x in np.unique(raw))
+            q = kv.encode_ids_np_to_device(np.unique(raw))
+            ht.prefetch(np.unique(raw).astype(np.uint64))
+            ht.table = step(ht.table, q, s)
+            ht.maybe_spill()
+            dev_live = int(jax.device_get(kv.size(ht.table)))
+            assert dev_live <= 64
+        assert ht.logical_size == len(seen)
+        st = ht.stats()
+        assert st["logical_size"] == len(seen)
+
+    def test_rows_keep_training_across_spills(self):
+        """A row spilled and later promoted continues training from its
+        exact state: two runs — one with spill/prefetch churn, one without —
+        produce identical values."""
+        dim = 4
+        opt = optim.SparseOptimizer(optim.rules.Adam())
+
+        def run(churn: bool):
+            table = opt.init(kv.create(dim, 256, seed=9))
+            tier = storage.HostStorageTier(dim, table.payload.shape[1])
+            q = ids(11, 22, 33)
+            for s in range(1, 6):
+                if churn:
+                    table, _ = storage.prefetch(
+                        table, tier, u64(11, 22, 33))
+                res = kv.lookup_or_insert(table, q)
+                table = opt.apply(res.table, res.slot,
+                                  jnp.full((3, dim), 0.25), lr=0.1, step=s)
+                if churn:
+                    table, _ = storage.spill(table, tier, max_live=0)
+            if churn:
+                table, _ = storage.prefetch(table, tier, u64(11, 22, 33))
+            return np.asarray(jax.device_get(
+                kv.lookup_or_zeros(table, q)))
+
+        np.testing.assert_allclose(run(True), run(False), rtol=1e-6)

@@ -16,12 +16,16 @@ from typing import Optional
 
 
 class StorageType(enum.IntEnum):
-    """storage_config.proto StorageType (MEM only in the OSS drop :3-10)."""
-    MEM_STORAGE = 0
+    """storage_config.proto StorageType (the OSS drop enumerates MEM only
+    :3-10 but the interface anticipates further tiers, storage_table.h:23-25).
+    HOST_MEM is our second tier: host-DRAM spill (kv/storage.py)."""
+    MEM_STORAGE = 0          # device HBM (the hot KvTable)
+    HOST_MEM_STORAGE = 1     # host-DRAM HostStorageTier
 
 
 class StorageCombination(enum.IntEnum):
     MEM = 0
+    MEM_HOST = 1             # HBM hot tier + host-DRAM spill (HybridTable)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -29,6 +33,11 @@ class KvStorageConfig:
     """KvOptions storage tier config (kv_variable_options.py:21-23)."""
     combination: StorageCombination = StorageCombination.MEM
     capacity: int = 0                # 0 = unbounded (grow on demand)
+    # MEM_HOST tier policy (kv/storage.py spill): device live-row budget and
+    # optional cold criteria; 0 = unset
+    max_live: int = 0
+    min_freq: int = 0
+    older_than_days: int = 0
 
 
 @dataclasses.dataclass(frozen=True)

@@ -592,6 +592,33 @@ def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
     return dataclasses.replace(table, header=header, payload=payload)
 
 
+def insert_raw(table: KvTable, q: jnp.ndarray, payload_rows: jnp.ndarray,
+               meta: jnp.ndarray, *,
+               valid: Optional[jnp.ndarray] = None) -> KvTable:
+    """Upsert FULL payload rows (embedding + slot columns) with exact packed
+    meta words — the storage-tier promotion / restore primitive. Unlike
+    :func:`insert` this writes the whole row verbatim (values, optimizer
+    slots, freq/day/flag bits), mirroring the reference's tier moves where a
+    row migrates between StorageTables with its EmbeddingValue intact
+    (hybrid_embedding/storage_table.h:41-71, table_manager.h:210-237).
+    ``q`` must be deduplicated."""
+    if valid is None:
+        valid = ~hashing.is_reserved_id(q)
+    else:
+        valid = valid & ~hashing.is_reserved_id(q)
+    fr = find(table, q, valid)
+    need = valid & ~fr.found
+    new_header, placed_new = _claim_insert(table.header, q, need,
+                                           table.config.max_probes)
+    placed = jnp.where(fr.found, fr.slot, placed_new)
+    ok = valid & (placed >= 0)
+    payload = rowops.scatter_rows(table.payload, jnp.where(ok, placed, -1),
+                                  payload_rows.astype(table.payload.dtype))
+    header = _set_meta_at(new_header, jnp.where(ok, placed, table.capacity),
+                          meta.astype(jnp.uint32))
+    return dataclasses.replace(table, header=header, payload=payload)
+
+
 _SCATTER_OPS = ("update", "add", "sub", "mul", "div", "min", "max")
 
 
