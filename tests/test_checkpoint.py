@@ -70,6 +70,48 @@ class TestBundle:
         with pytest.raises(ValueError, match="bytes"):
             w.end_segment()
 
+    def test_big_endian_input_canonicalised(self, tmp_path):
+        """Writer byte-swaps BE arrays to the LE on-disk contract
+        (reference byte_swap.{h,cc} portability)."""
+        p = str(tmp_path / "b")
+        vals = np.arange(6, dtype=">f4").reshape(2, 3)
+        stream = np.arange(4, dtype=">i4")
+        with bundle.BundleWriter(p) as w:
+            w.add("x", vals)
+            w.add_header("y", np.dtype(">i4"), (4,))
+            w.append_segment(stream)
+            w.end_segment()
+        r = bundle.BundleReader(p)
+        # index declares little-endian; reads come back native
+        assert r.dtype("x") == np.dtype("<f4")
+        assert r.dtype("y") == np.dtype("<i4")
+        got = r.lookup("x")
+        assert got.dtype.isnative
+        np.testing.assert_array_equal(got, vals.astype("<f4"))
+        np.testing.assert_array_equal(r.lookup("y"), [0, 1, 2, 3])
+        np.testing.assert_array_equal(r.lookup_slice("x", 1, 1),
+                                      vals[1:2].astype("<f4"))
+
+    def test_legacy_big_endian_bundle_reads_native(self, tmp_path):
+        """A bundle whose index declares BE data (written on a BE host by a
+        pre-canonicalisation writer) reads back native via byte swap."""
+        import json
+        import zlib
+        p = str(tmp_path / "b")
+        arr = np.array([[1, 2], [300, 70000]], dtype=">i4")
+        buf = arr.tobytes()
+        with open(bundle.data_filename(p, 0, 1), "wb") as f:
+            f.write(buf)
+        index = {"version": 1, "num_shards": 1, "tensors": {
+            "t": {"shard": 0, "offset": 0, "dtype": ">i4",
+                  "shape": [2, 2], "nbytes": len(buf),
+                  "crc32": zlib.crc32(buf) & 0xFFFFFFFF}}}
+        with open(bundle.index_filename(p), "w") as f:
+            json.dump(index, f)
+        got = bundle.BundleReader(p).lookup("t")
+        assert got.dtype.isnative
+        np.testing.assert_array_equal(got, [[1, 2], [300, 70000]])
+
 
 class TestSaverContract:
     def test_logical_tensor_names(self, tmp_path):

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import zlib
 from typing import Dict, Iterator, List, Optional, Tuple
 
@@ -28,6 +29,25 @@ import numpy as np
 from ..io.filesystem import get_filesystem
 
 _INDEX_SUFFIX = ".index.json"
+
+
+def _to_little_endian(array: np.ndarray) -> np.ndarray:
+    """Canonicalise to the bundle's little-endian on-disk contract
+    (reference: byte_swap.{h,cc} — bundles are byte-swapped on endian
+    mismatch so checkpoints move between architectures)."""
+    dt = array.dtype
+    if dt.byteorder == ">" or (dt.byteorder == "=" and sys.byteorder == "big"):
+        return array.astype(dt.newbyteorder("<"))
+    return array
+
+
+def _to_native(array: np.ndarray) -> np.ndarray:
+    """Byte-swap a non-native-order array to native (read path: lets a
+    big-endian host read LE bundles and a little-endian host read legacy
+    BE-written tensors)."""
+    if array.dtype.isnative:
+        return array
+    return array.astype(array.dtype.newbyteorder("="))
 
 
 def data_filename(prefix: str, shard: int, num_shards: int) -> str:
@@ -58,8 +78,9 @@ class BundleWriter:
 
     # -- one-shot ----------------------------------------------------------
     def add(self, name: str, array: np.ndarray, shard: Optional[int] = None):
+        array = _to_little_endian(np.ascontiguousarray(array))
         self.add_header(name, array.dtype, array.shape, shard)
-        self.append_segment(np.ascontiguousarray(array))
+        self.append_segment(array)
         self.end_segment()
 
     # -- streaming (tensor_bundle.cc:652-746 semantics) --------------------
@@ -72,10 +93,14 @@ class BundleWriter:
             shard = self._next_shard
             self._next_shard = (self._next_shard + 1) % self._num_shards
         f = self._files[shard]
+        # index always declares the LE on-disk order (byte_swap parity)
+        dt = np.dtype(dtype)
+        if dt.byteorder == ">" or (dt.byteorder == "=" and sys.byteorder == "big"):
+            dt = dt.newbyteorder("<")
         self._index[name] = {
             "shard": shard,
             "offset": f.tell(),
-            "dtype": np.dtype(dtype).str,
+            "dtype": dt.str,
             "shape": [int(s) for s in shape],
             "nbytes": 0,
             "crc32": 0,
@@ -86,7 +111,7 @@ class BundleWriter:
         if self._open_stream is None:
             raise RuntimeError("add_header first")
         name, shard = self._open_stream
-        buf = (array_or_bytes.tobytes()
+        buf = (_to_little_endian(array_or_bytes).tobytes()
                if isinstance(array_or_bytes, np.ndarray) else bytes(array_or_bytes))
         entry = self._index[name]
         entry["crc32"] = zlib.crc32(buf, entry["crc32"]) & 0xFFFFFFFF
@@ -166,7 +191,8 @@ class BundleReader:
             raise IOError(f"{name}: truncated read from {path}")
         if verify and (zlib.crc32(buf) & 0xFFFFFFFF) != e["crc32"]:
             raise IOError(f"{name}: CRC mismatch in {path}")
-        return np.frombuffer(buf, dtype=np.dtype(e["dtype"])).reshape(e["shape"])
+        return _to_native(
+            np.frombuffer(buf, dtype=np.dtype(e["dtype"])).reshape(e["shape"]))
 
     def lookup_slice(self, name: str, start_row: int, num_rows: int) -> np.ndarray:
         """Partial read of leading-axis rows (BundleReader::LookupWithIndices,
@@ -181,8 +207,8 @@ class BundleReader:
         with self._fs.open(path, "rb") as f:
             f.seek(e["offset"] + start_row * row_bytes)
             buf = f.read(num_rows * row_bytes)
-        return (np.frombuffer(buf, dtype=np.dtype(e["dtype"]))
-                .reshape((num_rows,) + tuple(shape[1:])))
+        return _to_native(np.frombuffer(buf, dtype=np.dtype(e["dtype"]))
+                          .reshape((num_rows,) + tuple(shape[1:])))
 
     def items(self) -> Iterator[Tuple[str, np.ndarray]]:
         for k in self.keys():
