@@ -119,10 +119,21 @@ class SparseOptimizer:
 
         idx = jnp.where(ok, slot_idx, cap)  # OOB rows dropped
         # ONE wide scatter writes variable + slot state together (random row
-        # writes are issue-bound per row — this halves the scatter cost)
-        new_wide = wide.at[:, :dim].set(new_var.astype(wide.dtype))
+        # writes are issue-bound per row — this halves the scatter cost).
+        # Build the row by CONCAT, not dynamic-update-slices: two .at[].set
+        # calls materialise full-width [N, W] intermediates in HBM, measured
+        # +0.6 ms/step at 32k x 256 f32 on v5e (scripts/prof_apply.py).
+        pieces = [new_var.astype(wide.dtype)]
         if k > 0:
-            new_wide = new_wide.at[:, s:s + w].set(new_state.astype(wide.dtype))
+            if s > dim:
+                pieces.append(wide[:, dim:s])
+            pieces.append(new_state.astype(wide.dtype))
+            if s + w < wide.shape[1]:
+                pieces.append(wide[:, s + w:])
+        elif wide.shape[1] > dim:
+            pieces.append(wide[:, dim:])
+        new_wide = pieces[0] if len(pieces) == 1 else \
+            jnp.concatenate(pieces, axis=1)
         payload = rowops.scatter_rows(table.payload, gidx, new_wide)
 
         new_meta = meta_g
