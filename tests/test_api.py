@@ -97,6 +97,52 @@ class TestServingMetadata:
         assert md2.generate_signature()["C1"]["embedding_dim"] == 64
 
 
+class TestServingExport:
+    """export_for_serving/load_for_serving: the reference's prediction-mode
+    export (first_n=3, kv_variable_ops.py:1438-1466) + ranking metadata,
+    loadable with NO templates."""
+
+    def test_export_load_roundtrip(self, tmp_path):
+        t = kv.create(8, 1024)
+        ids = kv.encode_ids_np_to_device(np.arange(100, dtype=np.int64))
+        t = kv.lookup_or_insert(t, ids).table
+        md = serving.RankingMetadata()
+        md.add_embedding_column(column_name="user", var_name="user_emb",
+                                embedding_dim=8)
+        serving.export_for_serving(str(tmp_path), {"user_emb": t}, md)
+        tabs, md2 = serving.load_for_serving(str(tmp_path))
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(tabs["user_emb"], ids)),
+            np.asarray(kv.lookup_or_zeros(t, ids)))
+        unk = kv.encode_ids_np_to_device(np.array([99999], dtype=np.int64))
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(tabs["user_emb"], unk)), 0.0)
+        assert md2.generate_signature()["user"]["embedding_dim"] == 8
+        # inference export carries no optimizer slots
+        assert not tabs["user_emb"].slots
+
+    def test_sharded_export_load(self, tmp_path):
+        all_ids = np.arange(100, dtype=np.int64)
+        shards = []
+        for i in range(2):
+            mine = all_ids[all_ids % 2 == i]
+            s = kv.create(8, 512, seed=i)
+            s = kv.insert(s, kv.encode_ids_np_to_device(mine),
+                          np.full((mine.size, 8), float(i + 1), np.float32))
+            shards.append(s)
+        md = serving.RankingMetadata()
+        md.add_embedding_column(column_name="item", var_name="item_emb",
+                                embedding_dim=8, num_shards=2)
+        serving.export_for_serving(str(tmp_path), {"item_emb": shards}, md)
+        tabs, _ = serving.load_for_serving(str(tmp_path))
+        assert isinstance(tabs["item_emb"], list) and len(tabs["item_emb"]) == 2
+        for i in range(2):
+            mine = all_ids[all_ids % 2 == i]
+            got = kv.lookup_or_zeros(
+                tabs["item_emb"][i], kv.encode_ids_np_to_device(mine))
+            np.testing.assert_allclose(np.asarray(got), float(i + 1))
+
+
 class TestConfig:
     def test_defaults_and_env(self, monkeypatch):
         rc = tfconfig.RuntimeConfig.from_env()

@@ -67,3 +67,65 @@ class RankingMetadata:
         md = RankingMetadata()
         md._columns = data[RANK_SERVICE_COLLECTION]
         return md
+
+
+# ---------------------------------------------------------------------------
+# Serving export / load — the reference's savedmodel-for-ranking flow
+# (prediction-mode export kv_variable_ops.py:1438-1466 first_n=3 +
+# ranking_utils metadata), TPU-native: an inference bundle a server loads
+# WITHOUT the training code or templates.
+# ---------------------------------------------------------------------------
+
+def export_for_serving(directory: str, tables, metadata: RankingMetadata, *,
+                       enable_cutoff: bool = True,
+                       cutoff_value: float = 1e-20,
+                       extra: Optional[dict] = None) -> str:
+    """Write an inference-mode export: first_n=3 checkpoint (keys, values,
+    init_table — no optimizer slots, near-zero rows clipped) + the
+    ``__rank_service_embedding`` metadata + signature JSON.
+
+    ``tables``: {var_name: KvTable or [shard tables]} — var_name must match
+    the metadata's registered columns. Returns the checkpoint prefix.
+    """
+    import os
+    from .checkpoint import saver
+    os.makedirs(directory, exist_ok=True)
+    prefix = os.path.join(directory, "serving")
+    saver.save(prefix, tables, dense=extra, first_n=saver.FIRST_N_INFERENCE,
+               enable_cutoff=enable_cutoff, cutoff_value=cutoff_value)
+    metadata.save(os.path.join(directory, "rank_service_embedding.json"))
+    with open(os.path.join(directory, "signature.json"), "w") as f:
+        json.dump(metadata.generate_signature(), f, indent=1)
+    return prefix
+
+
+def load_for_serving(directory: str, *, load_factor: float = 0.6):
+    """Load an :func:`export_for_serving` directory with NO templates:
+    table shapes are discovered from the metadata + bundle. Returns
+    ``(tables, metadata)`` where tables is {var_name: KvTable or [shards]}
+    ready for ``kv.lookup_or_zeros`` / ``embedding_lookup(train=False)``.
+    """
+    import os
+    import numpy as np
+    from .checkpoint import bundle, saver
+    from .kv import table as kvt
+
+    metadata = RankingMetadata.load(
+        os.path.join(directory, "rank_service_embedding.json"))
+    reader = bundle.BundleReader(os.path.join(directory, "serving"))
+    tables = {}
+    for col in metadata._columns:
+        dim = col["embedding_dim"]
+        names = ([col["embedding_var_keys"][i][:-len("-keys")]
+                  for i in range(col["num_shards"])])
+        shards = []
+        for n in names:
+            rows = reader.shape(n + "-keys")[0]
+            cap = 64
+            while cap * load_factor < max(rows, 1):
+                cap *= 2
+            tmpl = kvt.create(dim, cap)
+            shards.append(saver.restore_table(reader, n, tmpl))
+        var = names[0].split("/part_")[0]
+        tables[var] = shards if len(shards) > 1 else shards[0]
+    return tables, metadata
