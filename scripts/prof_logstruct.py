@@ -63,16 +63,21 @@ def measure(name, jf, state, reps=3):
     return best
 
 
+# generate on DEVICE — host->device uploads over the axon tunnel run at
+# ~60 s/GB and would dwarf every op being measured
 def fresh_payload():
-    return jnp.asarray(rng.rand(C, W).astype(np.float32))
+    return jax.jit(lambda: jax.random.uniform(
+        jax.random.PRNGKey(0), (C, W), jnp.float32))()
 
 
 def fresh_arena():
-    return jnp.asarray(rng.rand(C + (C >> 1), W).astype(np.float32))
+    return jax.jit(lambda: jax.random.uniform(
+        jax.random.PRNGKey(1), (C + (C >> 1), W), jnp.float32))()
 
 
 def fresh_loc():
-    return jnp.asarray(rng.permutation(C).astype(np.int32))
+    return jax.jit(lambda: jax.random.permutation(
+        jax.random.PRNGKey(2), jnp.arange(C, dtype=jnp.int32)))()
 
 
 # 1. current wide scatter

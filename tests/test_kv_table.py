@@ -392,3 +392,30 @@ class TestJit:
         rows2, t = step(t, q)
         np.testing.assert_allclose(np.asarray(rows), np.asarray(rows2), rtol=1e-6)
         assert int(kv.size(t)) == 3
+
+
+class TestBf16Tables:
+    """value_dtype=bfloat16 halves table HBM; rows/payload stay bf16,
+    checkpoints upcast values to f32 (reference format contract)."""
+
+    def test_bf16_train_and_roundtrip(self):
+        import jax.numpy as jnp
+        from tfplus_tpu import train
+
+        t = kv.create(8, 512, value_dtype=jnp.bfloat16)
+        opt = train.AdagradOptimizer()
+        t = opt.init(t)
+        q = kv.encode_ids_np_to_device(np.arange(50, dtype=np.int64))
+        u = kv.unique_with_counts(q)
+        res = kv.lookup_or_insert(t, u.unique_keys, counts=u.counts)
+        assert res.rows.dtype == jnp.bfloat16
+        t = opt.apply(res.table, res.slot,
+                      jnp.ones((50, 8), jnp.float32) * 0.1, lr=0.1, step=1)
+        assert t.payload.dtype == jnp.bfloat16
+        ex = kv.export_arrays(t)
+        assert ex["values"].dtype == np.float32
+        t2 = opt.init(kv.create(8, 512, value_dtype=jnp.bfloat16))
+        t2 = kv.import_arrays(t2, ex)
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(t2, q), np.float32),
+            np.asarray(kv.lookup_or_zeros(t, q), np.float32))
