@@ -37,20 +37,32 @@ Arr = jnp.ndarray
 _TINY = 1e-30
 
 
-def _norm(x: Arr) -> Arr:
-    return jnp.sqrt(jnp.sum(x * x, axis=-1))
+def _norm(x: Arr, axis_name: Optional[str] = None) -> Arr:
+    s = jnp.sum(x * x, axis=-1)
+    if axis_name is not None:
+        # dim-sharded rows (2D table sharding): the group norm spans every
+        # column shard — reduce the squared partials over the col axis
+        import jax
+        s = jax.lax.psum(s, axis_name)
+    return jnp.sqrt(s)
 
 
-def _group_lasso_solve(linear: Arr, y: Arr, l1, l2, l21, dim: int
-                       ) -> Tuple[Arr, Arr]:
+def _group_lasso_solve(linear: Arr, y: Arr, l1, l2, l21, dim: int,
+                       norm_axis: Optional[str] = None) -> Tuple[Arr, Arr]:
     """Shared closed-form group-lasso solve (training_ops.cc:1301-1317).
 
     ``y`` is the per-element curvature denominator WITHOUT the ``2*l2`` term.
     Returns ``(var, blacklist_mask)``; blacklisted rows are zero.
+    ``norm_axis``: mesh axis holding column shards of the row (2D sharding)
+    — the l21 threshold then uses the GLOBAL dim and a psum'd norm, so all
+    column shards make the identical keep/blacklist decision.
     """
+    if norm_axis is not None:
+        import jax
+        dim = dim * jax.lax.psum(1, norm_axis)
     adj = jnp.clip(linear, -l1, l1)
     l1_linear = adj - linear
-    nrm = _norm(l1_linear)
+    nrm = _norm(l1_linear, norm_axis)
     l21n = l21 * jnp.sqrt(jnp.asarray(dim, linear.dtype))
     keep = nrm > l21n
     scale = 1.0 - l21n / jnp.maximum(nrm, _TINY)
@@ -138,6 +150,7 @@ class GroupAdam(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    norm_axis: Optional[str] = None
     slot_width = 3
     has_blacklist = True
 
@@ -159,7 +172,8 @@ class GroupAdam(Rule):
         linear = linear + alpha * m - sigma * var
         y = nvs + self.epsilon
         new_var, black = _group_lasso_solve(linear, y, l1, l2, l21,
-                                            var.shape[-1])
+                                            var.shape[-1],
+                                            norm_axis=self.norm_axis)
         return new_var, jnp.concatenate([m, new_v, linear], axis=-1), black
 
 
@@ -173,6 +187,7 @@ class GroupFtrl(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    norm_axis: Optional[str] = None
     l2_shrinkage: float = 0.0
     initial_accumulator_value: float = 0.1
     slot_width = 2
@@ -193,7 +208,8 @@ class GroupFtrl(Rule):
         linear = linear + g - (pw_new - pw_old) / lr * var
         y = pw_new / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
-                                            self.l21, var.shape[-1])
+                                            self.l21, var.shape[-1],
+                                            norm_axis=self.norm_axis)
         state = jnp.concatenate(
             [new_accum - self.initial_accumulator_value, linear], axis=-1)
         return new_var, state, black
@@ -209,6 +225,7 @@ class GroupMomentum(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    norm_axis: Optional[str] = None
     slot_width = 3
     has_blacklist = True
 
@@ -219,7 +236,8 @@ class GroupMomentum(Rule):
         linear = linear + new_m - (1.0 - jnp.sqrt(accum)) / lr * var
         y = 1.0 / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
-                                            self.l21, var.shape[-1])
+                                            self.l21, var.shape[-1],
+                                            norm_axis=self.norm_axis)
         state = jnp.concatenate([m, jnp.ones_like(accum), linear], axis=-1)
         return new_var, state, black
 
@@ -233,6 +251,7 @@ class GroupAdadelta(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    norm_axis: Optional[str] = None
     slot_width = 3
     has_blacklist = True
 
@@ -243,7 +262,8 @@ class GroupAdadelta(Rule):
         linear = linear + m - (jnp.sqrt(new_accum) - jnp.sqrt(accum)) / lr * var
         y = jnp.sqrt(new_accum + self.epsilon) / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
-                                            self.l21, var.shape[-1])
+                                            self.l21, var.shape[-1],
+                                            norm_axis=self.norm_axis)
         accum_update = (accum_update * self.rho +
                         (1.0 - self.rho) * m * m / (new_accum + self.epsilon))
         state = jnp.concatenate([new_accum, accum_update, linear], axis=-1)
@@ -260,6 +280,7 @@ class GroupAMSGrad(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    norm_axis: Optional[str] = None
     slot_width = 4
     has_blacklist = True
 
@@ -274,7 +295,8 @@ class GroupAMSGrad(Rule):
                   - (jnp.sqrt(new_vhat) - jnp.sqrt(vhat)) / lr * var)
         y = (jnp.sqrt(new_vhat) + self.epsilon) / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
-                                            self.l21, var.shape[-1])
+                                            self.l21, var.shape[-1],
+                                            norm_axis=self.norm_axis)
         state = jnp.concatenate([m, v, new_vhat, linear], axis=-1)
         return new_var, state, black
 
@@ -289,6 +311,7 @@ class GroupAdaBelief(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    norm_axis: Optional[str] = None
     slot_width = 4
     has_blacklist = True
 
@@ -303,7 +326,8 @@ class GroupAdaBelief(Rule):
                   - (jnp.sqrt(new_accum) - jnp.sqrt(accum)) / lr * var)
         y = (jnp.sqrt(new_accum) + self.epsilon) / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
-                                            self.l21, var.shape[-1])
+                                            self.l21, var.shape[-1],
+                                            norm_axis=self.norm_axis)
         state = jnp.concatenate([m, v, new_accum, linear], axis=-1)
         return new_var, state, black
 
@@ -319,6 +343,7 @@ class GroupAdaHessian(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    norm_axis: Optional[str] = None
     slot_width = 4
     has_blacklist = True
     needs_extra = True
@@ -335,7 +360,8 @@ class GroupAdaHessian(Rule):
                   - (jnp.sqrt(new_accum) - jnp.sqrt(accum)) / lr * var)
         y = (jnp.sqrt(new_accum) + self.epsilon) / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
-                                            self.l21, var.shape[-1])
+                                            self.l21, var.shape[-1],
+                                            norm_axis=self.norm_axis)
         state = jnp.concatenate([m, v, new_accum, linear], axis=-1)
         return new_var, state, black
 
@@ -350,6 +376,7 @@ class GroupLamb(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    norm_axis: Optional[str] = None
     slot_width = 4
     has_blacklist = True
 
@@ -370,7 +397,8 @@ class GroupLamb(Rule):
                   - (jnp.sqrt(new_accum) - jnp.sqrt(accum)) / lr * var)
         y = (jnp.sqrt(new_accum) + self.epsilon) / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
-                                            self.l21, var.shape[-1])
+                                            self.l21, var.shape[-1],
+                                            norm_axis=self.norm_axis)
         state = jnp.concatenate([m, v, new_accum, linear], axis=-1)
         return new_var, state, black
 
@@ -411,6 +439,7 @@ class GroupAdaDQH(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    norm_axis: Optional[str] = None
     slot_width = 3
     has_blacklist = True
 
@@ -433,7 +462,8 @@ class GroupAdaDQH(Rule):
         y = jnp.maximum(jnp.sqrt(v_new), eps_adj) / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1 * lr,
                                             self.l2 * lr, self.l21 * lr,
-                                            var.shape[-1])
+                                            var.shape[-1],
+                                            norm_axis=self.norm_axis)
         state = jnp.concatenate([m_new, v_new, linear], axis=-1)
         return new_var, state, black
 

@@ -1,5 +1,11 @@
-from . import mesh, ring_attention, sharded_table
+from . import mesh, ring_attention, sharded2d, sharded_table
 from .mesh import TABLE_AXIS, make_mesh, replicated, table_sharding
+from .ring_attention import ring_attention
 from .sharded_table import (ExchangeState, create_sharded,
                             init_optimizer_sharded, local_shard,
                             sharded_apply_grads, sharded_lookup)
+from .sharded2d import (COL_AXIS, ROW_AXIS, combine_col_shards,
+                        create_sharded_2d, for_col_axis,
+                        init_optimizer_sharded_2d, local_shard_2d,
+                        make_mesh_2d, sharded_apply_grads_2d,
+                        sharded_lookup_2d, table_sharding_2d)

@@ -1,0 +1,196 @@
+"""2D sparse parallelism: tables sharded by ROWS x COLUMNS over a 2D mesh.
+
+The reference shards tables by rows only (PartitionedVariable / eflops
+all-to-all, SURVEY.md §2.4). For very wide embeddings or large meshes the
+row-only exchange bottlenecks on the per-device all-to-all volume
+(B·D floats); splitting each row's D columns over a second mesh axis divides
+that volume by C and multiplies the aggregate exchange bandwidth — the
+"two-dimensional sparse parallelism" design (arXiv:2508.03854), realised
+TPU-natively on a ("row", "col") mesh.
+
+Layout
+------
+Device (r, c) holds an ORDINARY :class:`KvTable` with ``dim_local = D / C``:
+rows routed ``key % R`` (axis "row"), columns ``[c·D/C, (c+1)·D/C)``
+(axis "col"). Headers (keys + packed meta) are replicated along "col" and
+kept in lockstep BY CONSTRUCTION: every header-affecting input (ids, counts,
+grouped-lasso keep/blacklist decisions) is identical across the col ranks —
+ids via a col all_gather before the row exchange, lasso decisions via a
+psum'd group norm (``Rule.norm_axis``). No cross-col synchronisation of the
+header is ever needed.
+
+Exchange per step (device (r, c), local batch b = B / (R·C)):
+  1. all_gather ids over "col"      → the col group's union batch [C·b]
+  2. row exchange (sharded_table.sharded_lookup, axis="row") — identical on
+     every col rank; returns the union batch's rows at THIS dim slice
+  3. all_to_all over "col" flips (batch-of-rank-j, my-slice) into
+     (my-batch, slice-of-rank-j) → concat to [b, D]
+Gradients mirror 3→2→1 with segment sums at each hop.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..kv import table as kvt
+from ..optim.base import SparseOptimizer
+from . import sharded_table as st
+
+ROW_AXIS = "row"
+COL_AXIS = "col"
+
+
+def make_mesh_2d(num_rows: int, num_cols: int,
+                 row_axis: str = ROW_AXIS, col_axis: str = COL_AXIS) -> Mesh:
+    devs = np.array(jax.devices()[:num_rows * num_cols])
+    return Mesh(devs.reshape(num_rows, num_cols), (row_axis, col_axis))
+
+
+def table_sharding_2d(mesh: Mesh, row_axis: str = ROW_AXIS,
+                      col_axis: str = COL_AXIS) -> NamedSharding:
+    """Sharding for the stacked [R, C, ...] table pytree."""
+    return NamedSharding(mesh, P(row_axis, col_axis))
+
+
+def create_sharded_2d(dim: int, capacity_per_row_shard: int,
+                      num_rows: int, num_cols: int, *,
+                      initializer: Optional[np.ndarray] = None,
+                      **kwargs) -> kvt.KvTable:
+    """Table pytree with leading [R, C] axes; device (r, c) sees an ordinary
+    ``dim/num_cols``-wide KvTable. ``initializer``: optional full-dim init
+    pool [P, dim] — sliced per column shard so 2D lookups reproduce a
+    single full-width table's init rows exactly."""
+    if dim % num_cols:
+        raise ValueError(f"dim {dim} must divide num_cols {num_cols}")
+    d_l = dim // num_cols
+    cols = []
+    for c in range(num_cols):
+        init_c = None
+        if initializer is not None:
+            init_c = np.asarray(initializer)[:, c * d_l:(c + 1) * d_l]
+        cols.append(kvt.create(d_l, capacity_per_row_shard,
+                               initializer=init_c, **kwargs))
+    # identical header everywhere; payload differs per col
+    stacked_c = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs), *cols)                      # [C, ...]
+    return jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x, (num_rows,) + x.shape), stacked_c)
+
+
+def init_optimizer_sharded_2d(opt: SparseOptimizer,
+                              sharded: kvt.KvTable) -> kvt.KvTable:
+    """Adds the concat slot columns (width k·dim_local per col shard)."""
+    k = opt.rule.slot_width
+    if k == 0 or opt.slot_name in sharded.config.slot_columns():
+        return sharded
+    return kvt.ensure_slots(sharded, {opt.slot_name: k})
+
+
+def for_col_axis(opt: SparseOptimizer,
+                 col_axis: str = COL_AXIS) -> SparseOptimizer:
+    """Configure a group-lasso optimizer for dim-sharded rows: the l21 group
+    norm / blacklist decision reduces over ``col_axis`` (identical on every
+    column shard). No-op for rules without ``norm_axis``."""
+    import dataclasses
+    if hasattr(opt.rule, "norm_axis"):
+        return dataclasses.replace(
+            opt, rule=dataclasses.replace(opt.rule, norm_axis=col_axis))
+    return opt
+
+
+def _squeeze2(t: kvt.KvTable) -> kvt.KvTable:
+    return jax.tree_util.tree_map(lambda x: x[0, 0], t)
+
+
+def _unsqueeze2(t: kvt.KvTable) -> kvt.KvTable:
+    return jax.tree_util.tree_map(lambda x: x[None, None], t)
+
+
+def sharded_lookup_2d(sharded_local: kvt.KvTable, ids, *,
+                      row_axis: str = ROW_AXIS, col_axis: str = COL_AXIS,
+                      train: bool = True,
+                      valid: Optional[jnp.ndarray] = None,
+                      day=0, bucket_capacity: Optional[int] = None,
+                      defer_meta: bool = False,
+                      ) -> Tuple[jnp.ndarray, st.ExchangeState, kvt.KvTable]:
+    """Per-device body (inside ``shard_map`` over a ("row","col") mesh;
+    table arrays arrive with leading [1, 1]). ``ids``: this device's batch
+    slice. Returns ``(rows [b, D], state, table)`` — D is the FULL dim."""
+    table = _squeeze2(sharded_local)
+    C = jax.lax.psum(1, col_axis)
+    b = ids.shape[0]
+    # 1. union batch across the col group (identical on every col rank)
+    union_ids = jax.lax.all_gather(ids, col_axis, tiled=True)      # [C·b(,2)]
+    union_valid = (jax.lax.all_gather(valid, col_axis, tiled=True)
+                   if valid is not None else None)
+    # 2. row exchange — per-col-rank identical; header mutations lockstep
+    rows_u, state, table1 = st.sharded_lookup(
+        jax.tree_util.tree_map(lambda x: x[None], table), union_ids,
+        axis_name=row_axis, train=train, valid=union_valid, day=day,
+        bucket_capacity=bucket_capacity, defer_meta=defer_meta)
+    d_l = rows_u.shape[-1]
+    # 3. col transpose: (rank-j batch, my slice) -> (my batch, rank-j slice)
+    r = rows_u.reshape(C, b, d_l)
+    r = jax.lax.all_to_all(r, col_axis, 0, 0, tiled=False)         # [C, b, d_l]
+    rows = jnp.moveaxis(r, 0, 1).reshape(b, C * d_l)               # [b, D]
+    return rows, state, jax.tree_util.tree_map(
+        lambda x: x[None], table1)                                  # [1,1,...]
+
+
+def sharded_apply_grads_2d(opt: SparseOptimizer, sharded_local: kvt.KvTable,
+                           state: st.ExchangeState, batch_grads, *,
+                           row_axis: str = ROW_AXIS,
+                           col_axis: str = COL_AXIS,
+                           lr, step) -> kvt.KvTable:
+    """Mirror path: grads [b, D] → col all_to_all to (union batch, my slice)
+    → row exchange → fused owner update. ``opt`` must come from
+    :func:`for_col_axis` when the rule is group-lasso."""
+    C = jax.lax.psum(1, col_axis)
+    b = batch_grads.shape[0]
+    d_l = batch_grads.shape[-1] // C
+    g = batch_grads.reshape(b, C, d_l)
+    g = jnp.moveaxis(g, 1, 0)                                      # [C, b, d_l]
+    g = jax.lax.all_to_all(g, col_axis, 0, 0, tiled=False)
+    union_g = g.reshape(C * b, d_l)           # union batch order = all_gather
+    table = _squeeze2(sharded_local)
+    new_local = st.sharded_apply_grads(
+        opt, jax.tree_util.tree_map(lambda x: x[None], table), state,
+        union_g, axis_name=row_axis, lr=lr, step=step)
+    return jax.tree_util.tree_map(lambda x: x[None], new_local)
+
+
+def local_shard_2d(sharded: kvt.KvTable, r: int, c: int) -> kvt.KvTable:
+    """Host-side: slice out device (r, c)'s local table."""
+    return jax.tree_util.tree_map(lambda x: x[r, c], sharded)
+
+
+def combine_col_shards(sharded: kvt.KvTable) -> list:
+    """Host-side: fold the col axis away → a list of R full-dim row-shard
+    tables (for checkpointing with the ordinary saver; restore re-slices via
+    create_sharded_2d + import)."""
+    import dataclasses as dc
+    R = jax.tree_util.tree_leaves(sharded)[0].shape[0]
+    C = jax.tree_util.tree_leaves(sharded)[0].shape[1]
+    out = []
+    for r in range(R):
+        parts = [local_shard_2d(sharded, r, c) for c in range(C)]
+        t0 = parts[0]
+        d_l = t0.config.dim
+        k = t0.payload.shape[-1] // d_l          # 1 + Σ slot widths
+        # interleave column blocks segment-by-segment so the combined payload
+        # keeps the [values | slot0 | slot1 ...] layout at full dim
+        segs = []
+        for s in range(k):
+            segs.append(jnp.concatenate(
+                [p.payload[:, s * d_l:(s + 1) * d_l] for p in parts], axis=-1))
+        payload = jnp.concatenate(segs, axis=-1)
+        pool = jnp.concatenate([p.init_pool for p in parts], axis=-1)
+        cfg = dc.replace(t0.config, dim=d_l * C)
+        out.append(dc.replace(t0, config=cfg, payload=payload,
+                              init_pool=pool))
+    return out
