@@ -26,6 +26,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=8)
+    ap.add_argument("--cols", type=int, default=1,
+                    help="column shards per table (2D sparse parallelism; "
+                         "devices/cols row shards x cols col shards)")
     ap.add_argument("--batches", type=int, default=60)
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--tables", type=int, default=8)
@@ -51,6 +54,9 @@ def main():
 
     n_dev = min(args.devices, jax.device_count())
     bs = args.batch_size - args.batch_size % n_dev
+    if args.cols > 1:
+        from tfplus_tpu.parallel import sharded2d as s2
+        return main_2d(args, n_dev, bs, s2)
     mesh = par.make_mesh(n_dev)
     print(f"mesh: {n_dev} x {jax.devices()[0].device_kind}, batch {bs}")
 
@@ -144,6 +150,97 @@ def main():
                for name, shards in restored.items()}
         assert got == sizes, (got, sizes)
         print(f"elastic restore {n_dev} -> {2*n_dev} shards: row counts match")
+
+
+def main_2d(args, n_dev, bs, s2):
+    """2D sparse parallelism: tables sharded rows x cols (docs/distribution.md).
+    Per-device all-to-all volume drops by the col count — the layout for very
+    wide embeddings or large meshes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from tfplus_tpu import kv, train as tft
+    from tfplus_tpu.data import synthetic
+    from tfplus_tpu.models import DLRM
+
+    C = args.cols
+    R = n_dev // C
+    assert R * C == n_dev and args.dim % C == 0
+    mesh = s2.make_mesh_2d(R, C)
+    print(f"2D mesh: {R} row x {C} col shards, batch {bs}")
+
+    model = DLRM(num_tables=args.tables, embedding_dim=args.dim,
+                 num_numeric=13, bottom_hidden=(64, args.dim),
+                 top_hidden=(64, 32), capacity=1 << 13)
+    opt = s2.for_col_axis(tft.GroupAdamOptimizer(learning_rate=args.lr))
+    tx = optax.adam(args.lr)
+    dense = model.init_dense(jax.random.PRNGKey(0))
+    tx_state = tx.init(dense)
+
+    tables = {}
+    for name in sorted(model.table_specs):
+        t = s2.create_sharded_2d(args.dim, 1 << 13, R, C,
+                                 seed=hash(name) % 1000)
+        t = s2.init_optimizer_sharded_2d(opt, t)
+        tables[name] = jax.device_put(t, s2.table_sharding_2d(mesh))
+    repl = jax.sharding.NamedSharding(mesh, P())
+    dense = jax.device_put(dense, repl)
+    tx_state = jax.device_put(tx_state, repl)
+    tspecs = {n: jax.tree_util.tree_map(lambda _: P("row", "col"), t)
+              for n, t in tables.items()}
+    both = ("row", "col")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(tspecs, P(), P(), P(both), P(both), P(both), P()),
+        out_specs=(tspecs, P(), P(), P()),
+        check_vma=False)
+    def step(tabs, dense, tx_state, ids, feats, labels, s):
+        rows, states = {}, {}
+        for name in sorted(tabs):
+            r, st, tabs[name] = s2.sharded_lookup_2d(tabs[name], ids[name],
+                                                     defer_meta=True)
+            rows[name], states[name] = r, st
+
+        def loss_fn(dense, rows):
+            logits = model.apply(dense, rows, feats)
+            return model.loss(logits, labels)
+
+        loss, (g_dense, g_rows) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1))(dense, rows)
+        g_dense = jax.tree_util.tree_map(
+            lambda g: jax.lax.pmean(g, both), g_dense)
+        upd, tx_state = tx.update(g_dense, tx_state, dense)
+        dense = optax.apply_updates(dense, upd)
+        for name in sorted(tabs):
+            tabs[name] = s2.sharded_apply_grads_2d(
+                opt, tabs[name], states[name], g_rows[name],
+                lr=args.lr, step=s)
+        return tabs, dense, tx_state, jax.lax.pmean(loss, both)
+
+    jstep = jax.jit(step, donate_argnums=(0,))
+    gen = synthetic.dlrm_batches(bs, args.batches, num_tables=args.tables,
+                                 vocab=30_000, seed=7)
+    t0, seen, window = time.time(), 0, []
+    for i, b in enumerate(gen):
+        ids = {f"T{c}": kv.encode_ids(b["categorical"][:, c])
+               for c in range(args.tables)}
+        tables, dense, tx_state, loss = jstep(
+            tables, dense, tx_state, ids, jnp.asarray(b["numeric"]),
+            jnp.asarray(b["label"]), jnp.int32(i + 1))
+        window.append(float(loss))
+        seen += bs
+        if (i + 1) % 10 == 0:
+            print(f"batch {i+1:4d} loss {np.mean(window):.5f} "
+                  f"({seen/(time.time()-t0):.0f} examples/s)", flush=True)
+            window = []
+    sizes = {name: int(sum(kv.size(s2.local_shard_2d(t, r, 0))
+                           for r in range(R)))
+             for name, t in tables.items()}
+    print("rows per table:", sizes)
 
 
 if __name__ == "__main__":
