@@ -1,6 +1,6 @@
-from . import mesh, ring_attention, sharded2d, sharded_table
+from . import mesh, sharded2d, sharded_table
+from . import ring_attention  # module (ring_attention.ring_attention = fn)
 from .mesh import TABLE_AXIS, make_mesh, replicated, table_sharding
-from .ring_attention import ring_attention
 from .sharded_table import (ExchangeState, create_sharded,
                             init_optimizer_sharded, local_shard,
                             sharded_apply_grads, sharded_lookup)
