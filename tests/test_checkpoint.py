@@ -257,3 +257,47 @@ class TestManagerDelta:
         r = bundle.BundleReader(os.path.join(str(tmp_path / "ckpts"),
                                              "ckpt-delta-2"))
         assert r.shape("emb-keys")[0] == 1  # only the touched row
+
+
+class TestAsyncSave:
+    """save_async: export/device_get happen synchronously (returned tables
+    carry cleared delta bits), the bundle write runs in a background thread
+    with the atomic index publish preserved."""
+
+    def test_async_roundtrip(self, tmp_path):
+        from tfplus_tpu import train
+        t = kv.create(8, 1024)
+        opt = train.AdamOptimizer()
+        t = opt.init(t)
+        ids = kv.encode_ids_np_to_device(np.arange(200, dtype=np.int64))
+        t = kv.lookup_or_insert(t, ids).table
+        p = str(tmp_path / "ck")
+        tabs, handle = saver.save_async(p, {"emb": t})
+        # continue training while the write runs
+        more = kv.encode_ids_np_to_device(np.arange(200, 250, dtype=np.int64))
+        t2 = kv.lookup_or_insert(tabs["emb"], more).table
+        assert handle.result(timeout=120) == p
+        assert handle.done()
+        restored, _ = saver.restore(p, {"emb": opt.init(kv.create(8, 1024))})
+        assert int(kv.size(restored["emb"])) == 200
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(restored["emb"], ids)),
+            np.asarray(kv.lookup_or_zeros(t, ids)))
+        assert int(kv.size(t2)) == 250
+
+    def test_async_write_error_surfaces(self, tmp_path):
+        t = kv.create(8, 256)
+        bad = str(tmp_path / "no_dir" / "deep" / "x" / "ck")
+        import os
+        os.makedirs(os.path.dirname(bad))
+        os.chmod(os.path.dirname(bad), 0o500)
+        try:
+            tabs, handle = saver.save_async(bad, {"emb": t})
+            try:
+                handle.result(timeout=60)
+                raised = False
+            except Exception:
+                raised = True
+            assert raised or os.access(os.path.dirname(bad), os.W_OK)
+        finally:
+            os.chmod(os.path.dirname(bad), 0o700)

@@ -125,6 +125,32 @@ def restore_table(reader: bundle.BundleReader, name: str,
     return table
 
 
+def _save_into(w, tables: Dict[str, TableOrShards],
+               dense: Optional[dict], *, first_n: int, delta: bool,
+               enable_cutoff: bool, cutoff_value: float
+               ) -> Dict[str, TableOrShards]:
+    """Write every tensor through ``w.add`` (a BundleWriter or collector)."""
+    out: Dict[str, TableOrShards] = {}
+    for name, t in tables.items():
+        shards = _shards(t)
+        ns = len(shards)
+        new_shards = [
+            save_table(w, shard_name(name, i, ns), s, first_n=first_n,
+                       delta=delta, enable_cutoff=enable_cutoff,
+                       cutoff_value=cutoff_value)
+            for i, s in enumerate(shards)
+        ]
+        w.add(name + "-num_shards", np.array([ns], np.int32))
+        out[name] = (new_shards if isinstance(t, (list, tuple))
+                     else new_shards[0])
+    if dense is not None:
+        flat, _ = jax.tree_util.tree_flatten_with_path(dense)
+        for path, leaf in flat:
+            key = "dense/" + "/".join(_path_str(p) for p in path)
+            w.add(key, np.asarray(jax.device_get(leaf)))
+    return out
+
+
 def save(prefix: str, tables: Dict[str, TableOrShards],
          dense: Optional[dict] = None, *, first_n: int = FIRST_N_TRAIN,
          delta: bool = False, num_file_shards: int = 1,
@@ -134,26 +160,75 @@ def save(prefix: str, tables: Dict[str, TableOrShards],
 
     Returns the (possibly deltalist-cleared) tables, same structure as input.
     """
-    out: Dict[str, TableOrShards] = {}
     with bundle.BundleWriter(prefix, num_file_shards) as w:
-        for name, t in tables.items():
-            shards = _shards(t)
-            ns = len(shards)
-            new_shards = [
-                save_table(w, shard_name(name, i, ns), s, first_n=first_n,
-                           delta=delta, enable_cutoff=enable_cutoff,
-                           cutoff_value=cutoff_value)
-                for i, s in enumerate(shards)
-            ]
-            w.add(name + "-num_shards", np.array([ns], np.int32))
-            out[name] = (new_shards if isinstance(t, (list, tuple))
-                         else new_shards[0])
-        if dense is not None:
-            flat, _ = jax.tree_util.tree_flatten_with_path(dense)
-            for path, leaf in flat:
-                key = "dense/" + "/".join(_path_str(p) for p in path)
-                w.add(key, np.asarray(jax.device_get(leaf)))
-    return out
+        return _save_into(w, tables, dense, first_n=first_n, delta=delta,
+                          enable_cutoff=enable_cutoff,
+                          cutoff_value=cutoff_value)
+
+
+class _Collector:
+    """Buffers (name, host array) pairs for a deferred bundle write."""
+
+    def __init__(self):
+        self.items: List[tuple] = []
+
+    def add(self, name: str, array: np.ndarray):
+        self.items.append((name, np.asarray(jax.device_get(array))))
+
+
+class AsyncSave:
+    """Handle for a background checkpoint write (``save_async``)."""
+
+    def __init__(self, thread, box):
+        self._thread = thread
+        self._box = box
+
+    def done(self) -> bool:
+        return not self._thread.is_alive()
+
+    def result(self, timeout: Optional[float] = None):
+        """Block until the write finishes; re-raises writer errors."""
+        self._thread.join(timeout)
+        if self._thread.is_alive():
+            raise TimeoutError("checkpoint write still running")
+        if self._box.get("exc") is not None:
+            raise self._box["exc"]
+        return self._box.get("value")
+
+
+def save_async(prefix: str, tables: Dict[str, TableOrShards],
+               dense: Optional[dict] = None, *, first_n: int = FIRST_N_TRAIN,
+               delta: bool = False, num_file_shards: int = 1,
+               enable_cutoff: bool = False, cutoff_value: float = 1e-20
+               ) -> tuple:
+    """Non-blocking save: exports + device→host transfers happen NOW (so the
+    returned tables carry the cleared delta bits and training may proceed,
+    donating its buffers), while the disk write — the slow part for multi-GB
+    tables — runs in a background thread. The index publish stays atomic, so
+    a crash mid-write never leaves a readable half checkpoint.
+
+    Returns ``(tables, AsyncSave)``; call ``.result()`` before relying on the
+    checkpoint (e.g. before GC'ing its predecessor).
+    """
+    import threading
+    col = _Collector()
+    out = _save_into(col, tables, dense, first_n=first_n, delta=delta,
+                     enable_cutoff=enable_cutoff, cutoff_value=cutoff_value)
+    box: dict = {"exc": None, "value": None}
+
+    def _write():
+        try:
+            with bundle.BundleWriter(prefix, num_file_shards) as w:
+                for name, arr in col.items:
+                    w.add(name, arr)
+            box["value"] = prefix
+        except BaseException as e:   # surfaced via .result()
+            box["exc"] = e
+
+    th = threading.Thread(target=_write, name=f"ckpt-write:{prefix}",
+                          daemon=True)
+    th.start()
+    return out, AsyncSave(th, box)
 
 
 def _path_str(p) -> str:
