@@ -332,3 +332,55 @@ class TestHybridTableProtocol:
                 kv.lookup_or_zeros(table, q)))
 
         np.testing.assert_allclose(run(True), run(False), rtol=1e-6)
+
+
+class TestAsyncPrefetcher:
+    """Overlapped prefetch: tier extraction on a worker thread, device
+    promotion between steps; drain() pushes staged rows back for export."""
+
+    def _spilled(self):
+        table = kv.create(8, 256, seed=0)
+        cold = [10, 11, 12]
+        hot = [1, 2]
+        q = ids(*(cold + hot))
+        rows = np.arange(5 * 8, dtype=np.float32).reshape(5, 8)
+        table = kv.insert(table, q, jnp.asarray(rows),
+                          freq=jnp.asarray([1, 1, 1, 9, 9], jnp.uint32))
+        tier = storage.HostStorageTier(8, table.payload.shape[1])
+        table, n = storage.spill(table, tier, min_freq=2)
+        assert n == 3
+        return table, tier, cold
+
+    def test_submit_apply(self):
+        table, tier, cold = self._spilled()
+        want_tier_rows = tier.size
+        pf = storage.AsyncPrefetcher(tier)
+        pf.submit(np.asarray(cold + [9999], np.uint64))   # 9999 = miss, ok
+        table, n = pf.apply(table)
+        assert n == 3 and tier.size == want_tier_rows - 3
+        got = np.asarray(kv.lookup_or_zeros(table, ids(*cold)))
+        assert np.abs(got).sum() > 0
+        # double-submit without apply is an error
+        pf.submit(np.asarray([1], np.uint64))
+        with pytest.raises(RuntimeError):
+            pf.submit(np.asarray([2], np.uint64))
+        pf.drain()
+
+    def test_drain_returns_rows_to_tier(self):
+        table, tier, cold = self._spilled()
+        pf = storage.AsyncPrefetcher(tier)
+        pf.submit(np.asarray(cold, np.uint64))
+        assert pf.drain() == 3
+        assert tier.size == 3                      # back in the tier
+        table, n = storage.prefetch(table, tier, ids(*cold))
+        assert n == 3
+
+    def test_hybrid_wrapper_protocol(self):
+        table, tier, cold = self._spilled()
+        ht = storage.HybridTable(table, min_freq=2)
+        ht.tier = tier                              # adopt the spilled tier
+        ht.prefetch_async(np.asarray(cold, np.uint64))
+        # (device step would run here, overlapped)
+        assert ht.apply_prefetch() == 3
+        got = np.asarray(kv.lookup_or_zeros(ht.table, ids(*cold)))
+        assert np.abs(got).sum() > 0

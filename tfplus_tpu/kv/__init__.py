@@ -9,6 +9,7 @@ from .table import (KvConfig, KvTable, LookupResult, FindResult, create, find,
                     set_slot_rows, grow, compact,
                     export_arrays, import_arrays,
                     FLAG_BLACKLIST, FLAG_TOUCH_TRAIN, FLAG_TOUCH_PRED)
-from .storage import (HostStorageTier, HybridTable, spill, prefetch,
+from .storage import (AsyncPrefetcher, HostStorageTier, HybridTable,
+                      spill, prefetch,
                       export_hybrid_arrays, restore_hybrid_split)
 from .unique import unique_with_counts, UniqueResult

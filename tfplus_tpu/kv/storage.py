@@ -424,6 +424,90 @@ def restore_hybrid_split(template: kvt.KvTable, tier: HostStorageTier,
     return table
 
 
+class AsyncPrefetcher:
+    """Overlap the host-tier row extraction with the running device step.
+
+    Protocol: when step ``t`` is dispatched, ``submit(ids_of_step_t_plus_1)``
+    — a worker thread dedups the ids and ``take``s the spilled rows out of
+    the tier (numpy work that would otherwise serialize with the step). Then
+    ``table = apply(table)`` between steps promotes the staged rows (device
+    insert, main thread). Staged rows live outside BOTH tiers while in
+    flight, so ``apply`` (or ``drain`` to push them back) must run before a
+    hybrid checkpoint export.
+    """
+
+    def __init__(self, tier: HostStorageTier):
+        self.tier = tier
+        self._thread = None
+        self._staged = None
+
+    def submit(self, ids) -> None:
+        import threading
+        if self._thread is not None or self._staged is not None:
+            raise RuntimeError("previous prefetch not applied/drained")
+        ids = np.asarray(ids)
+        if ids.ndim >= 1 and ids.shape[-1] == 2 and ids.dtype == np.int32:
+            u64 = hashing.decode_ids_np(ids.reshape(-1, 2))
+        else:
+            u64 = ids.astype(np.uint64).reshape(-1)
+
+        def _work():
+            u = np.unique(u64)
+            if self.tier.size == 0 or u.size == 0:
+                self._staged = (np.zeros((0,), np.uint64), None, None)
+                return
+            found, payload, meta = self.tier.take(u)
+            sel = np.nonzero(found)[0]
+            self._staged = (u[sel], payload[sel], meta[sel])
+
+        self._thread = threading.Thread(target=_work, name="kv-prefetch",
+                                        daemon=True)
+        self._thread.start()
+
+    def _join(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+
+    def apply(self, table: kvt.KvTable) -> Tuple[kvt.KvTable, int]:
+        """Promote the staged rows into the device table (between steps)."""
+        self._join()
+        if self._staged is None:
+            return table, 0
+        u64, payload, meta = self._staged
+        self._staged = None
+        n = int(u64.size)
+        if n == 0:
+            return table, 0
+        if kvt.needs_grow(table, incoming=n):
+            cap = table.capacity
+            cur = int(jax.device_get(kvt.size(table)))
+            while (cur + n) > kvt.GROW_LOAD_FACTOR * cap:
+                cap *= 2
+            table = kvt.grow(table, cap)
+        w = table.payload.shape[1]
+        if payload.shape[1] < w:
+            payload = np.concatenate(
+                [payload, np.zeros((n, w - payload.shape[1]), payload.dtype)],
+                axis=1)
+        q = hashing.encode_ids_np_to_device(u64)
+        table = kvt.insert_raw(table, q, jnp.asarray(payload[:, :w]),
+                               jnp.asarray(meta))
+        return table, n
+
+    def drain(self) -> int:
+        """Abandon the staged prefetch: return its rows to the host tier
+        (e.g. before a checkpoint export when apply() won't run)."""
+        self._join()
+        if self._staged is None:
+            return 0
+        u64, payload, meta = self._staged
+        self._staged = None
+        if u64.size:
+            self.tier.put(u64, payload, meta)
+        return int(u64.size)
+
+
 class HybridTable:
     """Convenience two-tier wrapper (reference analogue: TableManager owning
     an EV map plus StorageTables, table_manager.h:45-72). Holds the device
@@ -450,6 +534,20 @@ class HybridTable:
 
     def prefetch(self, ids) -> int:
         self.table, n = prefetch(self.table, self.tier, ids)
+        return n
+
+    # -- overlapped prefetch (AsyncPrefetcher protocol) --------------------
+    def prefetch_async(self, next_ids) -> None:
+        """Start extracting ``next_ids``'s spilled rows on a worker thread
+        while the current step runs; pair with :meth:`apply_prefetch`."""
+        if not hasattr(self, "_prefetcher"):
+            self._prefetcher = AsyncPrefetcher(self.tier)
+        self._prefetcher.submit(next_ids)
+
+    def apply_prefetch(self) -> int:
+        if not hasattr(self, "_prefetcher"):
+            return 0
+        self.table, n = self._prefetcher.apply(self.table)
         return n
 
     def maybe_spill(self, day: Optional[int] = None) -> int:
