@@ -93,7 +93,7 @@ def bench_dcn_examples_per_s():
     opt = tft.GroupAdamOptimizer()
     tx = optax.adam(1e-3)
     state = init_state(model, opt, tx, seed=0)
-    step = make_train_step(model, opt, tx, sparse_lr=1e-3, donate=False)
+    step = make_train_step(model, opt, tx, sparse_lr=1e-3)  # donated tables
     rng = np.random.RandomState(0)
     batch = {
         "ids": {f"C{i+1}": kv.encode_ids_np_to_device(
