@@ -157,3 +157,43 @@ class TestMultiTableStep:
             state, loss, _ = step(state, batch)
             losses.append(float(loss))
         assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+class TestDeepFMWideDeep:
+    """DeepFM / Wide&Deep on the SparseModel harness: the _w dim-1 linear
+    tables alias their field's ids (model.id_alias) and learn with the rest."""
+
+    def _train(self, model_cls, batches=40):
+        from tfplus_tpu.models import init_state, make_train_step
+        import optax
+        from tfplus_tpu import train as tft
+        from tfplus_tpu.data import synthetic
+
+        model = model_cls(num_fields=4, embedding_dim=8, num_numeric=4,
+                          dnn_hidden=(16, 8), capacity=1 << 10)
+        opt = tft.AdamOptimizer()
+        tx = optax.adam(5e-3)
+        state = init_state(model, opt, tx, seed=0)
+        step = make_train_step(model, opt, tx, sparse_lr=5e-3)
+        losses = []
+        for i, b in enumerate(synthetic.dlrm_batches(
+                256, batches, num_tables=4, num_numeric=4, vocab=500,
+                seed=5)):
+            batch = {
+                "ids": {f"C{c+1}": kv.encode_ids_np_to_device(
+                    b["categorical"][:, c]) for c in range(4)},
+                "features": jnp.asarray(b["numeric"]),
+                "labels": jnp.asarray(b["label"]),
+            }
+            state, loss, _ = step(state, batch)
+            losses.append(float(loss))
+        return losses, state
+
+    @pytest.mark.parametrize("name", ["DeepFM", "WideDeep"])
+    def test_loss_decreases(self, name):
+        from tfplus_tpu import models
+        losses, state = self._train(getattr(models, name))
+        assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 0.01
+        # the dim-1 linear tables actually populated
+        assert int(kv.size(state.tables["C1_w"])) > 0
+        assert state.tables["C1_w"].dim == 1

@@ -124,7 +124,7 @@ def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
             uniqs, tagged, counts, valids = [], [], [], []
             bs = None
             for name in names:
-                ids = batch["ids"][name]
+                ids = batch["ids"][getattr(model, "id_alias", {}).get(name, name)]
                 enc = (ids if (getattr(ids, "ndim", 1) == 2)
                        else hashing.encode_ids_raw(ids))
                 bs = enc.shape[0]
@@ -203,13 +203,17 @@ def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
     (rank-1), optional dense ``batch["features"]``, and ``batch["labels"]``.
     """
 
+    # models may alias several tables to one id stream (e.g. DeepFM's
+    # dim-1 linear table reads the same field ids as its embedding table)
+    alias = getattr(model, "id_alias", {})
+
     def step_fn(state: TrainState, batch):
         tables = dict(state.tables)
         looks = {}
         for name in sorted(tables):
             look, tables[name] = emb.lookup_unique(
-                tables[name], batch["ids"][name], train=train,
-                defer_meta=train)
+                tables[name], batch["ids"][alias.get(name, name)],
+                train=train, defer_meta=train)
             looks[name] = look
 
         def loss_fn(dense, rows: Dict[str, jnp.ndarray]):
