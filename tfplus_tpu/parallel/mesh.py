@@ -32,3 +32,27 @@ def table_sharding(mesh: Mesh, axis_name: str = TABLE_AXIS) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def initialize_multihost(coordinator_address: str | None = None,
+                         num_processes: int | None = None,
+                         process_id: int | None = None) -> bool:
+    """Initialize JAX's multi-host runtime for a real pod slice.
+
+    Thin wrapper over ``jax.distributed.initialize`` (which itself reads the
+    TPU metadata / env on Cloud TPU). Returns True if a multi-process
+    runtime came up, False for the single-process fallback. Call ONCE before
+    any other JAX API; after it, ``jax.devices()`` spans the slice and the
+    mesh builders here shard over all of it.
+    """
+    import jax
+    if jax.process_count() > 1:
+        return True
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+        return jax.process_count() > 1
+    except Exception:
+        # single host (or no coordinator reachable): local devices only
+        return False
