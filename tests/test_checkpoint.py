@@ -301,3 +301,23 @@ class TestAsyncSave:
             assert raised or os.access(os.path.dirname(bad), os.W_OK)
         finally:
             os.chmod(os.path.dirname(bad), 0o700)
+
+
+class TestManagerBackgroundSave:
+    def test_background_lineage(self, tmp_path):
+        mgr = ckpt.CheckpointManager(str(tmp_path))
+        t = kv.create(8, 512)
+        t = kv.lookup_or_insert(
+            t, kv.encode_ids_np_to_device(np.arange(50, dtype=np.int64))).table
+        tabs = mgr.save({"emb": t}, step=1, full=True, background=True)
+        # lineage not committed until the write lands
+        tabs2 = kv.lookup_or_insert(
+            tabs["emb"], kv.encode_ids_np_to_device(
+                np.arange(50, 80, dtype=np.int64))).table
+        mgr.wait()
+        assert mgr.latest()["full"]["step"] == 1
+        # delta on top, also background; restore joins it automatically
+        mgr.save({"emb": tabs2}, step=2, full=False, background=True)
+        restored, _, step = mgr.restore({"emb": kv.create(8, 512)})
+        assert step == 2
+        assert int(kv.size(restored["emb"])) == 80

@@ -47,20 +47,35 @@ class CheckpointManager:
         os.replace(tmp, self._state_path())
 
     # -- save --------------------------------------------------------------
-    def save(self, tables, dense=None, *, step: int, full: bool = True):
+    def save(self, tables, dense=None, *, step: int, full: bool = True,
+             background: bool = False):
         """Full export starts a new lineage; delta layers on the current one.
 
         Returns the (deltalist-cleared) tables.
+
+        ``background=True``: the bundle write runs on a worker thread
+        (:func:`saver.save_async`) — exports happen now, so training can
+        continue immediately. Lineage state, GC, and the state-file publish
+        are DEFERRED until the write finishes (joined at the start of the
+        next ``save``/``restore``/``wait``), so a crash mid-write never
+        records an unreadable checkpoint.
         """
+        self.wait()
         kind = "full" if full else "delta"
         prefix = os.path.join(self.directory, f"ckpt-{kind}-{step}")
         if not full and self._state["current_full"] is None:
             raise ValueError("cannot take a delta checkpoint before any full one")
-        new_tables = _saver.save(prefix, tables, dense,
-                                 first_n=self.first_n if full
-                                 else _saver.FIRST_N_DELTA,
-                                 delta=not full,
-                                 num_file_shards=self.num_file_shards)
+        kw = dict(first_n=self.first_n if full else _saver.FIRST_N_DELTA,
+                  delta=not full, num_file_shards=self.num_file_shards)
+        if background:
+            new_tables, handle = _saver.save_async(prefix, tables, dense, **kw)
+            self._pending = (handle, step, full, prefix)
+            return new_tables
+        new_tables = _saver.save(prefix, tables, dense, **kw)
+        self._commit(step, full, prefix)
+        return new_tables
+
+    def _commit(self, step: int, full: bool, prefix: str):
         entry = {"prefix": prefix, "step": step, "time": time.time()}
         if full:
             if self._state["current_full"] is not None:
@@ -73,7 +88,17 @@ class CheckpointManager:
         else:
             self._state["deltas"].append(entry)
         self._write_state()
-        return new_tables
+
+    def wait(self):
+        """Join a pending background save (no-op otherwise); commits its
+        lineage state on success, re-raises its error on failure."""
+        pending = getattr(self, "_pending", None)
+        if pending is None:
+            return
+        handle, step, full, prefix = pending
+        self._pending = None
+        handle.result()
+        self._commit(step, full, prefix)
 
     def _gc(self):
         while len(self._state["history"]) >= self.max_to_keep:
@@ -101,6 +126,7 @@ class CheckpointManager:
     def restore(self, tables, dense=None):
         """Restore full checkpoint then replay deltas in order
         (checkpoint_manager.py restore chain). Returns (tables, dense, step)."""
+        self.wait()
         lineage = self.latest()
         if lineage is None:
             raise FileNotFoundError(f"no checkpoint in {self.directory}")
