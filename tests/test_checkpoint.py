@@ -321,3 +321,35 @@ class TestManagerBackgroundSave:
         restored, _, step = mgr.restore({"emb": kv.create(8, 512)})
         assert step == 2
         assert int(kv.size(restored["emb"])) == 80
+
+
+class TestCrashSafety:
+    def test_interrupted_write_keeps_previous_lineage(self, tmp_path):
+        """A checkpoint that died mid-write (data file present, no index —
+        the atomic publish never happened) must be invisible: restore uses
+        the previous intact lineage."""
+        mgr = ckpt.CheckpointManager(str(tmp_path))
+        t = kv.create(8, 512)
+        t = kv.lookup_or_insert(
+            t, kv.encode_ids_np_to_device(np.arange(30, dtype=np.int64))).table
+        mgr.save({"emb": t}, step=1, full=True)
+        # simulate a crash mid-write of ckpt-full-2: data shard, no index
+        with open(str(tmp_path / "ckpt-full-2.data-00000-of-00001"), "wb") as f:
+            f.write(b"\x00" * 100)
+        restored, _, step = mgr.restore({"emb": kv.create(8, 512)})
+        assert step == 1
+        assert int(kv.size(restored["emb"])) == 30
+
+    def test_corrupt_tensor_detected_by_crc(self, tmp_path):
+        p = str(tmp_path / "ck")
+        t = kv.create(8, 512)
+        t = kv.lookup_or_insert(
+            t, kv.encode_ids_np_to_device(np.arange(30, dtype=np.int64))).table
+        saver.save(p, {"emb": t})
+        # flip bytes in the middle of the data shard
+        fn = p + ".data-00000-of-00001"
+        blob = bytearray(open(fn, "rb").read())
+        blob[len(blob) // 2] ^= 0xFF
+        open(fn, "wb").write(bytes(blob))
+        with pytest.raises(Exception, match="(?i)crc|checksum|corrupt"):
+            saver.restore(p, {"emb": kv.create(8, 512)})
