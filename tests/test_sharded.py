@@ -199,3 +199,52 @@ class TestBucketOverflow:
 
         ovf, _ = jax.jit(step)(st, jnp.asarray(ids))
         assert bool(np.asarray(ovf).any())
+
+
+class TestShardedSparseLookup:
+    """sharded_embedding_lookup_sparse == single-table
+    embedding_lookup_sparse (weighted mean/sqrtn/sum) on an 8-device mesh."""
+
+    @pytest.mark.parametrize("combiner", ["sum", "mean", "sqrtn"])
+    def test_matches_single_table(self, mesh, combiner):
+        import functools
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from tfplus_tpu import embedding as emb
+
+        n_dev = 8
+        rng = np.random.RandomState(0)
+        dim, per_dev = 8, 16          # 16 COO entries per device
+        ids_np = rng.randint(0, 300, n_dev * per_dev).astype(np.int64)
+        segs_np = np.sort(rng.randint(0, 4, n_dev * per_dev)).astype(np.int32)
+        w_np = rng.rand(n_dev * per_dev).astype(np.float32)
+
+        # reference: one full table, per-device segments combined locally
+        ref_t = kv.create(dim, 4096, seed=3)
+        ref_rows = []
+        for d in range(n_dev):
+            sl = slice(d * per_dev, (d + 1) * per_dev)
+            out, _, ref_t = emb.embedding_lookup_sparse(
+                ref_t, ids_np[sl], segs_np[sl], 4, weights=jnp.asarray(w_np[sl]),
+                combiner=combiner)
+            ref_rows.append(np.asarray(out))
+
+        t = par.create_sharded(dim, 1024, n_dev, seed=3)
+        t = jax.device_put(t, par.table_sharding(mesh))
+        tspec = jax.tree_util.tree_map(lambda _: P("mp"), t)
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(tspec, P("mp"), P("mp"), P("mp")),
+                           out_specs=(P("mp"), tspec), check_vma=False)
+        def run(tab, ids, segs, w):
+            out, state, tab = par.sharded_embedding_lookup_sparse(
+                tab, ids, segs, 4, weights=w, combiner=combiner)
+            return out, tab
+
+        out, t = jax.jit(run)(t, jnp.asarray(ids_np.astype(np.int32)),
+                              jnp.asarray(segs_np), jnp.asarray(w_np))
+        got = np.asarray(out).reshape(n_dev, 4, dim)
+        # same seed → identical init pools, and a miss's init row depends
+        # only on the key's hash — so sharded and single-table agree exactly
+        for d in range(n_dev):
+            np.testing.assert_allclose(got[d], ref_rows[d], rtol=1e-6)

@@ -136,14 +136,28 @@ def combine(look: Lookup, segment_ids: jnp.ndarray, num_segments: int,
     reference semantics (mean = Σwx/Σw, sqrtn = Σwx/√Σw²).
     Differentiable wrt ``rows`` (and ``weights``).
     """
-    if combiner not in _COMBINERS:
-        raise ValueError(f"combiner must be one of {_COMBINERS}")
     rows = look.rows if rows is None else rows
     x = rows[look.inverse]                      # [N, D] in input order
+    return combine_rows(x, segment_ids, num_segments, valid=look.valid,
+                        weights=weights, combiner=combiner)
+
+
+def combine_rows(x: jnp.ndarray, segment_ids: jnp.ndarray,
+                 num_segments: int, *,
+                 valid: Optional[jnp.ndarray] = None,
+                 weights: Optional[jnp.ndarray] = None,
+                 combiner: str = "mean") -> jnp.ndarray:
+    """Combiner core over PER-POSITION rows ``x [N, D]`` (already in input
+    order — e.g. ``parallel.sharded_lookup``'s batch rows). Same semantics
+    as :func:`combine`; differentiable wrt ``x`` (and ``weights``)."""
+    if combiner not in _COMBINERS:
+        raise ValueError(f"combiner must be one of {_COMBINERS}")
     n = x.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
     w = jnp.ones((n,), dtype=x.dtype) if weights is None else weights.astype(x.dtype)
-    w = jnp.where(look.valid, w, 0.0)
-    seg = jnp.where(look.valid, segment_ids, num_segments)  # pads dropped
+    w = jnp.where(valid, w, 0.0)
+    seg = jnp.where(valid, segment_ids, num_segments)  # pads dropped
     wx = x * w[:, None]
     num = jax.ops.segment_sum(wx, seg, num_segments=num_segments + 1)[:-1]
     if combiner == "sum":

@@ -3,7 +3,8 @@ from . import ring_attention  # module (ring_attention.ring_attention = fn)
 from .mesh import TABLE_AXIS, make_mesh, replicated, table_sharding
 from .sharded_table import (ExchangeState, create_sharded,
                             init_optimizer_sharded, local_shard,
-                            sharded_apply_grads, sharded_lookup)
+                            sharded_apply_grads,
+                            sharded_embedding_lookup_sparse, sharded_lookup)
 from .sharded2d import (COL_AXIS, ROW_AXIS, combine_col_shards,
                         create_sharded_2d, for_col_axis,
                         init_optimizer_sharded_2d, local_shard_2d,

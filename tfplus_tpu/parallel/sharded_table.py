@@ -241,3 +241,35 @@ def sharded_apply_grads(opt: SparseOptimizer, sharded_local: kvt.KvTable,
                       payload_rows=state.own_payload_rows,
                       meta_rows=state.own_meta_rows)
     return _unsqueeze(table)
+
+
+def sharded_embedding_lookup_sparse(sharded_local: kvt.KvTable, ids: Arr,
+                                    segment_ids: Arr, num_segments: int, *,
+                                    weights: Optional[Arr] = None,
+                                    valid: Optional[Arr] = None,
+                                    combiner: str = "mean",
+                                    axis_name: str = "mp", train: bool = True,
+                                    day: int | Arr = 0,
+                                    defer_meta: bool = False):
+    """COO sparse lookup + combine over the sharded table (per-device body;
+    the distributed analogue of ``embedding.embedding_lookup_sparse``).
+
+    ``ids[N]`` / ``segment_ids[N]`` / ``valid[N]`` are this device's COO
+    slice; segments index this device's LOCAL batch rows. Returns
+    ``(combined [num_segments, D], state, table)``. Gradients: differentiate
+    wrt the combined output's upstream per-position rows by re-running
+    ``embedding.combine_rows`` inside your loss on the returned state's rows
+    — or simply take grads wrt the per-position rows path:
+    ``rows, state, t = sharded_lookup(...)`` then ``combine_rows`` in the
+    loss and ``sharded_apply_grads`` with the per-position row grads.
+    This helper is the fused convenience for inference/eval paths.
+    """
+    from .. import embedding as _emb
+    rows, state, table = sharded_lookup(
+        sharded_local, ids, axis_name=axis_name, train=train, valid=valid,
+        day=day, defer_meta=defer_meta)
+    out = _emb.combine_rows(
+        rows, jnp.asarray(segment_ids, jnp.int32), num_segments,
+        valid=state.src_valid if valid is None else valid,
+        weights=weights, combiner=combiner)
+    return out, state, table
