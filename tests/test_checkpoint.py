@@ -353,3 +353,38 @@ class TestCrashSafety:
         open(fn, "wb").write(bytes(blob))
         with pytest.raises(Exception, match="(?i)crc|checksum|corrupt"):
             saver.restore(p, {"emb": kv.create(8, 512)})
+
+
+class TestMultihost:
+    """Coordinator-free multi-host checkpointing: each process writes its own
+    bundle with globally-numbered shards; restore unions them (any process
+    count x any target shard count, elastic re-mod included)."""
+
+    def test_two_process_roundtrip_and_elastic(self, tmp_path):
+        opt = tft.AdagradOptimizer()
+        all_ids = np.arange(200, dtype=np.int64)
+        shard4 = [opt.init(kv.create(8, 512, seed=i)) for i in range(4)]
+        for g in range(4):
+            mine = all_ids[all_ids % 4 == g]
+            shard4[g] = kv.insert(
+                shard4[g], kv.encode_ids_np_to_device(mine),
+                np.full((mine.size, 8), float(g + 1), np.float32))
+        p = str(tmp_path / "mh")
+        for proc in range(2):     # 2 procs x 2 local shards
+            saver.save_multihost(
+                p, {"emb": shard4[proc * 2:(proc + 1) * 2]},
+                {"w": np.ones(3, np.float32)} if proc == 0 else None,
+                process_id=proc, num_processes=2)
+        tmpl4 = [opt.init(kv.create(8, 512, seed=9)) for _ in range(4)]
+        out, dense = saver.restore_multihost(
+            p, {"emb": tmpl4}, {"w": np.zeros(3, np.float32)})
+        for g in range(4):
+            mine = all_ids[all_ids % 4 == g]
+            got = kv.lookup_or_zeros(out["emb"][g],
+                                     kv.encode_ids_np_to_device(mine))
+            np.testing.assert_allclose(np.asarray(got), float(g + 1))
+        np.testing.assert_allclose(np.asarray(dense["w"]), 1.0)
+        # elastic 4 -> 3
+        tmpl3 = [opt.init(kv.create(8, 512, seed=7)) for _ in range(3)]
+        out3, _ = saver.restore_multihost(p, {"emb": tmpl3})
+        assert sum(int(kv.size(s)) for s in out3["emb"]) == 200

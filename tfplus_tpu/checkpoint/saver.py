@@ -246,7 +246,8 @@ def restore(prefix: str, tables: Dict[str, TableOrShards],
     """
     from . import repartition
     from ..utils.progress import ProgressBar, MIN_ROWS_FOR_BAR
-    reader = bundle.BundleReader(prefix)
+    reader = (prefix if hasattr(prefix, "lookup")     # any reader-like
+              else bundle.BundleReader(prefix))
     out: Dict[str, TableOrShards] = {}
     for name, t in tables.items():
         want = _shards(t)
@@ -285,3 +286,91 @@ def restore(prefix: str, tables: Dict[str, TableOrShards],
             leaves.append(jnp.asarray(arr, dtype=leaf.dtype).reshape(leaf.shape))
         new_dense = jax.tree_util.tree_unflatten(treedef, leaves)
     return out, new_dense
+
+
+# ---------------------------------------------------------------------------
+# Multi-host (multi-process) checkpointing — coordinator-free: every process
+# writes its OWN bundle with globally-numbered table shards; restore reads
+# the union. SURVEY.md §5.3 "multi-slice checkpointing" realised without any
+# cross-host communication (only a shared filesystem).
+# ---------------------------------------------------------------------------
+
+def _proc_prefix(prefix: str, process_id: int, num_processes: int) -> str:
+    return f"{prefix}-proc{process_id:05d}-of-{num_processes:05d}"
+
+
+class UnionReader:
+    """Reader-like union over every process's bundle of a multihost save."""
+
+    def __init__(self, prefix: str):
+        import glob
+        idx = sorted(glob.glob(prefix + "-proc*-of-*" +
+                               ".index.json"))
+        if not idx:
+            raise FileNotFoundError(f"no multihost bundles under {prefix}")
+        self._readers = [bundle.BundleReader(fn[:-len(".index.json")])
+                         for fn in idx]
+        self._where = {}
+        for r in self._readers:
+            for k in r.keys():
+                self._where.setdefault(k, r)
+
+    def keys(self) -> List[str]:
+        return list(self._where)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._where
+
+    def shape(self, name: str):
+        return self._where[name].shape(name)
+
+    def dtype(self, name: str):
+        return self._where[name].dtype(name)
+
+    def num_elements(self, name: str) -> int:
+        return self._where[name].num_elements(name)
+
+    def lookup(self, name: str, verify: bool = True) -> np.ndarray:
+        return self._where[name].lookup(name, verify=verify)
+
+    def lookup_slice(self, name: str, start_row: int, num_rows: int):
+        return self._where[name].lookup_slice(name, start_row, num_rows)
+
+
+def save_multihost(prefix: str, tables: Dict[str, TableOrShards],
+                   dense: Optional[dict] = None, *, process_id: int,
+                   num_processes: int, **kw) -> Dict[str, TableOrShards]:
+    """Per-process save: ``tables[name]`` holds this process's CONSECUTIVE
+    local shards; global part index = ``process_id * len(local) + i`` (the
+    uniform shards-per-process layout ``create_sharded`` + mesh sharding
+    produce). Dense state is written by process 0 only. Call on every
+    process (no ordering requirement); restore with
+    ``restore(UnionReader(prefix), ...)`` or :func:`restore_multihost`."""
+    p = _proc_prefix(prefix, process_id, num_processes)
+    out: Dict[str, TableOrShards] = {}
+    with bundle.BundleWriter(p) as w:
+        for name, t in tables.items():
+            shards = _shards(t)
+            n_local = len(shards)
+            n_total = n_local * num_processes
+            new = []
+            for i, s in enumerate(shards):
+                g = process_id * n_local + i
+                new.append(save_table(w, shard_name(name, g, n_total), s,
+                                      **kw))
+            out[name] = new if isinstance(t, (list, tuple)) else new[0]
+            if process_id == 0:
+                w.add(name + "-num_shards", np.array([n_total], np.int32))
+        if dense is not None and process_id == 0:
+            flat, _ = jax.tree_util.tree_flatten_with_path(dense)
+            for path, leaf in flat:
+                key = "dense/" + "/".join(_path_str(p) for p in path)
+                w.add(key, np.asarray(jax.device_get(leaf)))
+    return out
+
+
+def restore_multihost(prefix: str, tables: Dict[str, TableOrShards],
+                      dense: Optional[dict] = None, *, delta: bool = False):
+    """Restore a :func:`save_multihost` checkpoint — any process count, any
+    target shard count (elastic re-mod applies as usual)."""
+    return restore(UnionReader(prefix), tables, dense, delta=delta)
