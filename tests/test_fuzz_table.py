@@ -1,0 +1,165 @@
+"""Differential fuzz: random op sequences on a KvTable vs a python dict
+model. Catches cross-op interactions (delete→reinsert over tombstones,
+grow/compact mid-sequence, freq saturation, TTL eviction, blacklist reads)
+that single-op tests can't.
+
+The model never replicates init-pool math: inserts carry explicit rows, and
+for lookup_or_insert misses the model ADOPTS the engine's returned row, so
+comparisons stay exact.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tfplus_tpu import kv
+from tfplus_tpu.utils import packing
+
+DIM = 8
+
+
+def enc(ids_np):
+    return kv.encode_ids_np_to_device(np.asarray(ids_np, np.int64))
+
+
+class Model:
+    def __init__(self):
+        self.rows = {}     # id -> np[DIM]
+        self.freq = {}     # id -> int (saturating uint16)
+        self.day = {}      # id -> int
+        self.black = set()
+
+    def upsert(self, i, row, day, blacklist=False, bump=0, set_freq=None):
+        self.rows[i] = np.array(row, np.float32)
+        if set_freq is not None:
+            self.freq[i] = set_freq          # insert() PACKS fresh meta
+        else:
+            self.freq[i] = min(self.freq.get(i, 0) + bump, 0xFFFF)
+        self.day[i] = day
+        if blacklist:
+            self.black.add(i)
+        else:
+            self.black.discard(i)
+
+    def expect_row(self, i):
+        if i not in self.rows or i in self.black:
+            return np.zeros(DIM, np.float32)
+        return self.rows[i]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_random_op_sequence(seed):
+    rng = np.random.RandomState(seed)
+    t = kv.create(DIM, 256, max_probes=16, seed=seed)   # small: forces grow
+    m = Model()
+    universe = rng.choice(100_000, 600, replace=False)
+    day = 1
+
+    for step in range(30):
+        op = rng.choice(
+            ["insert", "lookup_insert", "scatter_add", "scatter_update",
+             "delete", "ttl", "compact"],
+            p=[0.25, 0.25, 0.15, 0.1, 0.1, 0.05, 0.1])
+        ids_np = np.unique(rng.choice(universe, rng.randint(1, 40)))
+        q = enc(ids_np)
+
+        if op == "insert":
+            rows = rng.randn(len(ids_np), DIM).astype(np.float32)
+            if kv.needs_grow(t, len(ids_np)):
+                t = kv.grow(t)
+            t = kv.insert(t, q, jnp.asarray(rows), day=day)
+            # bucket overflow can drop NEW keys even under the load-factor
+            # threshold (both candidate buckets full) — the engine's
+            # documented contract; mirror it via a find
+            placed = np.asarray(jax.device_get(kv.find(t, q).found))
+            for j, i in enumerate(ids_np):
+                if placed[j]:
+                    # insert REPLACES the meta word: freq resets to 1
+                    m.upsert(int(i), rows[j], day, set_freq=1)
+
+        elif op == "lookup_insert":
+            if kv.needs_grow(t, len(ids_np)):
+                t = kv.grow(t)
+            res = kv.lookup_or_insert(t, q, day=day)
+            t = res.table
+            got = np.asarray(jax.device_get(res.rows))
+            placed = np.asarray(jax.device_get(res.slot)) >= 0
+            for j, i in enumerate(ids_np):
+                i = int(i)
+                if not placed[j]:
+                    continue                      # bucket overflow: dropped
+                if i in m.black:
+                    # blacklisted rows read zeros but keep stored value
+                    m.freq[i] = min(m.freq.get(i, 0) + 1, 0xFFFF)
+                    m.day[i] = day
+                elif i in m.rows:
+                    m.freq[i] = min(m.freq[i] + 1, 0xFFFF)
+                    m.day[i] = day
+                else:
+                    m.upsert(i, got[j], day, bump=1)   # adopt engine init
+
+        elif op in ("scatter_add", "scatter_update"):
+            upd = rng.randn(len(ids_np), DIM).astype(np.float32)
+            if kv.needs_grow(t, len(ids_np)):
+                t = kv.grow(t)
+            t = kv.scatter(t, q, jnp.asarray(upd),
+                           "add" if op == "scatter_add" else "update",
+                           day=day)
+            placed = np.asarray(jax.device_get(kv.find(t, q).found))
+            after = np.asarray(jax.device_get(kv.lookup_or_zeros(t, q)))
+            for j, i in enumerate(ids_np):
+                i = int(i)
+                if not placed[j]:
+                    continue                      # bucket overflow: dropped
+                if i in m.rows and i not in m.black:
+                    base = m.rows[i]
+                    new = base + upd[j] if op == "scatter_add" else upd[j]
+                elif i in m.black:
+                    # blacklisted rows read as zeros into the op
+                    new = upd[j] if op == "scatter_update" else upd[j] + 0.0
+                else:
+                    # miss: engine inserts an init-pool row FIRST, then
+                    # applies the op — adopt its result
+                    new = after[j]
+                # scatter clears the blacklist bit (reactivation)
+                m.upsert(i, new, day, blacklist=False, bump=1)
+
+        elif op == "delete":
+            present = [i for i in ids_np if int(i) in m.rows]
+            if present:
+                t, _ = kv.delete(t, enc(present))
+                for i in present:
+                    i = int(i)
+                    m.rows.pop(i, None); m.freq.pop(i, None)
+                    m.day.pop(i, None); m.black.discard(i)
+
+        elif op == "ttl":
+            thresh = 2
+            t, _ = kv.delete_with_timestamp(t, thresh, day=day)
+            dead = [i for i, d in m.day.items() if (day - d) > thresh]
+            for i in dead:
+                m.rows.pop(i, None); m.freq.pop(i, None)
+                m.day.pop(i, None); m.black.discard(i)
+            day += 1
+
+        elif op == "compact":
+            t = kv.compact(t)
+
+        day += int(rng.rand() < 0.3)
+
+        # --- invariants after every op --------------------------------
+        assert int(jax.device_get(kv.size(t))) == len(m.rows), (step, op)
+
+    # final deep check: every model key reads back exactly; absent keys zero
+    all_ids = sorted(m.rows)
+    if all_ids:
+        got = np.asarray(jax.device_get(kv.lookup_or_zeros(t, enc(all_ids))))
+        want = np.stack([m.expect_row(i) for i in all_ids])
+        np.testing.assert_allclose(got, want, rtol=1e-6, err_msg="row values")
+        cnt = np.asarray(jax.device_get(kv.get_count(t, enc(all_ids))))
+        np.testing.assert_array_equal(
+            cnt, np.array([m.freq[i] for i in all_ids], cnt.dtype))
+    absent = [int(i) for i in universe if int(i) not in m.rows][:20]
+    gz = np.asarray(jax.device_get(kv.lookup_or_zeros(t, enc(absent))))
+    np.testing.assert_allclose(gz, 0.0)
