@@ -163,3 +163,69 @@ def test_random_op_sequence(seed):
     absent = [int(i) for i in universe if int(i) not in m.rows][:20]
     gz = np.asarray(jax.device_get(kv.lookup_or_zeros(t, enc(absent))))
     np.testing.assert_allclose(gz, 0.0)
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_checkpoint_lineage_fuzz(seed, tmp_path):
+    """Random train/full/delta/crash-restore sequences: after every restore
+    the table must equal the dict model that tracked only COMMITTED state
+    (mutations since the last save are lost, exactly like a real crash)."""
+    from tfplus_tpu import checkpoint as ckpt
+
+    rng = np.random.RandomState(seed)
+    mgr = ckpt.CheckpointManager(str(tmp_path / f"s{seed}"), max_to_keep=3)
+    t = kv.create(DIM, 512, seed=seed)
+    committed = {}        # id -> row, as of the last save
+    live = {}             # id -> row, current
+    universe = rng.choice(50_000, 300, replace=False)
+    step = 0
+    have_full = False
+
+    for _ in range(25):
+        op = rng.choice(["mutate", "full", "delta", "crash_restore"],
+                        p=[0.55, 0.15, 0.2, 0.1])
+        if op == "mutate":
+            ids_np = np.unique(rng.choice(universe, rng.randint(1, 30)))
+            rows = rng.randn(len(ids_np), DIM).astype(np.float32)
+            if kv.needs_grow(t, len(ids_np)):
+                t = kv.grow(t)
+            t = kv.insert(t, enc(ids_np), jnp.asarray(rows))
+            placed = np.asarray(jax.device_get(kv.find(t, enc(ids_np)).found))
+            for j, i in enumerate(ids_np):
+                if placed[j]:
+                    live[int(i)] = rows[j]
+            # occasional deletes exercise the delta deletion log
+            if rng.rand() < 0.3 and live:
+                dead = rng.choice(sorted(live), min(5, len(live)),
+                                  replace=False)
+                t, _ = kv.delete(t, enc(dead))
+                for i in dead:
+                    live.pop(int(i), None)
+        elif op == "full" or (op == "delta" and not have_full):
+            step += 1
+            out = mgr.save({"emb": t}, step=step, full=True)
+            t = out["emb"]
+            committed = dict(live)
+            have_full = True
+        elif op == "delta":
+            step += 1
+            out = mgr.save({"emb": t}, step=step, full=False)
+            t = out["emb"]
+            committed = dict(live)
+        elif op == "crash_restore" and have_full:
+            # crash: lose everything since the last save, restore lineage
+            restored, _, _ = mgr.restore({"emb": kv.create(DIM, 512,
+                                                           seed=seed + 1)})
+            t = restored["emb"]
+            live = dict(committed)
+            assert int(jax.device_get(kv.size(t))) == len(live)
+            if live:
+                ids_s = sorted(live)
+                got = np.asarray(jax.device_get(
+                    kv.lookup_or_zeros(t, enc(ids_s))))
+                want = np.stack([live[i] for i in ids_s])
+                np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    if have_full:
+        restored, _, _ = mgr.restore({"emb": kv.create(DIM, 512, seed=99)})
+        assert int(jax.device_get(kv.size(restored["emb"]))) == len(committed)

@@ -973,6 +973,14 @@ def import_arrays(table: KvTable, data: Dict[str, np.ndarray], *,
     if cap != table.capacity:
         table = grow(table, cap)
 
+    # deletes FIRST, then upserts: the deletion log is append-only, so a key
+    # deleted and then RE-INSERTED between exports appears in BOTH lists —
+    # the upsert must win (delete-after-upsert killed the live row; caught by
+    # tests/test_fuzz_table.py's lineage fuzz)
+    if delete_keys is not None and np.asarray(delete_keys).size:
+        qd = hashing.encode_ids_np_to_device(np.asarray(delete_keys))
+        table, _ = delete(table, qd)
+
     if n:
         q = hashing.encode_ids_np_to_device(np.asarray(data["keys"]))
         vals = jnp.asarray(np.asarray(data["values"]),
@@ -1008,7 +1016,4 @@ def import_arrays(table: KvTable, data: Dict[str, np.ndarray], *,
                              dtype=jnp.uint32)
         header = _set_meta_at(table.header, idx, packed)
         table = dataclasses.replace(table, header=header)
-    if delete_keys is not None and np.asarray(delete_keys).size:
-        qd = hashing.encode_ids_np_to_device(np.asarray(delete_keys))
-        table, _ = delete(table, qd)
     return table
