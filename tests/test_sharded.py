@@ -248,3 +248,63 @@ class TestShardedSparseLookup:
         # only on the key's hash — so sharded and single-table agree exactly
         for d in range(n_dev):
             np.testing.assert_allclose(got[d], ref_rows[d], rtol=1e-6)
+
+
+class TestShardedFuzz:
+    """Random multi-step sharded training vs a single table — zipf-skewed
+    ids stress the bucket-capacity/overflow path; equality must hold on
+    every step where no bucket overflowed (none does at 2x capacity here),
+    and the overflow flag must be the ONLY failure mode otherwise."""
+
+    def test_random_steps_match_single_table(self, mesh):
+        import functools
+        rng = np.random.RandomState(42)
+        opt = tft.AdagradOptimizer()
+        sh = par.create_sharded(DIM, 1024, NDEV, seed=4)
+        sh = par.init_optimizer_sharded(opt, sh)
+        sh = jax.device_put(sh, par.table_sharding(mesh))
+        tspec = jax.tree_util.tree_map(lambda _: P("mp"), sh)
+        single = opt.init(kv.create(DIM, 8192, seed=4))
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(tspec, P("mp"), P()),
+                           out_specs=(P("mp"), tspec, P()),
+                           check_vma=False)
+        def step(tab, ids, s):
+            rows, state, tab = par.sharded_lookup(tab, ids, defer_meta=True)
+            g = rows * 0.25 + 0.5
+            tab = par.sharded_apply_grads(opt, tab, state, g, lr=0.1, step=s)
+            return rows, tab, jax.lax.pmax(
+                state.overflow.astype(jnp.int32), "mp")
+
+        jstep = jax.jit(step)
+        for s in range(1, 6):
+            # zipf-skewed ids: heavy duplication of hot keys across devices
+            ids_np = (rng.zipf(1.3, NDEV * 64) % 3000).astype(np.int32)
+            rows_sh, sh, overflow = jstep(sh, jnp.asarray(ids_np),
+                                          jnp.int32(s))
+            assert int(overflow) == 0, "bucket overflow at 2x capacity"
+
+            u = kv.unique_with_counts(kv.encode_ids(ids_np.astype(np.int64)))
+            res = kv.lookup_or_insert(single, u.unique_keys, counts=u.counts)
+            rows_single = res.rows[u.inverse]
+            np.testing.assert_allclose(np.asarray(rows_sh),
+                                       np.asarray(rows_single), rtol=1e-5,
+                                       err_msg=f"step {s} rows")
+            g = np.asarray(rows_single) * 0.25 + 0.5
+            ug = jax.ops.segment_sum(jnp.asarray(g), u.inverse,
+                                     num_segments=ids_np.shape[0])
+            single = opt.apply(res.table, res.slot, ug, lr=0.1, step=s)
+
+        # final state: every id's row identical
+        probe = np.unique((rng.zipf(1.3, 500) % 3000).astype(np.int64))
+        want = np.asarray(kv.lookup_or_zeros(single, kv.encode_ids(probe)))
+        got = np.zeros_like(want)
+        owner = np.asarray(kv.shard_of(kv.encode_ids(probe), NDEV))
+        for d in range(NDEV):
+            m = owner == d
+            if m.any():
+                shard = par.local_shard(jax.device_get(sh), d)
+                got[m] = np.asarray(kv.lookup_or_zeros(
+                    shard, kv.encode_ids(probe[m])))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
