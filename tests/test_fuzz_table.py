@@ -229,3 +229,70 @@ def test_checkpoint_lineage_fuzz(seed, tmp_path):
     if have_full:
         restored, _, _ = mgr.restore({"emb": kv.create(DIM, 512, seed=99)})
         assert int(jax.device_get(kv.size(restored["emb"]))) == len(committed)
+
+
+@pytest.mark.parametrize("seed", [20, 21])
+def test_hybrid_storage_fuzz(seed):
+    """Random insert/spill/prefetch/async-prefetch sequences on a
+    HybridTable: no row is ever lost or duplicated across the tiers, values
+    survive round trips, and the tier-aware export always sees every row."""
+    from tfplus_tpu.kv import storage
+
+    rng = np.random.RandomState(seed)
+    t = kv.create(DIM, 512, seed=seed)
+    ht = storage.HybridTable(t, max_live=300)
+    vals = {}          # id -> row (ground truth, wherever the row lives)
+    universe = rng.choice(30_000, 400, replace=False)
+
+    for step in range(20):
+        op = rng.choice(["insert", "spill", "prefetch", "async", "export"],
+                        p=[0.45, 0.2, 0.15, 0.1, 0.1])
+        if op == "insert":
+            ids_np = np.unique(rng.choice(universe, rng.randint(1, 40)))
+            rows = rng.randn(len(ids_np), DIM).astype(np.float32)
+            if kv.needs_grow(ht.table, len(ids_np)):
+                ht.table = kv.grow(ht.table)
+            # inserting an id that lives in the HOST tier must not fork it:
+            # promote first (the documented between-step protocol)
+            ht.prefetch(ids_np.astype(np.uint64))
+            ht.table = kv.insert(ht.table, enc(ids_np), jnp.asarray(rows))
+            placed = np.asarray(jax.device_get(
+                kv.find(ht.table, enc(ids_np)).found))
+            for j, i in enumerate(ids_np):
+                if placed[j]:
+                    vals[int(i)] = rows[j]
+        elif op == "spill":
+            ht.maybe_spill()
+        elif op == "prefetch":
+            if vals:
+                pick = rng.choice(sorted(vals), min(20, len(vals)),
+                                  replace=False)
+                ht.prefetch(pick.astype(np.uint64))
+        elif op == "async":
+            if vals:
+                pick = rng.choice(sorted(vals), min(20, len(vals)),
+                                  replace=False)
+                ht.prefetch_async(pick.astype(np.uint64))
+                ht.apply_prefetch()
+        elif op == "export":
+            ex = storage.export_hybrid_arrays(ht.table, ht.tier)
+            keys = set(np.asarray(ex["keys"]).astype(np.int64).tolist())
+            assert keys == set(vals), (step, len(keys), len(vals))
+
+        # invariant: logical size == model size (no loss, no forks)
+        assert ht.logical_size == len(vals), (step, op)
+
+    # every row readable with its exact value, wherever it lives
+    ids_s = sorted(vals)
+    got = np.zeros((len(ids_s), DIM), np.float32)
+    fr = kv.find(ht.table, enc(ids_s))
+    found = np.asarray(jax.device_get(fr.found))
+    dev_rows = np.asarray(jax.device_get(
+        kv.lookup_or_zeros(ht.table, enc(ids_s))))
+    host_found, host_rows, _ = ht.tier.lookup_rows(
+        np.asarray(ids_s, np.uint64))
+    for j, i in enumerate(ids_s):
+        assert found[j] != host_found[j], (i, "must live in exactly one tier")
+        got[j] = dev_rows[j] if found[j] else host_rows[j][:DIM]
+    np.testing.assert_allclose(
+        got, np.stack([vals[i] for i in ids_s]), rtol=1e-6)
