@@ -55,21 +55,15 @@ class EmbeddingServer:
 
     def embed(self, column, ids):
         kv, np = self.kv, self.np
+        from tfplus_tpu import embedding as emb
         col = self.by_column[column]
         var = col["embedding_var_keys"][0][:-len("-keys")].split("/part_")[0]
         t = self.tables[var]
-        q = kv.encode_ids_np_to_device(np.asarray(ids, np.int64))
-        if isinstance(t, list):                      # sharded: route by mod
-            owner = np.asarray(kv.shard_of(q, len(t)))
-            out = np.zeros((len(ids), col["embedding_dim"]), np.float32)
-            for s in range(len(t)):
-                m = owner == s
-                if m.any():
-                    sub = kv.encode_ids_np_to_device(
-                        np.asarray(ids, np.int64)[m])
-                    out[m] = np.asarray(kv.lookup_or_zeros(t[s], sub))
-            return out
-        return np.asarray(kv.lookup_or_zeros(t, q))
+        # partitioned_lookup handles single tables AND shard lists (key % N
+        # routing, the reference's PartitionedVariable read path)
+        rows, _ = emb.partitioned_lookup(t, np.asarray(ids, np.int64),
+                                         train=False)
+        return np.asarray(rows)
 
 
 def make_handler(server):

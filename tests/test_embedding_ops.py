@@ -150,3 +150,34 @@ class TestGradsToUnique:
         want0 = np.asarray(g[0] + g[1])
         np.testing.assert_allclose(np.asarray(gu[inv[0]]), want0)
         np.testing.assert_allclose(np.asarray(gu[inv[2]]), np.asarray(g[2]))
+
+
+class TestPartitionedLookup:
+    """partitioned_lookup: the reference's PartitionedVariable read path
+    (key % N routing over a shard list, single process)."""
+
+    def test_mod_routing_and_values(self):
+        from tfplus_tpu import variables
+        store = variables.KvVariableStore()
+        shards = store.get_kv_variable("pl_emb", 8, num_shards=4,
+                                       capacity=512)
+        rng = np.random.RandomState(3)
+        ids = rng.randint(0, 5000, 64).astype(np.int64)
+        rows, shards = emb.partitioned_lookup(shards, ids.astype(np.int32))
+        assert rows.shape == (64, 8)
+        owner = np.asarray(kv.shard_of(kv.encode_ids(ids), 4))
+        for s in range(4):
+            assert int(kv.size(shards[s])) == len(np.unique(ids[owner == s]))
+        # eval: identical rows, no inserts
+        more = np.concatenate([ids, np.array([999_999], np.int64)])
+        rows2, shards2 = emb.partitioned_lookup(
+            shards, more.astype(np.int32), train=False)
+        np.testing.assert_allclose(np.asarray(rows2[:64]), np.asarray(rows))
+        np.testing.assert_allclose(np.asarray(rows2[64]), 0.0)
+        assert sum(int(kv.size(s)) for s in shards2) == \
+            sum(int(kv.size(s)) for s in shards)
+
+    def test_single_table_passthrough(self):
+        t = kv.create(8, 256)
+        rows, t = emb.partitioned_lookup(t, np.arange(10, dtype=np.int64))
+        assert rows.shape == (10, 8) and int(kv.size(t)) == 10

@@ -235,3 +235,35 @@ def grads_to_unique(look: Lookup, grad_per_position: jnp.ndarray) -> jnp.ndarray
                   jnp.zeros_like(grad_per_position))
     n = look.inverse.shape[0]
     return jax.ops.segment_sum(g, look.inverse, num_segments=n)
+
+
+def partitioned_lookup(shards, ids, *, train: bool = True,
+                       day: int | jnp.ndarray = 0):
+    """Dense lookup over a PartitionedVariable-style shard list — the
+    reference's single-process partitioned path (embedding_ops.py's
+    dynamic_partition/stitch around per-partition gathers, routing by
+    ``key % num_shards``; variable_scope partitioner). For mesh-distributed
+    shards use ``parallel.sharded_lookup`` instead.
+
+    ``shards``: list of KvTable (e.g. from ``get_kv_variable(num_shards=N)``)
+    or a single table. Returns ``(rows [..., D], shards)``.
+    """
+    if isinstance(shards, kvt.KvTable):
+        rows, _, t = embedding_lookup(shards, ids, train=train, day=day)
+        return rows, t
+    n_shards = len(shards)
+    ids_arr = hashing.encode_ids_raw(ids)
+    batch_shape = ids_arr.shape[:-1]
+    flat = ids_arr.reshape(-1, 2)
+    owner = hashing.shard_of(flat, n_shards)
+    dim = shards[0].config.dim
+    out = jnp.zeros((flat.shape[0], dim), shards[0].payload.dtype)
+    new_shards = []
+    for s, t in enumerate(shards):
+        mine = owner == s
+        # static shapes: every shard processes the full batch with a
+        # validity mask (non-owned positions contribute nothing)
+        look, t = lookup_unique(t, flat, train=train, valid=mine, day=day)
+        out = jnp.where(mine[:, None], gather(look), out)
+        new_shards.append(t)
+    return out.reshape(*batch_shape, dim), new_shards
