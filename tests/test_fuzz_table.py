@@ -14,7 +14,6 @@ import jax
 import jax.numpy as jnp
 
 from tfplus_tpu import kv
-from tfplus_tpu.utils import packing
 
 DIM = 8
 

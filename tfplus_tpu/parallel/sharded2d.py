@@ -29,7 +29,6 @@ Gradients mirror 3→2→1 with segment sums at each hop.
 """
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

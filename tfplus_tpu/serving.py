@@ -106,7 +106,6 @@ def load_for_serving(directory: str, *, load_factor: float = 0.6):
     ready for ``kv.lookup_or_zeros`` / ``embedding_lookup(train=False)``.
     """
     import os
-    import numpy as np
     from .checkpoint import bundle, saver
     from .kv import table as kvt
 
