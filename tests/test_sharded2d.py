@@ -165,3 +165,55 @@ def test_combine_col_shards_roundtrip():
             np.testing.assert_allclose(
                 np.asarray(kv.lookup_or_zeros(combined[r], sub)),
                 ref_rows[m], rtol=1e-5, atol=1e-6)
+
+
+def test_fuzz_multi_step_zipf():
+    """3 random zipf-skewed GroupAdam steps on a 2x4 mesh must track the
+    single full-width table exactly (dup-heavy batches stress owner-side
+    dedup and the col-lockstep headers)."""
+    rng = np.random.RandomState(7)
+    opt = train.GroupAdamOptimizer(l21_regularization_strength=0.02)
+    seqs = [(rng.zipf(1.4, 64) % 300).astype(np.int64) for _ in range(3)]
+
+    mesh = s2.make_mesh_2d(2, 4)
+    opt2 = s2.for_col_axis(opt)
+    t2d = make_2d(2, 4, opt)
+    tspec = jax.tree_util.tree_map(lambda _: P("row", "col"), t2d)
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(tspec, P(("row", "col")), P()),
+                       out_specs=(P(("row", "col")), tspec),
+                       check_vma=False)
+    def step2d(tab, ids, s):
+        rows, state, tab = s2.sharded_lookup_2d(tab, ids, defer_meta=True)
+        g = rows * 0.3 + 0.05
+        tab = s2.sharded_apply_grads_2d(opt2, tab, state, g, lr=0.1, step=s)
+        return rows, tab
+
+    tref = make_ref_table(opt)
+    jstep = jax.jit(step2d)
+    for s, ids_np in enumerate(seqs, start=1):
+        rows2d, t2d = jstep(t2d, kv.encode_ids_np_to_device(ids_np),
+                            jnp.int32(s))
+        u = kv.unique_with_counts(kv.encode_ids(ids_np))
+        res = kv.lookup_or_insert(tref, u.unique_keys, counts=u.counts)
+        rows1 = res.rows[u.inverse]
+        np.testing.assert_allclose(np.asarray(rows2d), np.asarray(rows1),
+                                   rtol=1e-5, atol=1e-6)
+        g = np.asarray(rows1) * 0.3 + 0.05
+        ug = jax.ops.segment_sum(jnp.asarray(g), u.inverse,
+                                 num_segments=ids_np.shape[0])
+        tref = opt.apply(res.table, res.slot, ug, lr=0.1, step=s)
+
+    # final values identical on every touched id
+    probe = np.unique(np.concatenate(seqs))
+    want = np.asarray(kv.lookup_or_zeros(tref, kv.encode_ids(probe)))
+    combined = s2.combine_col_shards(jax.device_get(t2d))
+    owner = np.asarray(kv.shard_of(kv.encode_ids(probe), 2))
+    got = np.zeros_like(want)
+    for r in range(2):
+        m = owner == r
+        if m.any():
+            got[m] = np.asarray(kv.lookup_or_zeros(
+                combined[r], kv.encode_ids(probe[m])))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
