@@ -179,6 +179,10 @@ def test_checkpoint_lineage_fuzz(seed, tmp_path):
     universe = rng.choice(50_000, 300, replace=False)
     step = 0
     have_full = False
+    day = 1
+    days = {}           # id -> last-touch day (for TTL through deltas)
+    committed_days = {}  # day snapshot at the last save (restored rows carry
+                         # their packed per-row day, so the model must too)
 
     for _ in range(25):
         op = rng.choice(["mutate", "full", "delta", "crash_restore"],
@@ -188,35 +192,46 @@ def test_checkpoint_lineage_fuzz(seed, tmp_path):
             rows = rng.randn(len(ids_np), DIM).astype(np.float32)
             if kv.needs_grow(t, len(ids_np)):
                 t = kv.grow(t)
-            t = kv.insert(t, enc(ids_np), jnp.asarray(rows))
+            t = kv.insert(t, enc(ids_np), jnp.asarray(rows), day=day)
             placed = np.asarray(jax.device_get(kv.find(t, enc(ids_np)).found))
             for j, i in enumerate(ids_np):
                 if placed[j]:
                     live[int(i)] = rows[j]
+                    days[int(i)] = day
             # occasional deletes exercise the delta deletion log
             if rng.rand() < 0.3 and live:
                 dead = rng.choice(sorted(live), min(5, len(live)),
                                   replace=False)
                 t, _ = kv.delete(t, enc(dead))
                 for i in dead:
-                    live.pop(int(i), None)
+                    live.pop(int(i), None); days.pop(int(i), None)
+            # occasional TTL evictions also flow through the deletion log
+            if rng.rand() < 0.2:
+                day += 3
+                t, _ = kv.delete_with_timestamp(t, 2, day=day)
+                for i in [i for i, d in days.items() if (day - d) > 2]:
+                    live.pop(i, None); days.pop(i, None)
+            day += int(rng.rand() < 0.4)
         elif op == "full" or (op == "delta" and not have_full):
             step += 1
             out = mgr.save({"emb": t}, step=step, full=True)
             t = out["emb"]
             committed = dict(live)
+            committed_days = dict(days)
             have_full = True
         elif op == "delta":
             step += 1
             out = mgr.save({"emb": t}, step=step, full=False)
             t = out["emb"]
             committed = dict(live)
+            committed_days = dict(days)
         elif op == "crash_restore" and have_full:
             # crash: lose everything since the last save, restore lineage
             restored, _, _ = mgr.restore({"emb": kv.create(DIM, 512,
                                                            seed=seed + 1)})
             t = restored["emb"]
             live = dict(committed)
+            days = dict(committed_days)
             assert int(jax.device_get(kv.size(t))) == len(live)
             if live:
                 ids_s = sorted(live)
