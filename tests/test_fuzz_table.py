@@ -310,3 +310,46 @@ def test_hybrid_storage_fuzz(seed):
         got[j] = dev_rows[j] if found[j] else host_rows[j][:DIM]
     np.testing.assert_allclose(
         got, np.stack([vals[i] for i in ids_s]), rtol=1e-6)
+
+
+def test_multi_table_isolation_fuzz():
+    """Logical tables packed into one physical table (kv.multi tag packing)
+    must stay perfectly isolated even with fully-overlapping raw id ranges."""
+    from tfplus_tpu.kv import multi
+
+    rng = np.random.RandomState(5)
+    mt = multi.MultiTable(DIM, 1 << 12)
+    names = ["users", "items", "ads"]
+    model = {n: {} for n in names}
+    for n in names:
+        mt.register(n)
+
+    for step in range(15):
+        name = names[rng.randint(3)]
+        ids_np = np.unique(rng.randint(0, 500, rng.randint(1, 30)))
+        rows = rng.randn(len(ids_np), DIM).astype(np.float32)
+        if kv.needs_grow(mt.table, len(ids_np)):
+            mt.table = kv.grow(mt.table)
+        q = mt.tag(name, jnp.asarray(ids_np.astype(np.int32)))
+        mt.table = kv.insert(mt.table, q, jnp.asarray(rows))
+        for j, i in enumerate(ids_np):
+            model[name][int(i)] = rows[j]
+
+    # per-table reads are isolated despite identical raw id ranges
+    for name in names:
+        ids_s = sorted(model[name])
+        if not ids_s:
+            continue
+        q = mt.tag(name, jnp.asarray(np.asarray(ids_s, np.int32)))
+        got = np.asarray(jax.device_get(kv.lookup_or_zeros(mt.table, q)))
+        np.testing.assert_allclose(
+            got, np.stack([model[name][i] for i in ids_s]), rtol=1e-6,
+            err_msg=name)
+
+    # export_split separates the logical tables exactly
+    split = mt.export_split()
+    for name in names:
+        assert set(split[name]["keys"].astype(np.int64).tolist()) == \
+            set(model[name]), name
+    assert int(jax.device_get(kv.size(mt.table))) == \
+        sum(len(v) for v in model.values())
