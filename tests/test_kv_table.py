@@ -419,3 +419,36 @@ class TestBf16Tables:
         np.testing.assert_allclose(
             np.asarray(kv.lookup_or_zeros(t2, q), np.float32),
             np.asarray(kv.lookup_or_zeros(t, q), np.float32))
+
+
+class TestImportNeverLosesRows:
+    def test_bucket_collision_import_grows(self):
+        """A user-facing insert may drop placements on bucket overflow (by
+        contract), but a checkpoint restore must NEVER lose rows: import
+        grows (dispersing the colliding buckets) and retries."""
+        from collections import defaultdict
+        from tfplus_tpu.kv import hashing
+        import jax.numpy as jnp
+
+        cap = 512
+        ids = np.arange(1, 300_000, dtype=np.int64)
+        b1, b2 = hashing.bucket_choices(hashing.encode_ids(ids), cap)
+        groups = defaultdict(list)
+        b1 = np.asarray(b1); b2 = np.asarray(b2)
+        for i in range(len(ids)):
+            groups[(int(b1[i]), int(b2[i]))].append(int(ids[i]))
+        members = max(groups.values(), key=len)
+        assert len(members) >= 36, "collision search failed"
+        collide = np.asarray(members[:40], np.int64)
+
+        t = kv.insert(kv.create(8, cap, seed=0),
+                      kv.encode_ids(collide), jnp.ones((40, 8)))
+        assert int(kv.size(t)) < 40          # the documented drop contract
+
+        data = {"keys": collide.astype(np.uint64),
+                "values": np.arange(40 * 8, dtype=np.float32).reshape(40, 8)}
+        t2 = kv.import_arrays(kv.create(8, cap, seed=1), data)
+        assert int(kv.size(t2)) == 40
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(t2, kv.encode_ids(collide))),
+            data["values"])

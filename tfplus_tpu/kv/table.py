@@ -1005,9 +1005,25 @@ def import_arrays(table: KvTable, data: Dict[str, np.ndarray], *,
         # insert with meta; emulate per-row day by packing meta directly
         table = insert(table, q, vals, freq=jnp.asarray(freq),
                        blacklist=jnp.asarray(black_np), day=0)
+        # bucket overflow can silently drop placements even under the load
+        # threshold (both candidate buckets full). A user-facing insert may
+        # drop by contract, but a checkpoint RESTORE must never lose rows —
+        # grow (which disperses the colliding buckets) and re-insert; the
+        # insert is idempotent (values/freq/flags are SET, not accumulated).
+        fr = find(table, q)
+        for _ in range(4):
+            if not bool(jax.device_get(jnp.any(~fr.found))):
+                break
+            table = grow(table)
+            table = insert(table, q, vals, freq=jnp.asarray(freq),
+                           blacklist=jnp.asarray(black_np), day=0)
+            fr = find(table, q)
+        else:
+            missing = int(jax.device_get(jnp.sum(~fr.found)))
+            raise RuntimeError(
+                f"import could not place {missing} rows after 4 grows")
         # overwrite meta with exact packed values (restores per-row day,
         # keeps the just-set touch/blacklist flag bits)
-        fr = find(table, q)
         idx = jnp.where(fr.found, fr.slot, table.capacity)
         fl = (packing.FLAG_TOUCH_BOTH
               | np.where(black_np, packing.FLAG_BLACKLIST, np.uint32(0)))
