@@ -205,6 +205,24 @@ def _drop_rows(table: kvt.KvTable, evict: jnp.ndarray) -> kvt.KvTable:
     return dataclasses.replace(table, header=header, payload=payload)
 
 
+def _promote_rows(table: kvt.KvTable, q, payload_rows, meta) -> kvt.KvTable:
+    """insert_raw with placement verification: promoted rows were already
+    taken OUT of the host tier, so a silent bucket-overflow drop would lose
+    them. Grow (disperses the colliding buckets) and retry; insert_raw is
+    idempotent (payload/meta written verbatim)."""
+    import jax.numpy as jnp
+    table = kvt.insert_raw(table, q, payload_rows, meta)
+    fr = kvt.find(table, q)
+    for _ in range(4):
+        if not bool(jax.device_get(jnp.any(~fr.found))):
+            return table
+        table = kvt.grow(table)
+        table = kvt.insert_raw(table, q, payload_rows, meta)
+        fr = kvt.find(table, q)
+    missing = int(jax.device_get(jnp.sum(~fr.found)))
+    raise RuntimeError(f"promotion could not place {missing} rows")
+
+
 def spill(table: kvt.KvTable, tier: HostStorageTier, *,
           max_live: Optional[int] = None,
           min_freq: Optional[int] = None,
@@ -286,8 +304,8 @@ def prefetch(table: kvt.KvTable, tier: HostStorageTier,
         prom = np.concatenate(
             [prom, np.zeros((n, w - prom.shape[1]), prom.dtype)], axis=1)
     q = hashing.encode_ids_np_to_device(u64[sel])
-    out = kvt.insert_raw(table, q, jnp.asarray(prom[:, :w]),
-                         jnp.asarray(meta[sel]))
+    out = _promote_rows(table, q, jnp.asarray(prom[:, :w]),
+                        jnp.asarray(meta[sel]))
     return out, n
 
 
@@ -491,8 +509,8 @@ class AsyncPrefetcher:
                 [payload, np.zeros((n, w - payload.shape[1]), payload.dtype)],
                 axis=1)
         q = hashing.encode_ids_np_to_device(u64)
-        table = kvt.insert_raw(table, q, jnp.asarray(payload[:, :w]),
-                               jnp.asarray(meta))
+        table = _promote_rows(table, q, jnp.asarray(payload[:, :w]),
+                              jnp.asarray(meta))
         return table, n
 
     def drain(self) -> int:
