@@ -858,6 +858,22 @@ def _rehash(table: KvTable, new_capacity: int) -> KvTable:
     return dataclasses.replace(table, header=new_header, payload=new_payload)
 
 
+def _rehash_verified(table: KvTable, new_capacity: int) -> KvTable:
+    """_rehash, but NEVER lose rows: a pathological bucket-pair collision can
+    overflow even at the new size (placed = -1 rows vanish silently in the
+    raw rehash). Verify the live count and double the capacity until every
+    row lands — rebuilds always start from the ORIGINAL table."""
+    before = int(jax.device_get(size(table)))
+    cap = new_capacity
+    for _ in range(5):
+        out = _rehash(table, cap)
+        if int(jax.device_get(size(out))) == before:
+            return out
+        cap *= 2
+    raise RuntimeError(
+        f"rehash lost rows even at {cap // 2}x capacity ({before} live)")
+
+
 def grow(table: KvTable, new_capacity: Optional[int] = None) -> KvTable:
     """Host-mediated growth between steps: re-allocate at 2× (or given)
     capacity and rehash every live row. Replaces the reference's lock-guarded
@@ -867,12 +883,13 @@ def grow(table: KvTable, new_capacity: Optional[int] = None) -> KvTable:
         raise ValueError("new_capacity must be a power of two")
     if new_capacity < table.capacity:
         raise ValueError("cannot shrink below current capacity")
-    return _rehash(table, new_capacity)
+    return _rehash_verified(table, new_capacity)
 
 
 def compact(table: KvTable) -> KvTable:
-    """Rebuild at the same capacity to clear tombstones after heavy deletion."""
-    return _rehash(table, table.capacity)
+    """Rebuild at the same capacity to clear tombstones after heavy deletion
+    (grows instead if the rebuild cannot place every row)."""
+    return _rehash_verified(table, table.capacity)
 
 
 # ---------------------------------------------------------------------------
