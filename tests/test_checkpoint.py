@@ -388,3 +388,183 @@ class TestMultihost:
         tmpl3 = [opt.init(kv.create(8, 512, seed=7)) for _ in range(3)]
         out3, _ = saver.restore_multihost(p, {"emb": tmpl3})
         assert sum(int(kv.size(s)) for s in out3["emb"]) == 200
+
+
+class TestNeedFullImport:
+    """A delta whose deletion log overflowed has a TRUNCATED delete list;
+    replaying it would resurrect deleted rows (reference: FullOrDeltaImport
+    honours need_full_import, ops/kv_variable_ops.cc:576-604)."""
+
+    def _overflowed(self, t):
+        import dataclasses
+        import jax.numpy as jnp
+        return dataclasses.replace(t, deleted_overflow=jnp.ones((), bool))
+
+    def test_restore_refuses_overflowed_delta(self, tmp_path):
+        t, ids, _ = make_table()
+        t = self._overflowed(t)
+        p = str(tmp_path / "d")
+        saver.save(p, {"t": t}, delta=True, first_n=saver.FIRST_N_DELTA)
+        with pytest.raises(ValueError, match="need_full_import"):
+            saver.restore(p, {"t": kv.create(4, 256)}, delta=True)
+
+    def test_repartition_refuses_overflowed_delta(self, tmp_path):
+        t, ids, _ = make_table()
+        t = self._overflowed(t)
+        p = str(tmp_path / "d2")
+        saver.save(p, {"t": [t, make_table()[0]]}, delta=True,
+                   first_n=saver.FIRST_N_DELTA)
+        with pytest.raises(ValueError, match="need_full_import"):
+            saver.restore(p, {"t": [kv.create(4, 256)] * 3}, delta=True)
+
+    def test_manager_escalates_to_full(self, tmp_path):
+        from tfplus_tpu.checkpoint.manager import CheckpointManager
+        mgr = CheckpointManager(str(tmp_path))
+        t, ids, _ = make_table()
+        t = mgr.save({"t": t}, step=1, full=True)["t"]
+        t = mgr.save({"t": t}, step=2, full=False)["t"]   # clean delta ok
+        assert len(mgr.latest()["deltas"]) == 1
+        t = self._overflowed(t)
+        t = mgr.save({"t": t}, step=3, full=False)["t"]   # escalates
+        lineage = mgr.latest()
+        assert lineage["full"]["step"] == 3
+        assert lineage["deltas"] == []
+        # the escalated full checkpoint restores cleanly
+        out, _, step = mgr.restore({"t": kv.create(4, 256)})
+        assert step == 3
+        got = np.asarray(kv.lookup_or_zeros(out["t"], enc(ids)))
+        assert got.shape == (len(ids), 4)
+
+
+class _MeterWriter(bundle.BundleWriter):
+    """BundleWriter that records the biggest single host buffer handed to it
+    for payload tensors (values/slots) — the streaming-save memory proof."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.max_payload_buf = 0
+        self._payload_stream = False
+
+    def add(self, name, array, shard=None):
+        if "-values" in name or "-slot-" in name:
+            raise AssertionError(
+                f"payload tensor {name} written with one-shot add() — "
+                "must stream")
+        super().add(name, array, shard)
+
+    def add_header(self, name, dtype, shape, shard=None):
+        self._payload_stream = "-values" in name or "-slot-" in name
+        super().add_header(name, dtype, shape, shard)
+
+    def append_segment(self, a):
+        if self._payload_stream:
+            nb = a.nbytes if hasattr(a, "nbytes") else len(a)
+            self.max_payload_buf = max(self.max_payload_buf, nb)
+        super().append_segment(a)
+
+
+class _MeterReader(bundle.BundleReader):
+    """BundleReader that forbids whole-tensor reads of payload tensors and
+    records the biggest streamed chunk."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.max_payload_buf = 0
+
+    def lookup(self, name, verify=True):
+        if "-values" in name or "-slot-" in name:
+            raise AssertionError(
+                f"payload tensor {name} read with one-shot lookup() — "
+                "must stream")
+        return super().lookup(name, verify)
+
+    def stream(self, name, chunk_rows, verify=True):
+        for start, rows in super().stream(name, chunk_rows, verify):
+            if "-values" in name or "-slot-" in name:
+                self.max_payload_buf = max(self.max_payload_buf, rows.nbytes)
+            yield start, rows
+
+
+class TestStreamingBudget:
+    """Saving/restoring/repartitioning must hold peak payload host buffers
+    to the chunk budget — a table bigger than host RAM must work
+    (reference: dynamic_save.hpp:302-310 streaming export,
+    tensor_bundle.cc:597-607 partial restore)."""
+
+    CHUNK = 256          # rows per chunk
+    DIM = 32
+
+    def _big_table(self, seed=0, offset=0):
+        n = 3000
+        t = kv.create(self.DIM, 8192, seed=seed)
+        opt = tft.AdagradOptimizer()
+        t = opt.init(t)
+        ids = np.arange(1, n + 1, dtype=np.int64) * 14 + offset
+        q = enc(ids)
+        res = kv.lookup_or_insert(t, q)
+        t = opt.apply(res.table, res.slot,
+                      jnp.ones((n, self.DIM)) * 0.01, lr=0.1, step=1)
+        return t, ids
+
+    def test_save_restore_bounded(self, tmp_path):
+        t, ids = self._big_table()
+        budget = self.CHUNK * self.DIM * 4
+        p = str(tmp_path / "big")
+        w = _MeterWriter(p)
+        saver.save_table(w, "emb", t, chunk_rows=self.CHUNK)
+        w.close()
+        assert 0 < w.max_payload_buf <= budget
+        # full values tensor is 12x the budget — proves it was chunked
+        assert bundle.BundleReader(p).shape("emb-values")[0] * self.DIM * 4 \
+            > 10 * budget
+
+        r = _MeterReader(p)
+        t2 = saver.restore_table(r, "emb", kv.create(self.DIM, 8192),
+                                 chunk_rows=self.CHUNK)
+        assert 0 < r.max_payload_buf <= budget * 2  # slot k=1 wider rows ok
+        q = enc(ids)
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(t2, q)),
+            np.asarray(kv.lookup_or_zeros(t, q)), rtol=1e-6)
+        # slot state restored too
+        sname = t.config.slot_layout[0][0]
+        fr2 = kv.find(t2, q)
+        fr1 = kv.find(t, q)
+        np.testing.assert_allclose(
+            np.asarray(kv.get_slot(t2, sname))[np.asarray(fr2.slot)],
+            np.asarray(kv.get_slot(t, sname))[np.asarray(fr1.slot)],
+            rtol=1e-6)
+
+    def test_freq_keys_aliased_not_duplicated(self, tmp_path):
+        t, ids = self._big_table()
+        p = str(tmp_path / "alias")
+        saver.save(p, {"emb": t})
+        r = bundle.BundleReader(p)
+        assert r._index["emb-freq_keys"].get("alias") == "emb-keys"
+        np.testing.assert_array_equal(r.lookup("emb-freq_keys"),
+                                      r.lookup("emb-keys"))
+
+    def test_repartition_bounded(self, tmp_path):
+        # disjoint key sets: each key lives in exactly one source shard,
+        # as a real mod-routed checkpoint guarantees
+        t0, ids0 = self._big_table(seed=0)
+        t1, ids1 = self._big_table(seed=1, offset=7)
+        p = str(tmp_path / "rep")
+        w = _MeterWriter(p)
+        saver.save_table(w, "emb/part_0", t0, chunk_rows=self.CHUNK)
+        saver.save_table(w, "emb/part_1", t1, chunk_rows=self.CHUNK)
+        w.add("emb-num_shards", np.array([2], np.int32))
+        w.close()
+
+        from tfplus_tpu.checkpoint import repartition
+        r = _MeterReader(p)
+        shards = repartition.restore_repartitioned(
+            r, "emb", [kv.create(self.DIM, 8192) for _ in range(3)], 2,
+            chunk_rows=self.CHUNK)
+        assert 0 < r.max_payload_buf <= self.CHUNK * self.DIM * 4 * 2
+        for key in list(ids0[:50]) + list(ids1[:50]):
+            s = int(key % 3)
+            got = np.asarray(kv.lookup_or_zeros(shards[s], enc([key])))[0]
+            src = t0 if key in ids0 else t1
+            want = np.asarray(kv.lookup_or_zeros(src, enc([key])))[0]
+            np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -242,3 +242,24 @@ class TestCriteoTrainingIntegration:
             losses.append(float(loss))
         assert losses[-1] < losses[0], losses
         assert sum(int(kv.size(t)) for t in state.tables.values()) > 1000
+
+
+class TestNativeBatcherProgress:
+    def test_long_lines_do_not_spin(self, tmp_path):
+        """A chunk smaller than batch_size complete lines must force further
+        reads instead of re-parsing the same buffer forever."""
+        if not native.available():
+            pytest.skip("native lib unavailable")
+        from tfplus_tpu.data.criteo import _batches_native
+        rng = np.random.RandomState(3)
+        lines = []
+        for _ in range(7):
+            ints = [str(rng.randint(0, 1000)) for _ in range(13)]
+            cats = [format(rng.randint(0, 1 << 32), "08x") for _ in range(26)]
+            lines.append("\t".join(["1"] + ints + cats))
+        p = tmp_path / "c.tsv"
+        p.write_text("\n".join(lines) + "\n")
+        # chunk far smaller than the ~300-byte lines: every parse starts short
+        got = list(_batches_native(str(p), 3, None, chunk_bytes=64))
+        assert len(got) == 2          # 7 rows -> two full batches of 3
+        assert all(len(b["label"]) == 3 for b in got)

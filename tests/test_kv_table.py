@@ -452,3 +452,41 @@ class TestImportNeverLosesRows:
         np.testing.assert_allclose(
             np.asarray(kv.lookup_or_zeros(t2, kv.encode_ids(collide))),
             data["values"])
+
+
+class TestAdviceFixes:
+    def test_max_probes_validated(self):
+        """Probe rounds beyond the two candidate buckets would place keys in
+        slots find() never scans (lost rows) — rejected at construction."""
+        with pytest.raises(ValueError, match="max_probes"):
+            kv.create(4, 64, max_probes=33)
+        with pytest.raises(ValueError, match="max_probes"):
+            kv.create(4, 64, max_probes=0)
+        kv.create(4, 64, max_probes=32)  # boundary ok
+
+    def test_sum_freq_exceeds_int32(self):
+        """Σfreq must not overflow int32 (the reference returns 64-bit)."""
+        n = 40_000
+        t = kv.create(4, 1 << 16, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, n + 1, dtype=np.int64))
+        t = kv.insert(t, q, jnp.zeros((n, 4)),
+                      freq=jnp.full((n,), 65535, jnp.uint32))
+        n_live = int(kv.size(t))           # a few rows may drop on overflow
+        total = kv.sum_freq(t)
+        assert total == n_live * 65535     # ≈2.62e9 > 2**31
+        assert total > 2**31
+
+    def test_export_reconstructs_unix_day(self):
+        """The in-table day is a 13-bit ring; the exported reference word
+        must carry the FULL unix day (today − ring age), not the ring."""
+        t = make_table(dim=4)
+        q = ids(1, 2)
+        # stamped 5 days before "today" = unix day 20005
+        t = kv.insert(t, q, jnp.ones((2, 4)), day=20000)
+        ex = kv.export_arrays(t, as_of_unix_day=20005)
+        days = np.asarray(ex["meta"]) >> 16
+        np.testing.assert_array_equal(days, [20000, 20000])
+        # and the round-trip preserves the ring timestamp
+        t2 = kv.import_arrays(make_table(dim=4), ex)
+        np.testing.assert_array_equal(np.asarray(kv.get_timestamp(t2, q)),
+                                      np.asarray(kv.get_timestamp(t, q)))

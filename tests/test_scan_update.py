@@ -72,3 +72,16 @@ def test_scan_update_full_semantics():
     np.testing.assert_allclose(np.asarray(po3), np.asarray(t.payload))
     print("freq filter OK")
     print("ALL SCAN TESTS PASSED")
+
+
+def test_scan_rejects_bf16_tables():
+    """The scan kernel's out payload is aliased to the input, so it cannot
+    change dtype; bf16 tables must get a clear error, not silent corruption."""
+    import pytest
+    opt = tft.AdagradOptimizer()
+    t = opt.init(kv.create(8, 512, value_dtype=jnp.bfloat16))
+    ids = kv.encode_ids_np_to_device(np.arange(1, 9, dtype=np.int64))
+    res = kv.lookup_or_insert(t, ids)
+    with pytest.raises(ValueError, match="float32"):
+        opt.apply(res.table, res.slot, jnp.ones((8, 8), jnp.float32),
+                  lr=0.1, step=1, use_scan=True)

@@ -83,6 +83,19 @@ class BundleWriter:
         self.append_segment(array)
         self.end_segment()
 
+    def add_alias(self, name: str, target: str):
+        """Record ``name`` as an alias of an already-written tensor — zero
+        data bytes. Used for logically-duplicate contract tensors (the
+        reference writes ``-freq_keys`` with the same content as ``-keys``;
+        aliasing keeps the logical tensor without doubling disk)."""
+        if name in self._index:
+            raise ValueError(f"duplicate tensor {name!r}")
+        if target not in self._index:
+            raise ValueError(f"alias target {target!r} not written yet")
+        if "alias" in self._index[target]:
+            target = self._index[target]["alias"]
+        self._index[name] = {"alias": target}
+
     # -- streaming (tensor_bundle.cc:652-746 semantics) --------------------
     def add_header(self, name: str, dtype, shape, shard: Optional[int] = None):
         if self._open_stream is not None:
@@ -162,6 +175,10 @@ class BundleReader:
         self._num_shards = meta["num_shards"]
         self._index = meta["tensors"]
 
+    def _entry(self, name: str) -> dict:
+        e = self._index[name]
+        return self._index[e["alias"]] if "alias" in e else e
+
     def keys(self) -> List[str]:
         return list(self._index.keys())
 
@@ -169,20 +186,22 @@ class BundleReader:
         return name in self._index
 
     def shape(self, name: str):
-        return tuple(self._index[name]["shape"])
+        return tuple(self._entry(name)["shape"])
 
     def num_elements(self, name: str) -> int:
         """Leading-axis length of a tensor, 0 if absent (cheap index read)."""
-        e = self._index.get(name)
-        if not e or not e["shape"]:
+        if name not in self._index:
+            return 0
+        e = self._entry(name)
+        if not e["shape"]:
             return 0
         return int(e["shape"][0])
 
     def dtype(self, name: str):
-        return np.dtype(self._index[name]["dtype"])
+        return np.dtype(self._entry(name)["dtype"])
 
     def lookup(self, name: str, verify: bool = True) -> np.ndarray:
-        e = self._index[name]
+        e = self._entry(name)
         path = data_filename(self._prefix, e["shard"], self._num_shards)
         with self._fs.open(path, "rb") as f:
             f.seek(e["offset"])
@@ -197,7 +216,7 @@ class BundleReader:
     def lookup_slice(self, name: str, start_row: int, num_rows: int) -> np.ndarray:
         """Partial read of leading-axis rows (BundleReader::LookupWithIndices,
         tensor_bundle.cc:597-607) — lets restore stream huge tables."""
-        e = self._index[name]
+        e = self._entry(name)
         shape = e["shape"]
         if not shape:
             raise ValueError("lookup_slice requires rank >= 1")
@@ -209,6 +228,36 @@ class BundleReader:
             buf = f.read(num_rows * row_bytes)
         return _to_native(np.frombuffer(buf, dtype=np.dtype(e["dtype"]))
                           .reshape((num_rows,) + tuple(shape[1:])))
+
+    def stream(self, name: str, chunk_rows: int,
+               verify: bool = True) -> Iterator[Tuple[int, np.ndarray]]:
+        """Yield ``(start_row, rows)`` chunks covering the whole tensor in
+        order, with bounded memory. Because chunks cover the byte range
+        sequentially, the per-tensor CRC is accumulated across chunks and
+        verified at the end — integrity checking that plain
+        :meth:`lookup_slice` cannot give."""
+        e = self._entry(name)
+        shape = e["shape"]
+        if not shape:
+            raise ValueError("stream requires rank >= 1")
+        n = int(shape[0])
+        row_bytes = (int(np.prod(shape[1:], dtype=np.int64))
+                     * np.dtype(e["dtype"]).itemsize)
+        path = data_filename(self._prefix, e["shard"], self._num_shards)
+        crc = 0
+        with self._fs.open(path, "rb") as f:
+            f.seek(e["offset"])
+            for start in range(0, n, chunk_rows):
+                rows = min(chunk_rows, n - start)
+                buf = f.read(rows * row_bytes)
+                if len(buf) != rows * row_bytes:
+                    raise IOError(f"{name}: truncated read from {path}")
+                crc = zlib.crc32(buf, crc) & 0xFFFFFFFF
+                yield start, _to_native(
+                    np.frombuffer(buf, dtype=np.dtype(e["dtype"]))
+                    .reshape((rows,) + tuple(shape[1:])))
+        if verify and n and crc != e["crc32"]:
+            raise IOError(f"{name}: CRC mismatch in {path}")
 
     def items(self) -> Iterator[Tuple[str, np.ndarray]]:
         for k in self.keys():

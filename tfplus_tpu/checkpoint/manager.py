@@ -61,6 +61,11 @@ class CheckpointManager:
         records an unreadable checkpoint.
         """
         self.wait()
+        if not full and self._deletion_log_overflowed(tables):
+            # the delta's delete list would be truncated (need_full_import):
+            # restore refuses to layer such a delta, so never record one —
+            # escalate this snapshot to a full export (resets the log)
+            full = True
         kind = "full" if full else "delta"
         prefix = os.path.join(self.directory, f"ckpt-{kind}-{step}")
         if not full and self._state["current_full"] is None:
@@ -74,6 +79,16 @@ class CheckpointManager:
         new_tables = _saver.save(prefix, tables, dense, **kw)
         self._commit(step, full, prefix)
         return new_tables
+
+    @staticmethod
+    def _deletion_log_overflowed(tables) -> bool:
+        import jax
+        for t in tables.values():
+            for s in _saver._shards(t):
+                ov = getattr(s, "deleted_overflow", None)
+                if ov is not None and bool(jax.device_get(ov)):
+                    return True
+        return False
 
     def _commit(self, step: int, full: bool, prefix: str):
         entry = {"prefix": prefix, "step": step, "time": time.time()}

@@ -9,14 +9,21 @@ restore across a shard-count change is a re-mod of the keyed rows. Because
 our optimizer slots live inside the table, slot state repartitions with the
 rows automatically — the reference's MERGE mode for concat-slot optimizers
 reduces to the same path.
+
+Rows route CHUNK-BY-CHUNK: each source shard's values/slots stream through
+bounded host buffers (saver._chunk_rows budget) straight into the target
+shards — no M-shard concatenation (round 1 materialised every source shard
+in RAM at once; reference precedent for partial reads:
+tensor_bundle.cc:597-607 LookupWithIndices).
 """
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from ..kv import table as kvt
+from ..kv import hashing
 from . import bundle, saver as _saver
 
 
@@ -29,8 +36,9 @@ def plan(ckpt_shards: int, want_shards: int) -> str:
     return "REPARTITION"
 
 
-def _collect(reader: bundle.BundleReader, name: str, n_ckpt: int,
-             suffix: str) -> np.ndarray:
+def _collect_small(reader, name: str, n_ckpt: int, suffix: str) -> np.ndarray:
+    """Concatenate a SMALL control tensor (keys/blacklist/delete lists)
+    across source shards — never used for values/slots."""
     parts = []
     for i in range(n_ckpt):
         key = _saver.shard_name(name, i, n_ckpt) + suffix
@@ -43,56 +51,107 @@ def _collect(reader: bundle.BundleReader, name: str, n_ckpt: int,
 
 def restore_repartitioned(reader: bundle.BundleReader, name: str,
                           templates: Sequence[kvt.KvTable], n_ckpt: int,
-                          *, delta: bool = False) -> List[kvt.KvTable]:
+                          *, delta: bool = False,
+                          chunk_rows: Optional[int] = None
+                          ) -> List[kvt.KvTable]:
     """Read all M checkpoint shards of ``name`` and redistribute rows into
     ``len(templates)`` shards by ``key % N`` (string keys were fingerprinted
     at ingestion, matching utility.h:96-112 ModKeyImpl)."""
+    import jax
+    import jax.numpy as jnp
     n_want = len(templates)
-    keys = _collect(reader, name, n_ckpt, "-keys").astype(np.uint64)
-    values = _collect(reader, name, n_ckpt, "-values")
-    meta = _collect(reader, name, n_ckpt, "-meta")
-    blacklist = _collect(reader, name, n_ckpt, "-blacklist").astype(np.uint64)
-    delete_keys = _collect(reader, name, n_ckpt, "-delete_keys").astype(np.uint64)
-    # init pool comes from shard 0 (all shards share the distribution)
+    if delta:
+        # incomplete delete lists must never be replayed (see restore_table)
+        for i in range(n_ckpt):
+            key = _saver.shard_name(name, i, n_ckpt) + "-need_full_import"
+            if key in reader and int(np.asarray(reader.lookup(key))[0]):
+                raise ValueError(
+                    f"delta checkpoint shard {i} of '{name}' has "
+                    "need_full_import=1 (deletion log overflowed) — "
+                    "restore from a full checkpoint instead")
+
+    blacklist = _collect_small(reader, name, n_ckpt, "-blacklist"
+                               ).astype(np.uint64)
+    delete_keys = _collect_small(reader, name, n_ckpt, "-delete_keys"
+                                 ).astype(np.uint64)
     it_key = _saver.shard_name(name, 0, n_ckpt) + "-init_table"
     init_table = reader.lookup(it_key) if it_key in reader else None
+
+    # target tables: fresh (full restore clears) or the given templates
+    out: List[kvt.KvTable] = []
+    for template in templates:
+        if delta:
+            out.append(template)
+            continue
+        t = kvt.create(
+            template.dim, template.capacity,
+            initializer=(init_table if init_table is not None
+                         else np.asarray(jax.device_get(template.init_pool))),
+            enter_threshold=template.config.enter_threshold,
+            max_probes=template.config.max_probes,
+            value_dtype=template.config.value_dtype,
+            name=template.config.name)
+        out.append(kvt.ensure_slots(t, dict(template.config.slot_layout)))
+
+    if delete_keys.size:
+        for i in range(n_want):
+            dk = delete_keys[(delete_keys % np.uint64(n_want)
+                              ).astype(np.int64) == i]
+            if dk.size:
+                qd = hashing.encode_ids_np_to_device(dk)
+                out[i], _ = kvt.delete(out[i], qd)
 
     slot_suffixes = sorted({
         k.split("-slot-", 1)[1] for k in reader.keys()
         if k.startswith(name) and "-slot-" in k
     })
-    slot_rows = {s: _collect(reader, name, n_ckpt, f"-slot-{s}")
-                 for s in slot_suffixes}
 
-    assign = (keys % np.uint64(n_want)).astype(np.int64)
-    out: List[kvt.KvTable] = []
-    for i, template in enumerate(templates):
-        sel = assign == i
-        data: Dict[str, np.ndarray] = {
-            "keys": keys[sel],
-            "values": values[sel] if values.size else values.reshape(0, template.dim),
-        }
-        if meta.size:
-            data["meta"] = meta[sel]
-        if blacklist.size:
-            data["blacklist"] = blacklist
-        if init_table is not None:
-            data["init_table"] = init_table
-        dk = delete_keys[(delete_keys % np.uint64(n_want)).astype(np.int64) == i] \
-            if delete_keys.size else None
-        t = kvt.import_arrays(template, data, clear=not delta, delete_keys=dk)
-        # redistribute optimizer slot rows
-        if slot_suffixes and data["keys"].size:
-            import jax.numpy as jnp
-            from ..kv import hashing
-            q = hashing.encode_ids_np_to_device(data["keys"])
-            fr = kvt.find(t, q)
-            idx = jnp.where(fr.found, fr.slot, -1)
-            for s in slot_suffixes:
-                rows = slot_rows[s][sel]
-                k = rows.shape[1] // t.dim
-                if s not in t.config.slot_columns():
-                    t = kvt.ensure_slots(t, {s: k})
-                t = kvt.set_slot_rows(t, s, idx, jnp.asarray(rows))
-        out.append(t)
+    # chunked routing: one source shard at a time, one value chunk at a time
+    for s in range(n_ckpt):
+        base = _saver.shard_name(name, s, n_ckpt)
+        if base + "-keys" not in reader:
+            continue
+        keys = np.asarray(reader.lookup(base + "-keys")).astype(np.uint64)
+        if not keys.size:
+            continue
+        meta = (np.asarray(reader.lookup(base + "-meta"))
+                if base + "-meta" in reader else None)
+        assign = (keys % np.uint64(n_want)).astype(np.int64)
+        dim = out[0].dim
+        cr = _saver._chunk_rows(dim * 4, chunk_rows)
+        for start, vals in reader.stream(base + "-values", cr):
+            rows = len(vals)
+            ck = keys[start:start + rows]
+            ca = assign[start:start + rows]
+            for i in range(n_want):
+                m = ca == i
+                if not m.any():
+                    continue
+                sub: Dict[str, np.ndarray] = {"keys": ck[m], "values": vals[m]}
+                if meta is not None:
+                    sub["meta"] = meta[start:start + rows][m]
+                if blacklist.size:
+                    sub["blacklist"] = blacklist
+                out[i] = kvt.import_arrays(out[i], sub, clear=False)
+        # optimizer slot rows, same routing, streamed per chunk
+        for sname in slot_suffixes:
+            tname = base + "-slot-" + sname
+            if tname not in reader:
+                continue
+            k = reader.shape(tname)[1] // dim
+            scr = _saver._chunk_rows(k * dim * 4, chunk_rows)
+            for start, rows_arr in reader.stream(tname, scr):
+                ck = keys[start:start + len(rows_arr)]
+                ca = assign[start:start + len(rows_arr)]
+                for i in range(n_want):
+                    m = ca == i
+                    if not m.any():
+                        continue
+                    if sname not in out[i].config.slot_columns():
+                        out[i] = kvt.ensure_slots(out[i], {sname: k})
+                    q = hashing.encode_ids_np_to_device(ck[m])
+                    fr = kvt.find(out[i], q)
+                    idx = jnp.where(fr.found, fr.slot, -1)
+                    out[i] = kvt.set_slot_rows(out[i], sname, idx,
+                                               jnp.asarray(rows_arr[m]))
     return out

@@ -27,7 +27,21 @@ import numpy as np
 
 from ..kv import table as kvt
 from ..kv import hashing
+from ..utils import packing
 from . import bundle
+
+# Streaming budget: values/slots move device→host→disk in bounded chunks so
+# tables larger than host RAM can be saved/restored (the reference streams
+# exports straight into the bundle writer, dynamic_save.hpp:302-310, and
+# restores partially, tensor_bundle.cc:597-607). The control plane (keys +
+# packed meta, 12 B/row vs ≥4·dim B/row payload) is materialised whole.
+DEFAULT_CHUNK_BYTES = 256 << 20
+
+
+def _chunk_rows(row_bytes: int, chunk_rows: Optional[int]) -> int:
+    if chunk_rows:
+        return int(chunk_rows)
+    return max(1024, DEFAULT_CHUNK_BYTES // max(int(row_bytes), 1))
 
 # saver modes (set_tfplus_saver_mode: 0 = prediction/inference, 1 = training)
 FIRST_N_KV = 2
@@ -50,84 +64,188 @@ def shard_name(name: str, i: int, n: int) -> str:
     return name if n == 1 else f"{name}/part_{i}"
 
 
+def _stream_payload_cols(writer, tensor_name: str, table: kvt.KvTable,
+                         idx: np.ndarray, col0: int, ncols: int,
+                         chunk_rows: Optional[int]):
+    """Stream payload columns ``[col0, col0+ncols)`` of rows ``idx`` into the
+    bundle in bounded chunks — the device slices BEFORE the host transfer,
+    so peak host memory is one chunk, never the table."""
+    import jax.numpy as jnp
+    n = len(idx)
+    writer.add_header(tensor_name, np.float32, (n, ncols))
+    cr = _chunk_rows(ncols * 4, chunk_rows)
+    for a in range(0, n, cr):
+        part = jnp.take(table.payload, jnp.asarray(idx[a:a + cr]), axis=0,
+                        )[:, col0:col0 + ncols].astype(jnp.float32)
+        writer.append_segment(np.asarray(jax.device_get(part)))
+    writer.end_segment()
+
+
 def save_table(writer: bundle.BundleWriter, name: str, table: kvt.KvTable, *,
                first_n: int = FIRST_N_TRAIN, delta: bool = False,
                enable_cutoff: bool = False, cutoff_value: float = 1e-20,
                delete_keys: Optional[np.ndarray] = None,
-               save_slots: bool = True) -> kvt.KvTable:
+               save_slots: bool = True,
+               chunk_rows: Optional[int] = None,
+               as_of_unix_day: Optional[int] = None) -> kvt.KvTable:
     """Write one table (shard) and return it (delta export clears the
-    deltalist bits, so callers must keep the returned table)."""
-    ex = kvt.export_arrays(table, enable_cutoff=enable_cutoff,
-                           cutoff_value=cutoff_value, delta=delta,
-                           clear_deltalist=delta or first_n >= FIRST_N_TRAIN)
-    writer.add(name + "-keys", ex["keys"])
-    writer.add(name + "-values", ex["values"])
+    deltalist bits, so callers must keep the returned table).
+
+    Values and slot columns STREAM through bounded host chunks
+    (``chunk_rows``, default ~256 MB worth): only the 12 B/row control
+    plane (keys + packed meta) is materialised whole, so tables bigger
+    than host RAM save fine (reference: dynamic_save.hpp:302-310 no_copy
+    streaming into the bundle writer).
+    """
+    import jax.numpy as jnp
+    dim = table.config.dim
+    keys, meta = (np.asarray(x)
+                  for x in jax.device_get((table.keys, table.meta)))
+    occ = ~((keys[:, 0] == hashing.EMPTY_LO) & (keys[:, 1] == hashing.EMPTY_HI)) \
+        & ~((keys[:, 0] == hashing.TOMB_LO) & (keys[:, 1] == hashing.TOMB_HI))
+    sel = occ
+    if delta:
+        sel = sel & ((meta & int(kvt.FLAG_TOUCH_TRAIN)) != 0)
+    black = (meta & int(kvt.FLAG_BLACKLIST)) != 0
+    if enable_cutoff:
+        # per-row max|v| reduces ON DEVICE: [C] f32 to host, not [C, D]
+        vmax = np.asarray(jax.device_get(jnp.max(
+            jnp.abs(table.payload[:, :dim]).astype(jnp.float32), axis=1)))
+        sel = sel & ((vmax >= cutoff_value) | black)  # blacklist rows survive
+    idx = np.nonzero(sel)[0]
+    n = len(idx)
+
+    writer.add(name + "-keys", hashing.decode_ids_np(keys[sel]))
+    _stream_payload_cols(writer, name + "-values", table, idx, 0, dim,
+                         chunk_rows)
     if first_n >= FIRST_N_INFERENCE:
-        writer.add(name + "-init_table", ex["init_table"])
+        writer.add(name + "-init_table",
+                   np.asarray(jax.device_get(table.init_pool), np.float32))
     if first_n >= FIRST_N_BLACKLIST:
-        writer.add(name + "-blacklist", ex["blacklist"])
+        writer.add(name + "-blacklist",
+                   hashing.decode_ids_np(keys[occ & black]))
     if first_n >= FIRST_N_TRAIN:
-        writer.add(name + "-freq_keys", ex["freq_keys"])
-        writer.add(name + "-freq_values", ex["freq_values"])
-        writer.add(name + "-meta", ex["meta"])   # packed uint32 freq|day
+        # the reference writes -freq_keys with the same content as -keys;
+        # alias it instead of doubling the disk bytes
+        writer.add_alias(name + "-freq_keys", name + "-keys")
+        writer.add(name + "-freq_values",
+                   (meta[sel] & packing.FREQ_MASK).astype(np.uint16))
+        writer.add(name + "-meta",
+                   packing.reference_word_np(meta[sel], as_of_unix_day))
     if first_n >= FIRST_N_DELTA or delta:
-        need_full = ex.get("need_full_import", not delta)
+        if delta:
+            dk_arr, dcount, doverflow = jax.device_get(
+                (table.deleted_keys, table.deleted_count,
+                 table.deleted_overflow))
+            need_full = bool(doverflow)
+            dk_own = hashing.decode_ids_np(np.asarray(dk_arr)[:int(dcount)])
+        else:
+            need_full, dk_own = True, np.zeros((0,), np.uint64)
         writer.add(name + "-need_full_import",
                    np.array([1 if need_full else 0], np.int8))
-        dk = delete_keys if delete_keys is not None else \
-            ex.get("delete_keys", np.zeros((0,), np.uint64))
+        dk = delete_keys if delete_keys is not None else dk_own
         writer.add(name + "-delete_keys", np.asarray(dk, np.uint64))
-    if save_slots and first_n >= FIRST_N_TRAIN and table.slots:
-        # optimizer slot rows for the same exported keys (train resume)
-        sel_q = hashing.encode_ids_np_to_device(ex["keys"])
-        fr = kvt.find(table, sel_q)
-        safe = np.asarray(jax.device_get(
-            jax.numpy.where(fr.found, fr.slot, 0)))
-        for sname, arr in table.slots.items():
-            host = np.asarray(jax.device_get(arr))
-            writer.add(f"{name}-slot-{sname}", host[safe])
-    return ex.get("table", table)
+    if save_slots and first_n >= FIRST_N_TRAIN:
+        # optimizer slot rows for the same exported keys (train resume):
+        # same selected payload rows, different column window — streamed,
+        # no full-table device_get (round-1 saver pulled each slot whole)
+        for sname, (s, w) in table.config.slot_columns().items():
+            _stream_payload_cols(writer, f"{name}-slot-{sname}", table, idx,
+                                 s, w, chunk_rows)
+    if delta or first_n >= FIRST_N_TRAIN:
+        table = kvt.clear_deltalist(table)
+    return table
 
 
 def restore_table(reader: bundle.BundleReader, name: str,
-                  template: kvt.KvTable, *, delta: bool = False) -> kvt.KvTable:
-    """Load one table (shard) into a fresh copy of ``template``."""
-    data = {
-        "keys": reader.lookup(name + "-keys"),
-        "values": reader.lookup(name + "-values"),
-    }
-    if name + "-init_table" in reader:
-        data["init_table"] = reader.lookup(name + "-init_table")
-    if name + "-blacklist" in reader:
-        data["blacklist"] = reader.lookup(name + "-blacklist")
-    if name + "-meta" in reader:
-        data["meta"] = reader.lookup(name + "-meta")
-    elif name + "-freq_values" in reader:
-        data["freq_values"] = reader.lookup(name + "-freq_values")
+                  template: kvt.KvTable, *, delta: bool = False,
+                  chunk_rows: Optional[int] = None) -> kvt.KvTable:
+    """Load one table (shard) into a fresh copy of ``template``.
+
+    Values and slot rows stream from the bundle in bounded chunks
+    (``reader.stream`` — partial reads with end-to-end CRC), so restore
+    peak host memory is one chunk plus the 12 B/row control plane
+    (reference: BundleReader::LookupWithIndices, tensor_bundle.cc:597-607).
+    """
+    import jax.numpy as jnp
+    if delta and name + "-need_full_import" in reader:
+        if int(np.asarray(reader.lookup(name + "-need_full_import"))[0]):
+            # the export's deletion log overflowed: delete_keys is truncated,
+            # so replaying this delta would silently resurrect deleted /
+            # TTL-evicted rows (reference: FullOrDeltaImport honours
+            # need_full_import, ops/kv_variable_ops.cc:576-604)
+            raise ValueError(
+                f"delta checkpoint for '{name}' was exported after its "
+                "deletion log overflowed (need_full_import=1); its delete "
+                "list is incomplete — restore from a full checkpoint instead")
+    keys = np.asarray(reader.lookup(name + "-keys"))
+    n = len(keys)
+    meta = (np.asarray(reader.lookup(name + "-meta"))
+            if name + "-meta" in reader else None)
+    freq = (np.asarray(reader.lookup(name + "-freq_values"))
+            if meta is None and name + "-freq_values" in reader else None)
+    blacklist = (np.asarray(reader.lookup(name + "-blacklist"))
+                 if name + "-blacklist" in reader
+                 else np.zeros((0,), np.uint64))
+    init_table = (reader.lookup(name + "-init_table")
+                  if name + "-init_table" in reader else None)
     delete_keys = (reader.lookup(name + "-delete_keys")
                    if name + "-delete_keys" in reader else None)
-    table = kvt.import_arrays(template, data, clear=not delta,
-                              delete_keys=delete_keys)
-    # restore optimizer slot rows
+
+    table = template
+    if not delta:
+        # fresh table with the checkpoint's init pool (ImportValues clears)
+        table = kvt.create(
+            template.dim, template.capacity,
+            initializer=(init_table if init_table is not None
+                         else np.asarray(jax.device_get(template.init_pool))),
+            enter_threshold=template.config.enter_threshold,
+            max_probes=template.config.max_probes,
+            value_dtype=template.config.value_dtype,
+            name=template.config.name)
+        table = kvt.ensure_slots(table, dict(template.config.slot_layout))
+    if delete_keys is not None and np.asarray(delete_keys).size:
+        qd = hashing.encode_ids_np_to_device(np.asarray(delete_keys))
+        table, _ = kvt.delete(table, qd)
+
+    cr = _chunk_rows(table.dim * 4, chunk_rows)
+    vname = name + "-values"
+    if n:
+        for start, vals in reader.stream(vname, cr):
+            rows = len(vals)
+            sub = {"keys": keys[start:start + rows], "values": vals}
+            if meta is not None:
+                sub["meta"] = meta[start:start + rows]
+            elif freq is not None:
+                sub["freq_values"] = freq[start:start + rows]
+            if blacklist.size:
+                sub["blacklist"] = blacklist
+            table = kvt.import_arrays(table, sub, clear=False)
+
+    # restore optimizer slot rows (streamed per chunk)
     slot_names = [k[len(name) + 6:] for k in reader.keys()
                   if k.startswith(name + "-slot-")]
-    if slot_names and data["keys"].size:
-        q = hashing.encode_ids_np_to_device(data["keys"])
-        fr = kvt.find(table, q)
-        import jax.numpy as jnp
-        idx = jnp.where(fr.found, fr.slot, -1)
+    if slot_names and n:
         for sname in slot_names:
-            rows = np.asarray(reader.lookup(f"{name}-slot-{sname}"))
-            k = rows.shape[1] // table.dim
+            tname = f"{name}-slot-{sname}"
+            k = reader.shape(tname)[1] // table.dim
             if sname not in table.config.slot_columns():
                 table = kvt.ensure_slots(table, {sname: k})
-            table = kvt.set_slot_rows(table, sname, idx, jnp.asarray(rows))
+            scr = _chunk_rows(k * table.dim * 4, chunk_rows)
+            for start, rows in reader.stream(tname, scr):
+                q = hashing.encode_ids_np_to_device(
+                    keys[start:start + len(rows)])
+                fr = kvt.find(table, q)
+                idx = jnp.where(fr.found, fr.slot, -1)
+                table = kvt.set_slot_rows(table, sname, idx,
+                                          jnp.asarray(rows))
     return table
 
 
 def _save_into(w, tables: Dict[str, TableOrShards],
                dense: Optional[dict], *, first_n: int, delta: bool,
-               enable_cutoff: bool, cutoff_value: float
+               enable_cutoff: bool, cutoff_value: float,
+               chunk_rows: Optional[int] = None
                ) -> Dict[str, TableOrShards]:
     """Write every tensor through ``w.add`` (a BundleWriter or collector)."""
     out: Dict[str, TableOrShards] = {}
@@ -137,7 +255,7 @@ def _save_into(w, tables: Dict[str, TableOrShards],
         new_shards = [
             save_table(w, shard_name(name, i, ns), s, first_n=first_n,
                        delta=delta, enable_cutoff=enable_cutoff,
-                       cutoff_value=cutoff_value)
+                       cutoff_value=cutoff_value, chunk_rows=chunk_rows)
             for i, s in enumerate(shards)
         ]
         w.add(name + "-num_shards", np.array([ns], np.int32))
@@ -155,25 +273,54 @@ def save(prefix: str, tables: Dict[str, TableOrShards],
          dense: Optional[dict] = None, *, first_n: int = FIRST_N_TRAIN,
          delta: bool = False, num_file_shards: int = 1,
          enable_cutoff: bool = False,
-         cutoff_value: float = 1e-20) -> Dict[str, TableOrShards]:
+         cutoff_value: float = 1e-20,
+         chunk_rows: Optional[int] = None) -> Dict[str, TableOrShards]:
     """Save all tables (+ optional dense pytree) under ``prefix``.
 
     Returns the (possibly deltalist-cleared) tables, same structure as input.
+    Values/slots stream through bounded host chunks (``chunk_rows``), so a
+    table bigger than host RAM saves fine.
     """
     with bundle.BundleWriter(prefix, num_file_shards) as w:
         return _save_into(w, tables, dense, first_n=first_n, delta=delta,
                           enable_cutoff=enable_cutoff,
-                          cutoff_value=cutoff_value)
+                          cutoff_value=cutoff_value, chunk_rows=chunk_rows)
 
 
 class _Collector:
-    """Buffers (name, host array) pairs for a deferred bundle write."""
+    """Buffers (name, host array) pairs for a deferred bundle write.
+
+    Implements the writer's streaming surface too (async saves materialise
+    everything by design — exports must finish before training continues —
+    so streamed segments just accumulate here)."""
 
     def __init__(self):
         self.items: List[tuple] = []
+        self._open: Optional[tuple] = None
 
     def add(self, name: str, array: np.ndarray):
-        self.items.append((name, np.asarray(jax.device_get(array))))
+        self.items.append(("add", name, np.asarray(jax.device_get(array))))
+
+    def add_alias(self, name: str, target: str):
+        self.items.append(("alias", name, target))
+
+    def add_header(self, name: str, dtype, shape, shard=None):
+        if self._open is not None:
+            raise RuntimeError("previous stream not ended")
+        self._open = (name, np.dtype(dtype), tuple(shape), [])
+
+    def append_segment(self, array_or_bytes):
+        name, dt, shape, chunks = self._open
+        a = (np.asarray(array_or_bytes) if isinstance(array_or_bytes, np.ndarray)
+             else np.frombuffer(bytes(array_or_bytes), dtype=dt))
+        chunks.append(np.ascontiguousarray(a).reshape(-1))
+
+    def end_segment(self):
+        name, dt, shape, chunks = self._open
+        arr = (np.concatenate(chunks) if chunks
+               else np.zeros((0,), dt)).astype(dt, copy=False).reshape(shape)
+        self.items.append(("add", name, arr))
+        self._open = None
 
 
 class AsyncSave:
@@ -219,8 +366,11 @@ def save_async(prefix: str, tables: Dict[str, TableOrShards],
     def _write():
         try:
             with bundle.BundleWriter(prefix, num_file_shards) as w:
-                for name, arr in col.items:
-                    w.add(name, arr)
+                for kind, name, payload in col.items:
+                    if kind == "alias":
+                        w.add_alias(name, payload)
+                    else:
+                        w.add(name, payload)
             box["value"] = prefix
         except BaseException as e:   # surfaced via .result()
             box["exc"] = e
@@ -237,7 +387,8 @@ def _path_str(p) -> str:
 
 
 def restore(prefix: str, tables: Dict[str, TableOrShards],
-            dense: Optional[dict] = None, *, delta: bool = False):
+            dense: Optional[dict] = None, *, delta: bool = False,
+            chunk_rows: Optional[int] = None):
     """Restore tables saved by :func:`save` into templates shaped like
     ``tables`` — including elastic repartition when the checkpoint shard
     count differs from the requested one (see repartition.py).
@@ -267,11 +418,12 @@ def restore(prefix: str, tables: Dict[str, TableOrShards],
             for i in range(n_want):
                 shards.append(restore_table(
                     reader, shard_name(name, i, n_want), want[i],
-                    delta=delta))
+                    delta=delta, chunk_rows=chunk_rows))
                 bar.update(1)
         else:
             shards = repartition.restore_repartitioned(
-                reader, name, want, n_ckpt, delta=delta)
+                reader, name, want, n_ckpt, delta=delta,
+                chunk_rows=chunk_rows)
             bar.update(n_want)
         bar.done()
         out[name] = shards if isinstance(t, (list, tuple)) else shards[0]
@@ -335,6 +487,9 @@ class UnionReader:
 
     def lookup_slice(self, name: str, start_row: int, num_rows: int):
         return self._where[name].lookup_slice(name, start_row, num_rows)
+
+    def stream(self, name: str, chunk_rows: int, verify: bool = True):
+        return self._where[name].stream(name, chunk_rows, verify=verify)
 
 
 def save_multihost(prefix: str, tables: Dict[str, TableOrShards],

@@ -88,11 +88,13 @@ def batches(path: str, batch_size: int,
 
 
 def _batches_native(path: str, batch_size: int,
-                    max_batches: Optional[int]) -> Iterator[Dict[str, np.ndarray]]:
+                    max_batches: Optional[int],
+                    chunk_bytes: Optional[int] = None
+                    ) -> Iterator[Dict[str, np.ndarray]]:
     from ..io import native as _native
     n_out = 0
     buf = b""
-    chunk_bytes = max(batch_size * 512, 1 << 20)
+    chunk_bytes = chunk_bytes or max(batch_size * 512, 1 << 20)
     with open(path, "rb") as f:
         eof = False
         while True:
@@ -113,3 +115,13 @@ def _batches_native(path: str, batch_size: int,
                     return
             elif eof:
                 return  # incomplete trailing batch dropped (matches py path)
+            else:
+                # short parse with input left: a chunk_bytes-sized buffer held
+                # fewer than batch_size complete lines (long lines). Keep
+                # reading PAST chunk_bytes or the loop would spin forever
+                # re-parsing the same buffer without consuming anything.
+                data = f.read(chunk_bytes)
+                if data:
+                    buf += data
+                else:
+                    eof = True

@@ -79,6 +79,15 @@ class KvConfig:
 
     def __post_init__(self):
         object.__setattr__(self, "value_dtype", jnp.dtype(self.value_dtype))
+        # Probing covers exactly the two candidate buckets (2 × 16 slots) that
+        # find() scans; a probe round beyond 2·BUCKET_SIZE would write keys
+        # into lanes of a THIRD bucket where no lookup ever looks (lost rows).
+        limit = 2 * hashing.BUCKET_SIZE
+        if not (1 <= self.max_probes <= limit):
+            raise ValueError(
+                f"max_probes must be in [1, {limit}] (two-choice bucketized "
+                f"probing scans 2x{hashing.BUCKET_SIZE} slots), got "
+                f"{self.max_probes}")
 
     @property
     def payload_width(self) -> int:
@@ -352,6 +361,9 @@ def _claim_insert(header: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,
     """
     n = q.shape[0]
     cap = header.shape[0] * _B
+    # rounds beyond 2·_B would index lanes outside the two candidate buckets
+    # (unfindable slots); KvConfig validates, this clamp is defense-in-depth
+    max_probes = min(max_probes, 2 * _B)
     iota = jnp.arange(n, dtype=jnp.int32)
     b1, b2 = hashing.bucket_choices(q, cap)
     q_lo = q[:, 0]
@@ -740,11 +752,20 @@ def size(table: KvTable) -> jnp.ndarray:
     return jnp.sum(occupied_mask(table).astype(jnp.int32))
 
 
-def sum_freq(table: KvTable) -> jnp.ndarray:
-    """Σ frequency over live rows (kv_variable.h:139-175)."""
+def sum_freq(table: KvTable) -> int:
+    """Σ frequency over live rows (kv_variable.h:139-175). Host-side exact
+    64-bit sum: without x64 a single int32 device reduction silently
+    overflows past 2³¹ total frequency, so the device produces per-segment
+    partial sums (each bounded by 2¹⁵ rows × 2¹⁶ max freq < 2³¹) and the
+    host combines them in Python ints."""
     occ = occupied_mask(table)
-    return jnp.sum(jnp.where(occ, packing.get_freq(table.meta),
-                             jnp.uint32(0)).astype(jnp.int64 if jax.config.jax_enable_x64 else jnp.int32))
+    f = jnp.where(occ, packing.get_freq(table.meta), jnp.uint32(0))
+    seg = 1 << 15
+    c = f.shape[0]
+    if c % seg:
+        f = jnp.pad(f, (0, (-c) % seg))
+    parts = jnp.sum(f.astype(jnp.int32).reshape(-1, seg), axis=1)
+    return int(np.asarray(jax.device_get(parts), np.int64).sum())
 
 
 def get_count(table: KvTable, q: jnp.ndarray) -> jnp.ndarray:
@@ -773,7 +794,7 @@ def stats(table: KvTable) -> dict:
         "size": n,
         "capacity": table.capacity,
         "load_factor": n / table.capacity,
-        "sum_freq": int(jax.device_get(sum_freq(table))),
+        "sum_freq": sum_freq(table),
         "blacklisted": int(jax.device_get(jnp.sum((occ & black).astype(jnp.int32)))),
         "delta_pending": int(jax.device_get(jnp.sum((occ & touched).astype(jnp.int32)))),
         "deleted_log": int(jax.device_get(table.deleted_count)),
@@ -892,6 +913,21 @@ def compact(table: KvTable) -> KvTable:
     return _rehash_verified(table, table.capacity)
 
 
+def clear_deltalist(table: KvTable, deltalist: str = "train") -> KvTable:
+    """Reset the delta-touch bits and the deletion log (device-side; the
+    reference's deltalist swap on export, dynamic_save.hpp:180-193). The
+    streaming saver uses this instead of materialising the table host-side."""
+    bit = FLAG_TOUCH_TRAIN if deltalist == "train" else FLAG_TOUCH_PRED
+    new_meta = table.meta & ~bit
+    empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], jnp.int32)
+    return dataclasses.replace(
+        table, header=_set_all_meta(table.header, new_meta),
+        deleted_keys=jnp.broadcast_to(empty_row,
+                                      table.deleted_keys.shape).copy(),
+        deleted_count=jnp.zeros((), jnp.int32),
+        deleted_overflow=jnp.zeros((), bool))
+
+
 # ---------------------------------------------------------------------------
 # host-side export / import (feeds tfplus_tpu.checkpoint)
 # ---------------------------------------------------------------------------
@@ -900,7 +936,8 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
                   cutoff_value: float = 1e-20,
                   delta: bool = False,
                   deltalist: str = "train",
-                  clear_deltalist: Optional[bool] = None) -> Dict[str, np.ndarray]:
+                  clear_deltalist: Optional[bool] = None,
+                  as_of_unix_day: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Materialise the table's logical checkpoint tensors on host.
 
     Produces the same logical tensors as the reference export
@@ -927,11 +964,15 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
         keep = np.abs(values).max(axis=1) >= cutoff_value
         sel = sel & (keep | black)   # blacklist rows survive cutoff as keys
     out_keys = hashing.decode_ids_np(keys[sel])
-    # on-disk "meta" stays the REFERENCE word (freq | day<<16,
+    # on-disk "meta" is the REFERENCE word (freq | day<<16,
     # embedding_value.h:229-234); flag bits are carried by the blacklist
-    # tensor like the reference export does
-    ref_meta = ((meta & packing.FREQ_MASK)
-                | (((meta >> 16) & packing.DAY_MASK) << 16))
+    # tensor like the reference export does. The in-table day is a 13-bit
+    # ring (unix_day mod 8192); the full unix day is reconstructed as
+    # today − ring_age, exact for any row touched within the last 8192
+    # days (~22 y) — assuming rows are stamped with packing.current_day()
+    # ring days (docs/checkpointing.md). ``as_of_unix_day`` pins "today"
+    # for deterministic tests.
+    ref_meta = packing.reference_word_np(meta, as_of_unix_day)
     out = {
         "keys": out_keys,
         "values": values[sel].astype(np.float32),

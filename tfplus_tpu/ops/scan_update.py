@@ -176,6 +176,12 @@ def scan_apply(payload, meta, slot_idx, grads, counts, rule, *, dim,
 
     Returns (payload, meta).
     """
+    if payload.dtype != jnp.float32:
+        # the payload out_shape is aliased to the input (in-place update),
+        # so the kernel cannot change its dtype; the in-kernel math is f32
+        raise ValueError(
+            f"scan_apply supports float32 payloads only, got {payload.dtype}"
+            " — use the gather/scatter path for bf16 tables")
     c, w_cols = payload.shape
     n = slot_idx.shape[0]
     slot_width = (w_cols - dim) // dim

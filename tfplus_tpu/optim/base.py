@@ -68,6 +68,11 @@ class SparseOptimizer:
         """
         if use_scan:
             from ..ops import scan_update
+            if table.payload.dtype != jnp.float32:
+                raise ValueError(
+                    "use_scan=True requires a float32 table (the scan kernel "
+                    f"updates the payload in place); got {table.payload.dtype}"
+                    " — drop use_scan for bfloat16 tables")
             # table.meta is a header-column view; the scan kernel streams
             # the whole table anyway, so materialising it is in-budget
             vo, meta = scan_update.scan_apply(

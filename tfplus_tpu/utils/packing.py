@@ -85,3 +85,22 @@ def from_reference_word(word: jnp.ndarray, flags=0) -> jnp.ndarray:
 def current_day() -> int:
     """Host-side day stamp (unix seconds // 86400, cf. utility.h:50)."""
     return int(time.time()) // 86400
+
+
+def reference_day_np(meta: np.ndarray, as_of_unix_day=None) -> np.ndarray:
+    """Reconstruct the reference's FULL 16-bit unix day from the in-table
+    13-bit ring (numpy, host-side): ``today − ring_age``. Exact for rows
+    stamped with :func:`current_day`-derived days within the last 8192 days
+    (~22 y) — see docs/checkpointing.md."""
+    now = current_day() if as_of_unix_day is None else int(as_of_unix_day)
+    ring_now = now & DAY_MASK
+    ring_row = (np.asarray(meta, np.uint32) >> 16) & DAY_MASK
+    age = (np.int64(ring_now) - ring_row.astype(np.int64)) & DAY_MASK
+    return ((np.int64(now) - age) & 0xFFFF).astype(np.uint32)
+
+
+def reference_word_np(meta: np.ndarray, as_of_unix_day=None) -> np.ndarray:
+    """The reference's on-disk ``freq | unix_day<<16`` word (numpy)."""
+    m = np.asarray(meta, np.uint32)
+    return ((m & np.uint32(FREQ_MASK))
+            | (reference_day_np(m, as_of_unix_day) << np.uint32(16)))
