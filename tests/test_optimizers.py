@@ -533,3 +533,153 @@ class TestDeferredMetaWrite:
                        meta_rows=res.meta_rows)
         counts = np.asarray(kv.get_count(t2, ids))
         np.testing.assert_array_equal(counts, 1)
+
+
+class TestLambHessian:
+    """GroupSparseApplyLambHessian (training_ops.cc:3866) + dense twin
+    (:4219) + the λ=0/hessian=grad equivalence gates."""
+
+    def _solve(self, linear, y, l1, l2, l21, dim):
+        adj = np.clip(linear, -l1, l1)
+        l1_linear = adj - linear
+        nrm = np.sqrt((l1_linear ** 2).sum(axis=-1))
+        l21n = l21 * np.sqrt(dim)
+        keep = nrm > l21n
+        scale = np.where(keep, 1 - l21n / np.maximum(nrm, 1e-30), 0.0)
+        return np.where(keep[:, None],
+                        l1_linear * scale[:, None] / (y + 2 * l2), 0.0)
+
+    def test_group_lamb_hessian_golden(self):
+        init, grads = make_data()
+        hess = [np.abs(g) * 0.3 + 0.1 for g in grads]
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-6
+        got = run_sparse(tft.LambHessianOptimizer(), grads, lr, init,
+                         extra_seq=hess)
+        var = init.copy()
+        m = np.zeros_like(var); v = np.zeros_like(var)
+        accum = np.zeros_like(var); linear = np.zeros_like(var)
+        for t, (g, h) in enumerate(zip(grads, hess), 1):
+            b1p, b2p = b1 ** t, b2 ** t
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * h * h
+            new_m = m / (1 - b1p)
+            new_accum = v / (1 - b2p)
+            r = new_m / (np.sqrt(new_accum) + eps)
+            r_n = np.sqrt((r ** 2).sum(-1))
+            v_n = np.sqrt((var ** 2).sum(-1))
+            ratio = np.where((r_n > 0) & (v_n > 0), v_n / (r_n + 1e-8), 1.0)
+            linear += new_m * ratio[:, None] - \
+                (np.sqrt(new_accum) - np.sqrt(accum)) / lr * var
+            y = (np.sqrt(new_accum) + eps) / lr
+            var = self._solve(linear, y, 0.0, 0.0, 0.0, DIM)
+            accum = new_accum
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_hessian_equals_grad_reduces_to_lamb(self):
+        """With hessian == grad the update IS GroupLamb (v tracks g²)."""
+        init, grads = make_data()
+        lh = run_sparse(tft.LambHessianOptimizer(), grads, 0.01, init,
+                        extra_seq=grads)
+        lamb = run_sparse(tft.LambOptimizer(), grads, 0.01, init)
+        np.testing.assert_allclose(lh, lamb, rtol=1e-5, atol=1e-6)
+
+    def test_l21_blacklists(self):
+        init, grads = make_data()
+        tiny = [g * 1e-4 for g in grads]
+        got = run_sparse(tft.LambHessianOptimizer(l21=100.0), tiny, 0.01,
+                         init, extra_seq=tiny)
+        np.testing.assert_allclose(got, 0.0)
+
+    def test_dense_twin_golden(self):
+        """rules.LambHessian == the ApplyLambHessian functor math
+        (training_ops.cc:4186-4218)."""
+        init, grads = make_data()
+        hess = [np.abs(g) * 0.3 + 0.1 for g in grads]
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-6
+        rule = R.LambHessian()
+        var_j = jnp.asarray(init)
+        state = jnp.zeros((N, 2 * DIM), jnp.float32)
+        for t, (g, h) in enumerate(zip(grads, hess), 1):
+            var_j, state, _ = rule.update(var_j, state, jnp.asarray(g),
+                                          lr=lr, step=t,
+                                          extra=jnp.asarray(h))
+        var = init.copy()
+        m = np.zeros_like(var); v = np.zeros_like(var)
+        for t, (g, h) in enumerate(zip(grads, hess), 1):
+            b1p, b2p = b1 ** t, b2 ** t
+            adjust = np.sqrt(1 - b2p) / (1 - b1p)
+            m += (g - m) * (1 - b1)
+            v += (h * h - v) * (1 - b2)
+            r = m * adjust / (np.sqrt(v) + eps)
+            r_n = np.sqrt((r ** 2).sum(-1))
+            v_n = np.sqrt((var ** 2).sum(-1))
+            ratio = np.where((r_n > 0) & (v_n > 0), v_n / (r_n + 1e-8), 1.0)
+            var -= m * lr * adjust * ratio[:, None] / (np.sqrt(v) + eps)
+        np.testing.assert_allclose(np.asarray(var_j), var,
+                                   rtol=1e-5, atol=1e-6)
+
+
+class TestAdaDQHHypergrads:
+    """ComputeAdaDQHHG (training_ops.cc:6556-6588) and
+    KvVariableComputeGroupAdaDQHHP (:6317-6530) — hypergradients of
+    (lr, epsilon) for AdaDQH's hyperparameter adaptation."""
+
+    def test_adadqh_hg_golden(self):
+        lr, b1, b2, eps, step = 0.01, 0.9, 0.999, 1e-5, 4
+        m = RNG.randn(N, DIM).astype(np.float32)
+        v = np.abs(RNG.randn(N, DIM)).astype(np.float32) * 1e-16
+        lr_hg, eps_hg = R.adadqh_hg(jnp.asarray(m), jnp.asarray(v),
+                                    lr=lr, step=step, beta1=b1, beta2=b2,
+                                    epsilon=eps)
+        b1p, b2p = b1 ** (step - 1), b2 ** (step - 1)
+        adjust = np.sqrt(1 - b2p) / (1 - b1p)
+        eps_adj = eps * np.sqrt(1 - b2p)
+        deno = np.maximum(np.sqrt(v), eps_adj)
+        ind = (eps_adj >= np.sqrt(v)).astype(np.float32)
+        np.testing.assert_allclose(np.asarray(lr_hg), -adjust * m / deno,
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(eps_hg),
+                                   lr * adjust * m / deno ** 2 * ind,
+                                   rtol=1e-5)
+        # tiny v -> the epsilon branch is active somewhere
+        assert np.asarray(eps_hg).any()
+
+    def test_adadqh_hg_sam_term(self):
+        m = RNG.randn(N, DIM).astype(np.float32)
+        v = np.abs(RNG.randn(N, DIM)).astype(np.float32)
+        delta = RNG.randn(N, DIM).astype(np.float32)
+        base, _ = R.adadqh_hg(jnp.asarray(m), jnp.asarray(v), lr=0.01, step=3)
+        sam, _ = R.adadqh_hg(jnp.asarray(m), jnp.asarray(v), lr=0.01, step=3,
+                             sam=True, delta=jnp.asarray(delta), alpha=0.7)
+        np.testing.assert_allclose(np.asarray(sam),
+                                   np.asarray(base) - 0.3 * delta, rtol=1e-4)
+
+    def test_group_adadqh_hp_golden(self):
+        lr, b2, eps, step = 0.01, 0.999, 1e-5, 5
+        l1, l2, l21 = 0.002, 0.001, 0.05
+        linear = RNG.randn(N, DIM).astype(np.float32)
+        linear[:2] *= 1e-3          # small group norms -> dropped rows
+        v = np.abs(RNG.randn(N, DIM)).astype(np.float32) * 1e-7
+        lr_hg, eps_hg = R.group_adadqh_hp(
+            jnp.asarray(linear), jnp.asarray(v), lr=lr, step=step,
+            beta2=b2, epsilon=eps, l1=l1, l2=l2, l21=l21)
+        b2p = b2 ** (step - 1)
+        root = np.sqrt(1 - b2p)
+        eps_adj = eps * root
+        adj = np.clip(linear, -l1, l1)
+        l1_linear = adj - linear
+        nrm = np.sqrt((l1_linear ** 2).sum(-1))
+        l21n = l21 * np.sqrt(DIM)
+        keep = (nrm > l21n)[:, None]
+        scale = (1 - l21n / np.maximum(nrm, 1e-30))[:, None]
+        y = np.maximum(np.sqrt(v), eps_adj)
+        deno = (y + 2 * l2 * lr) ** 2
+        want_lr = np.where(keep, y / deno * scale * l1_linear, 0.0)
+        ind = (eps_adj >= np.sqrt(v)).astype(np.float32)
+        want_eps = np.where(keep, -lr * root / y * ind * scale * l1_linear, 0.0)
+        np.testing.assert_allclose(np.asarray(lr_hg), want_lr, rtol=1e-4,
+                                   atol=1e-7)
+        np.testing.assert_allclose(np.asarray(eps_hg), want_eps, rtol=1e-4,
+                                   atol=1e-7)
+        # both branches exercised: some rows kept, some dropped
+        assert keep.any() and not keep.all()

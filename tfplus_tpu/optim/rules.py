@@ -404,6 +404,77 @@ class GroupLamb(Rule):
 
 
 @dataclasses.dataclass(frozen=True)
+class GroupLambHessian(Rule):
+    """GroupSparseApplyLambHessian (training_ops.cc:3866,
+    COMPUTE_LAMBHESSIAN :4095-4135): the LAMB trust-ratio group update
+    whose second moment tracks the Hutchinson diagonal Hessian estimate
+    (``extra``) instead of g². Slot layout m|v|accum|linear. Unlike
+    GroupAdam V4, l1/l2/l21 are NOT lr-scaled (matches the kernel)."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-6
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    norm_axis: Optional[str] = None
+    slot_width = 4
+    has_blacklist = True
+    needs_extra = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        hessian = grad if extra is None else extra
+        m, v, accum, linear = _split(state, 4)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        m = self.beta1 * m + (1.0 - self.beta1) * grad
+        v = self.beta2 * v + (1.0 - self.beta2) * hessian * hessian
+        new_m = m / (1.0 - b1p)
+        new_accum = v / (1.0 - b2p)
+        r = new_m / (jnp.sqrt(new_accum) + self.epsilon)
+        r_norm = _norm(r)
+        var_norm = _norm(var)
+        ratio = jnp.where((r_norm > 0) & (var_norm > 0),
+                          var_norm / (r_norm + 1e-8), 1.0)
+        linear = (linear + new_m * ratio[:, None]
+                  - (jnp.sqrt(new_accum) - jnp.sqrt(accum)) / lr * var)
+        y = (jnp.sqrt(new_accum) + self.epsilon) / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1],
+                                            norm_axis=self.norm_axis)
+        state = jnp.concatenate([m, v, new_accum, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class LambHessian(Rule):
+    """Dense ApplyLambHessian functor (training_ops.cc:4186-4218): direct
+    trust-ratio update, no linear accumulator / group lasso. Slot layout
+    m|v; ``extra`` is the diagonal Hessian estimate."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-6
+    slot_width = 2
+    needs_extra = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        hessian = grad if extra is None else extra
+        m, v = _split(state, 2)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        adjust = jnp.sqrt(1.0 - b2p) / (1.0 - b1p)
+        m = m + (grad - m) * (1.0 - self.beta1)
+        v = v + (hessian * hessian - v) * (1.0 - self.beta2)
+        denom = jnp.sqrt(v) + self.epsilon
+        r = m * adjust / denom
+        r_norm = _norm(r)
+        var_norm = _norm(var)
+        ratio = jnp.where((r_norm > 0) & (var_norm > 0),
+                          var_norm / (r_norm + 1e-8), 1.0)
+        var = var - m * lr * adjust * ratio[:, None] / denom
+        return var, jnp.concatenate([m, v], axis=-1), None
+
+
+@dataclasses.dataclass(frozen=True)
 class AdaDQH(Rule):
     """In-house AdaDQH, non-group sparse form (training_ops.cc:4348-4374
     functor; KvVariableSparseApplyAdaDQH :4463). Slot layout m|v; the second
@@ -526,6 +597,72 @@ class RAdam(Rule):
         return var, jnp.concatenate(parts, axis=-1), None
 
 
+# ---------------------------------------------------------------------------
+# AdaDQH hypergradient compute ops — read-only functions over optimizer state
+# that produce per-element hypergradients of (lr, epsilon) for AdaDQH's
+# hyperparameter adaptation loop (reference ComputeAdaDQHHG functor
+# training_ops.cc:6556-6588; KvVariableComputeGroupAdaDQHHP/ComputeAdaDQHHG
+# ops :6317-6553; op defs ops/training_ops.cc:1107-1193).
+# ---------------------------------------------------------------------------
+
+def _prev_powers(beta1, beta2, step, dtype):
+    """β^(step−1): the kernels divide the passed power accumulators by β
+    (``1 − beta2_power/beta2``), i.e. they bias-correct with the PREVIOUS
+    step's powers — ``step`` here is the upcoming 1-indexed step."""
+    t = jnp.asarray(step, dtype) - 1.0
+    return jnp.asarray(beta1, dtype) ** t, jnp.asarray(beta2, dtype) ** t
+
+
+def adadqh_hg(m: Arr, v: Arr, *, lr, step, beta1=0.9, beta2=0.999,
+              epsilon=1e-5, sam: bool = False, delta: Optional[Arr] = None,
+              alpha=1.0) -> Tuple[Arr, Arr]:
+    """ComputeAdaDQHHG (training_ops.cc:6556-6588): hypergradients of
+    ``(lr, epsilon)`` from AdaDQH's first/second-moment state. The op's
+    var/grad inputs are unused by the functor; ``sam`` adds the SAM
+    perturbation term ``−(1−α)·delta`` to the lr hypergradient."""
+    dt = m.dtype
+    b1p, b2p = _prev_powers(beta1, beta2, step, dt)
+    adjust = jnp.sqrt(1.0 - b2p) / (1.0 - b1p)
+    eps_adj = epsilon * jnp.sqrt(1.0 - b2p)
+    sq = jnp.sqrt(v)
+    deno = jnp.maximum(sq, eps_adj)
+    ind = (eps_adj >= sq).astype(dt)
+    lr_hg = -adjust * m / deno
+    eps_hg = lr * adjust * m / (deno * deno) * ind
+    if sam and delta is not None:
+        lr_hg = lr_hg - (1.0 - alpha) * delta
+    return lr_hg, eps_hg
+
+
+def group_adadqh_hp(linear: Arr, v: Arr, *, lr, step, beta2=0.999,
+                    epsilon=1e-5, l1=0.0, l2=0.0, l21=0.0,
+                    dim: Optional[int] = None) -> Tuple[Arr, Arr]:
+    """KvVariableComputeGroupAdaDQHHP (training_ops.cc:6317-6530,
+    COMPUTE_GROUPADADQHHG macro :6497-6521): hypergradients of
+    ``(lr, epsilon)`` through the group-lasso closed-form solve — rows whose
+    soft-thresholded group norm falls below ``l21·√dim`` get zeros."""
+    dt = linear.dtype
+    d = linear.shape[-1] if dim is None else dim
+    _, b2p = _prev_powers(beta2, beta2, step, dt)
+    root = jnp.sqrt(1.0 - b2p)
+    eps_adj = epsilon * root
+    adj = jnp.clip(linear, -l1, l1)
+    l1_linear = adj - linear
+    nrm = _norm(l1_linear)
+    l21n = l21 * jnp.sqrt(jnp.asarray(d, dt))
+    keep = (nrm > l21n)[:, None]
+    scale = (1.0 - l21n / jnp.maximum(nrm, _TINY))[:, None]
+    sq = jnp.sqrt(v)
+    y = jnp.maximum(sq, eps_adj)
+    deno = (y + 2.0 * l2 * lr) ** 2
+    ind = (eps_adj >= sq).astype(dt)
+    lr_hg = jnp.where(keep, y / deno * scale * l1_linear,
+                      jnp.zeros_like(linear))
+    eps_hg = jnp.where(keep, -lr * root / y * ind * scale * l1_linear,
+                       jnp.zeros_like(linear))
+    return lr_hg, eps_hg
+
+
 def Momentum(momentum=0.9, use_nesterov=False):
     """Plain momentum = GroupMomentum with zero regularisation
     (reference registers only the Group kernel; README.md:150-158)."""
@@ -549,6 +686,8 @@ ALL_RULES = {
     "group_adabelief": GroupAdaBelief,
     "group_adahessian": GroupAdaHessian,
     "group_lamb": GroupLamb,
+    "group_lamb_hessian": GroupLambHessian,
+    "lamb_hessian": LambHessian,
     "adadqh": AdaDQH,
     "group_adadqh": GroupAdaDQH,
     "radam": RAdam,

@@ -110,6 +110,18 @@ def LambOptimizer(learning_rate=0.001, beta1=0.9, beta2=0.999, epsilon=1e-6,
                      l1=l1, l2=l2, l21=l21), slot_name="lamb")
 
 
+def LambHessianOptimizer(learning_rate=0.001, beta1=0.9, beta2=0.999,
+                         epsilon=1e-6, l1=0.0, l2=0.0, l21=0.0, **_):
+    """LAMB with Hutchinson diagonal-Hessian second moment — pass the
+    per-row hessian estimate via ``opt.apply(..., extra=hessian)``
+    (KvVariableGroupSparseApplyLambHessian, training_ops.cc:3866; dense
+    twin rules.LambHessian / :4219)."""
+    return SparseOptimizer(
+        _r.GroupLambHessian(beta1=beta1, beta2=beta2, epsilon=epsilon,
+                            l1=l1, l2=l2, l21=l21),
+        slot_name="lamb_hessian")
+
+
 def AdaDQHOptimizer(learning_rate=0.001, beta1=0.9, beta2=0.999,
                     epsilon=1e-5, l1=0.0, l2=0.0, l21=0.0,
                     use_group=False, **_):
