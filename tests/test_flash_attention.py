@@ -153,3 +153,151 @@ class TestLayer:
         a = flash_attention_layer(q, q, q, attention_mask=jnp.asarray(mask))
         b = flash_attention_layer(q, q, q, lengths=jnp.array([64, 128]))
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+class TestDropout:
+    """Attention dropout — reference FMHA p_dropout/rng_state contract
+    (flash_attention_ops.cc:8-37). The keep-mask is a counter-based hash
+    of (seed, b, h, row, col), so the Pallas kernel, its backward, and the
+    dense fallback regenerate IDENTICAL masks from the same seed."""
+
+    def test_zero_dropout_identical_to_base(self):
+        q, k, v = make_qkv()
+        base = fa.flash_attention(q, k, v, interpret=True)
+        z = fa.flash_attention(q, k, v, p_dropout=0.0, dropout_seed=7,
+                               interpret=True)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(z))
+
+    def test_kernel_matches_dense_same_seed(self):
+        """Tiled kernel (causal forces tiling) vs dense fallback: same seed
+        -> same mask -> same output (within online-softmax roundoff)."""
+        q, k, v = make_qkv(sq=256, skv=256)
+        out = fa.flash_attention(q, k, v, causal=True, p_dropout=0.3,
+                                 dropout_seed=123, interpret=True)
+        ref = fa.reference_attention(q, k, v, causal=True, p_dropout=0.3,
+                                     dropout_seed=123)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_single_step_kernel_matches_dense(self):
+        q, k, v = make_qkv(sq=128, skv=256)
+        out = fa.flash_attention(q, k, v, p_dropout=0.25, dropout_seed=9,
+                                 interpret=True)
+        ref = fa.reference_attention(q, k, v, p_dropout=0.25, dropout_seed=9)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_different_seeds_differ(self):
+        q, k, v = make_qkv(sq=128, skv=128)
+        a = fa.flash_attention(q, k, v, p_dropout=0.3, dropout_seed=1,
+                               interpret=True)
+        b = fa.flash_attention(q, k, v, p_dropout=0.3, dropout_seed=2,
+                               interpret=True)
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-4
+
+    def test_keep_fraction(self):
+        keep = fa._dropout_keep_dense(42, 2, 2, 256, 256, 0.3)
+        frac = float(np.asarray(keep).mean())
+        assert abs(frac - 0.7) < 0.01
+
+    def test_expectation_preserved(self):
+        """Inverted dropout: E[out] ≈ no-dropout out (averaged over seeds)."""
+        q, k, v = make_qkv(b=1, h=1, sq=128, skv=128)
+        base = np.asarray(fa.reference_attention(q, k, v))
+        acc = np.zeros_like(base, np.float64)
+        n = 24
+        for s in range(n):
+            acc += np.asarray(fa.reference_attention(
+                q, k, v, p_dropout=0.3, dropout_seed=s * 1013 + 5))
+        np.testing.assert_allclose(acc / n, base, atol=0.25)
+
+    def test_grads_match_dense_same_mask(self):
+        """Pallas backward regenerates the forward's mask: grads must match
+        autodiff through the dense implementation with the same seed."""
+        q, k, v = make_qkv(b=1, h=2, sq=128, skv=128, d=32)
+        seed = 77
+
+        def loss_kernel(q, k, v):
+            o = fa.flash_attention(q, k, v, causal=True, p_dropout=0.2,
+                                   dropout_seed=seed, interpret=True)
+            return jnp.sum(o * o)
+
+        def loss_dense(q, k, v):
+            o = fa.reference_attention(q, k, v, causal=True, p_dropout=0.2,
+                                       dropout_seed=seed)
+            return jnp.sum(o * o)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gk, gd, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=5e-3,
+                                       err_msg=f"d{name}")
+
+    def test_grads_with_segments_and_dropout(self):
+        q, k, v = make_qkv(b=1, h=1, sq=128, skv=128, d=32)
+        seg = np.zeros((1, 128), np.int32)
+        seg[0, 100:] = -1
+        seg = jnp.asarray(seg)
+        seed = 5
+
+        def loss_kernel(q, k, v):
+            o = fa.flash_attention(q, k, v, q_segment_ids=seg,
+                                   kv_segment_ids=seg, p_dropout=0.2,
+                                   dropout_seed=seed, block_q=128,
+                                   block_k=128, interpret=True)
+            return jnp.sum(o * o)
+
+        def loss_dense(q, k, v):
+            o = fa.reference_attention(q, k, v, q_segment_ids=seg,
+                                       kv_segment_ids=seg, p_dropout=0.2,
+                                       dropout_seed=seed)
+            return jnp.sum(o * o)
+
+        gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gk, gd, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=5e-3,
+                                       err_msg=f"d{name}")
+
+
+class TestLseAndSoftmaxReturn:
+    def test_lse_matches_dense_logsumexp(self):
+        q, k, v = make_qkv(sq=256, skv=256)
+        sm = 1.0 / np.sqrt(q.shape[-1])
+        out, lse = fa.flash_attention_with_lse(q, k, v, interpret=True)
+        s = np.einsum("bhqd,bhkd->bhqk", np.asarray(q, np.float32),
+                      np.asarray(k, np.float32)) * sm
+        want = np.log(np.exp(s - s.max(-1, keepdims=True)).sum(-1)) \
+            + s.max(-1)
+        np.testing.assert_allclose(np.asarray(lse), want, atol=1e-3,
+                                   rtol=1e-3)
+        ref = fa.reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_lse_padding_rows_are_neg_inf(self):
+        q, k, v = make_qkv(b=1, sq=256, skv=256)
+        seg = np.zeros((1, 256), np.int32)
+        seg[0, 200:] = -1
+        seg = jnp.asarray(seg)
+        _, lse = fa.flash_attention_with_lse(q, k, v, q_segment_ids=seg,
+                                             kv_segment_ids=seg,
+                                             interpret=True)
+        assert np.all(np.isneginf(np.asarray(lse)[0, :, 200:]))
+        assert np.all(np.isfinite(np.asarray(lse)[0, :, :200]))
+
+    def test_return_softmax_probs(self):
+        """reference FMHAForward return_sm: post-dropout probabilities."""
+        q, k, v = make_qkv(b=1, h=1, sq=128, skv=128)
+        out, p = fa.reference_attention(q, k, v, p_dropout=0.4,
+                                        dropout_seed=3, return_softmax=True)
+        p = np.asarray(p)
+        keep = np.asarray(fa._dropout_keep_dense(3, 1, 1, 128, 128, 0.4))
+        assert (p[~keep] == 0).all()
+        # kept probs are softmax/(1-p): rows sum to ~kept_mass/(1-p)
+        np.testing.assert_allclose(
+            np.asarray(out),
+            np.einsum("bhqk,bhkd->bhqd", p, np.asarray(v, np.float32)),
+            atol=1e-5)

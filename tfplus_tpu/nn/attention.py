@@ -19,10 +19,15 @@ def flash_attention_layer(q, k, v, *, attention_mask=None, lengths=None,
                           causal: bool = False,
                           softmax_scale: Optional[float] = None,
                           block_q: int = 128, block_k: int = 128,
+                          p_dropout: float = 0.0, dropout_seed=0,
                           interpret: Optional[bool] = None):
     """q/k/v: [B, S, H, D] (the reference layer's layout). Either
     ``attention_mask`` [B, S] (1 = valid) or ``lengths`` [B] describes
     padding. Returns [B, S, H, D] with padded positions zeroed.
+
+    ``p_dropout``/``dropout_seed`` = the reference layer's attention
+    dropout (flash_attn_ops.py p_dropout → FMHA rng_state); pass a fresh
+    seed per training step, 0 dropout at inference.
     """
     b, s, h, d = q.shape
     if attention_mask is not None:
@@ -38,5 +43,6 @@ def flash_attention_layer(q, k, v, *, attention_mask=None, lengths=None,
                              sm_scale=softmax_scale,
                              q_segment_ids=seg, kv_segment_ids=seg,
                              block_q=block_q, block_k=block_k,
+                             p_dropout=p_dropout, dropout_seed=dropout_seed,
                              interpret=interpret)
     return jnp.transpose(out, (0, 2, 1, 3))

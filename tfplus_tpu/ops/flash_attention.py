@@ -36,10 +36,60 @@ DEFAULT_MASK_VALUE = -0.7 * float(np.finfo(np.float32).max)
 _LANES = 128
 
 
-def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
+# ---------------------------------------------------------------------------
+# Attention dropout (reference FMHA contract: p_dropout + rng_state,
+# flash_attention_ops.cc:8-37). The keep-mask is a COUNTER-BASED hash of
+# (seed, batch, head, global_row, global_col) — a pure jnp function, so the
+# forward kernel, the backward kernels and the dense fallback all regenerate
+# bit-identical masks from the same seed (the reference's rng_state replay),
+# with no dependence on tile iteration order or pltpu PRNG availability.
+# ---------------------------------------------------------------------------
+
+def _mix_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """murmur3 finalizer — full-avalanche 32-bit mix."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _dropout_keep(seed, bi, hi, row0, col0, bq: int, bk: int,
+                  p_dropout: float) -> jnp.ndarray:
+    """Boolean keep-mask tile [bq, bk] for global coordinates
+    (row0+i, col0+j). ``seed``/``bi``/``hi`` may be traced scalars."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, (bq, bk), 0) \
+        + jnp.uint32(row0)
+    c = jax.lax.broadcasted_iota(jnp.uint32, (bq, bk), 1) \
+        + jnp.uint32(col0)
+    base = (jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
+            + jnp.uint32(bi) * jnp.uint32(0x7FEB352D)
+            + jnp.uint32(hi) * jnp.uint32(0x846CA68B))
+    x = _mix_bits(base + r * jnp.uint32(0x27D4EB2F) + c)
+    thresh = jnp.uint32(min(int(p_dropout * 4294967296.0), 4294967295))
+    return x >= thresh
+
+
+def _dropout_keep_dense(seed, b: int, h: int, sq: int, skv: int,
+                        p_dropout: float) -> jnp.ndarray:
+    """[B, H, Sq, Skv] keep-mask — the dense-fallback twin of
+    :func:`_dropout_keep` (bit-identical by construction)."""
+    bi = jnp.arange(b, dtype=jnp.uint32)[:, None, None, None]
+    hi = jnp.arange(h, dtype=jnp.uint32)[None, :, None, None]
+    r = jnp.arange(sq, dtype=jnp.uint32)[None, None, :, None]
+    c = jnp.arange(skv, dtype=jnp.uint32)[None, None, None, :]
+    base = (jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
+            + bi * jnp.uint32(0x7FEB352D) + hi * jnp.uint32(0x846CA68B))
+    x = _mix_bits(base + r * jnp.uint32(0x27D4EB2F) + c)
+    thresh = jnp.uint32(min(int(p_dropout * 4294967296.0), 4294967295))
+    return x >= thresh
+
+
+def _fwd_kernel(qseg_ref, kseg_ref, seed_ref, q_ref, k_ref, v_ref,
                 *out_and_scratch,
                 causal, sm_scale, block_q, block_k, kv_len, mask_value,
-                use_segments, save_residuals):
+                use_segments, save_residuals, p_dropout):
     # l/m residuals are only materialised on the VJP path — the plain
     # forward call skips two [B,H,S,LANES] f32 HBM writes (they dominated
     # fwd-only time: 512 MB/call at the bench shape)
@@ -48,6 +98,8 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
     else:
         (o_ref, m_scr, l_scr, acc_scr) = out_and_scratch
         l_ref = m_ref = None
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -90,10 +142,17 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
         alpha = jnp.exp(m_prev - m_next)
         p = jnp.exp(s - m_next[:, :1])                # [bq, bk]
         l_corr = alpha * l_prev
+        # l (the lse residual) accumulates PRE-dropout probabilities —
+        # dropout only gates the value accumulation (flash-attn v1 order)
         l_next = l_corr + jnp.sum(p, axis=1)[:, None]
         m_scr[...] = m_next
         l_scr[...] = l_next
 
+        if p_dropout > 0.0:
+            keep = _dropout_keep(seed_ref[0], bi, hi, q_idx * block_q,
+                                 kv_idx * block_k, block_q, block_k,
+                                 p_dropout)
+            p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - p_dropout))
         acc_scr[...] = acc_scr[...] * alpha[:, :1]
         v = v_ref[0, 0]
         acc_scr[...] += jax.lax.dot(p.astype(v.dtype), v,
@@ -127,10 +186,10 @@ def _fwd_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
             m_ref[0, 0] = m_scr[...].astype(m_ref.dtype)
 
 
-def _fwd_single_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
+def _fwd_single_kernel(qseg_ref, kseg_ref, seed_ref, q_ref, k_ref, v_ref,
                        o_ref, l_ref=None, m_ref=None,
                        *, sm_scale, block_q, mask_value, use_segments,
-                       save_residuals):
+                       save_residuals, p_dropout):
     """Whole-KV-in-one-block specialization: when the entire key sequence
     fits a single VMEM block there is nothing to accumulate across steps —
     the online-softmax m/l carry, the acc rescale and the scratch traffic
@@ -152,9 +211,14 @@ def _fwd_single_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
         s = s + jnp.where(seg, 0.0, mask_value)
     m = jnp.max(s, axis=1, keepdims=True)          # [bq, 1]
     p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=1, keepdims=True)
+    l = jnp.sum(p, axis=1, keepdims=True)          # pre-dropout normaliser
     never_hit = m <= (0.5 * mask_value)
     l_safe = jnp.where(l == 0.0, 1.0, l)
+    if p_dropout > 0.0:
+        keep = _dropout_keep(seed_ref[0], pl.program_id(0), pl.program_id(1),
+                             pl.program_id(2) * block_q, 0, block_q, skv,
+                             p_dropout)
+        p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - p_dropout))
     o = jax.lax.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = jnp.where(never_hit, 0.0, o / l_safe).astype(o_ref.dtype)
     if save_residuals:
@@ -165,9 +229,10 @@ def _fwd_single_kernel(qseg_ref, kseg_ref, q_ref, k_ref, v_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sm_scale", "block_q", "interpret", "save_residuals"))
-def _fwd_single(q, k, v, q_seg, kv_seg, *, sm_scale, block_q, interpret,
-                save_residuals=True):
+    static_argnames=("sm_scale", "block_q", "interpret", "save_residuals",
+                     "p_dropout"))
+def _fwd_single(q, k, v, q_seg, kv_seg, seed, *, sm_scale, block_q, interpret,
+                save_residuals=True, p_dropout=0.0):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     block_q = min(block_q, sq)
@@ -183,7 +248,7 @@ def _fwd_single(q, k, v, q_seg, kv_seg, *, sm_scale, block_q, interpret,
     kernel = functools.partial(
         _fwd_single_kernel, sm_scale=sm_scale, block_q=block_q,
         mask_value=DEFAULT_MASK_VALUE, use_segments=use_segments,
-        save_residuals=save_residuals)
+        save_residuals=save_residuals, p_dropout=p_dropout)
     lm_specs = [
         pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi: (bi, hi, qi, 0)),
         pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi: (bi, hi, qi, 0)),
@@ -198,6 +263,7 @@ def _fwd_single(q, k, v, q_seg, kv_seg, *, sm_scale, block_q, interpret,
         in_specs=[
             pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi: (bi, 0, qi)),
             pl.BlockSpec((1, 1, skv), lambda bi, hi, qi: (bi, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
             pl.BlockSpec((1, 1, skv, d), lambda bi, hi, qi: (bi, hi, 0, 0)),
@@ -211,7 +277,7 @@ def _fwd_single(q, k, v, q_seg, kv_seg, *, sm_scale, block_q, interpret,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
         interpret=interpret,
-    )(q_seg3, kv_seg3, q, k, v)
+    )(q_seg3, kv_seg3, seed, q, k, v)
     if save_residuals:
         out, l, m = outs
         return out, l[..., 0], m[..., 0]
@@ -225,9 +291,9 @@ _SINGLE_STEP_MAX_KV = 4096
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
-                     "save_residuals"))
-def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
-         interpret, save_residuals=True):
+                     "save_residuals", "p_dropout"))
+def _fwd(q, k, v, q_seg, kv_seg, seed, *, causal, sm_scale, block_q, block_k,
+         interpret, save_residuals=True, p_dropout=0.0):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     block_q = min(block_q, sq)
@@ -248,7 +314,8 @@ def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
     kernel = functools.partial(
         _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_k=block_k, kv_len=skv, mask_value=DEFAULT_MASK_VALUE,
-        use_segments=use_segments, save_residuals=save_residuals)
+        use_segments=use_segments, save_residuals=save_residuals,
+        p_dropout=p_dropout)
 
     lm_specs = [
         pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -276,6 +343,7 @@ def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
             pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
             pl.BlockSpec((1, 1, block_k),
                          lambda bi, hi, qi, ki: (bi, 0, ki_map(bi, hi, qi, ki))),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
             pl.BlockSpec((1, 1, block_k, d),
                          lambda bi, hi, qi, ki: (bi, hi, ki_map(bi, hi, qi, ki), 0)),
@@ -297,7 +365,7 @@ def _fwd(q, k, v, q_seg, kv_seg, *, causal, sm_scale, block_q, block_k,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(q_seg3, kv_seg3, q, k, v)
+    )(q_seg3, kv_seg3, seed, q, k, v)
     if save_residuals:
         out, l, m = outs
         return out, l[..., 0], m[..., 0]
@@ -331,10 +399,13 @@ def _p_from_stats(s, l, m):
     return jnp.where(l2 == 0.0, 0.0, p)
 
 
-def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, do_ref, l_ref, m_ref, di_ref,
-                    k_ref, v_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+def _bwd_dkv_kernel(qseg_ref, kseg_ref, seed_ref, q_ref, do_ref, l_ref,
+                    m_ref, di_ref, k_ref, v_ref, dk_ref, dv_ref,
+                    dk_scr, dv_scr,
                     *, causal, sm_scale, block_q, block_k, q_len, mask_value,
-                    use_segments):
+                    use_segments, p_dropout):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
     kv_idx = pl.program_id(2)
     q_idx = pl.program_id(3)
 
@@ -366,8 +437,20 @@ def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, do_ref, l_ref, m_ref, di_ref,
         p = _p_from_stats(s, l, m)                       # [bq, bk]
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if p_dropout > 0.0:
+            # identical mask to the fwd tile (same hash of global coords);
+            # dv uses the DROPPED probabilities, dS gates dp through the
+            # mask — di already equals Σₖ P_d·dp (it is do·o)
+            keep = _dropout_keep(seed_ref[0], bi, hi, q_idx * block_q,
+                                 kv_idx * block_k, block_q, block_k,
+                                 p_dropout)
+            inv = 1.0 / (1.0 - p_dropout)
+            p_d = jnp.where(keep, p, 0.0) * inv
+            dp = jnp.where(keep, dp, 0.0) * inv
+        else:
+            p_d = p
         ds = p * (dp - di[:, None]) * sm_scale
-        pb = p.astype(q.dtype)
+        pb = p_d.astype(q.dtype)
         dsb = ds.astype(q.dtype)
         dv_scr[...] += jax.lax.dot_general(
             pb, do.astype(q.dtype), (((0,), (0,)), ((), ())),
@@ -382,10 +465,12 @@ def _bwd_dkv_kernel(qseg_ref, kseg_ref, q_ref, do_ref, l_ref, m_ref, di_ref,
         dv_ref[0, 0] = dv_scr[...].astype(dv_ref.dtype)
 
 
-def _bwd_dq_kernel(qseg_ref, kseg_ref, k_ref, v_ref, do_ref, l_ref, m_ref,
-                   di_ref, q_ref, dq_ref, dq_scr,
+def _bwd_dq_kernel(qseg_ref, kseg_ref, seed_ref, k_ref, v_ref, do_ref,
+                   l_ref, m_ref, di_ref, q_ref, dq_ref, dq_scr,
                    *, causal, sm_scale, block_q, block_k, kv_len, mask_value,
-                   use_segments):
+                   use_segments, p_dropout):
+    bi = pl.program_id(0)
+    hi = pl.program_id(1)
     q_idx = pl.program_id(2)
     kv_idx = pl.program_id(3)
 
@@ -416,6 +501,11 @@ def _bwd_dq_kernel(qseg_ref, kseg_ref, k_ref, v_ref, do_ref, l_ref, m_ref,
         p = _p_from_stats(s, l, m)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
+        if p_dropout > 0.0:
+            keep = _dropout_keep(seed_ref[0], bi, hi, q_idx * block_q,
+                                 kv_idx * block_k, block_q, block_k,
+                                 p_dropout)
+            dp = jnp.where(keep, dp, 0.0) * (1.0 / (1.0 - p_dropout))
         ds = (p * (dp - di[:, None]) * sm_scale).astype(q.dtype)
         dq_scr[...] += jax.lax.dot(ds, k, preferred_element_type=jnp.float32)
 
@@ -426,9 +516,10 @@ def _bwd_dq_kernel(qseg_ref, kseg_ref, k_ref, v_ref, do_ref, l_ref, m_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret"))
-def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
-                block_q, block_k, interpret):
+    static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
+                     "p_dropout"))
+def _bwd_pallas(q, k, v, q_seg, kv_seg, seed, out, l, m, do, *, causal,
+                sm_scale, block_q, block_k, interpret, p_dropout=0.0):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     block_q = min(block_q, sq)
@@ -458,7 +549,7 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
     dkv_kernel = functools.partial(
         _bwd_dkv_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_k=block_k, q_len=sq, mask_value=DEFAULT_MASK_VALUE,
-        use_segments=use_segments)
+        use_segments=use_segments, p_dropout=p_dropout)
     dk, dv = pl.pallas_call(
         dkv_kernel,
         grid=(b, h, skv // block_k, sq // block_q),
@@ -466,6 +557,7 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
             pl.BlockSpec((1, 1, block_q),
                          lambda bi, hi, ki, qi: (bi, 0, qi_map(bi, hi, ki, qi))),
             pl.BlockSpec((1, 1, block_k), lambda bi, hi, ki, qi: (bi, 0, ki)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_q, d),
                          lambda bi, hi, ki, qi: (bi, hi, qi_map(bi, hi, ki, qi), 0)),
             pl.BlockSpec((1, 1, block_q, d),
@@ -491,13 +583,13 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(q_seg3, kv_seg3, q, do, l4, m4, di4, k, v)
+    )(q_seg3, kv_seg3, seed, q, do, l4, m4, di4, k, v)
 
     # --- dq: iterate kv tiles per q tile ----------------------------------
     dq_kernel = functools.partial(
         _bwd_dq_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_k=block_k, kv_len=skv, mask_value=DEFAULT_MASK_VALUE,
-        use_segments=use_segments)
+        use_segments=use_segments, p_dropout=p_dropout)
     if causal:
         def dq_ki_map(bi, hi, qi, ki):
             return jnp.minimum(ki, ((qi + 1) * block_q - 1) // block_k)
@@ -512,6 +604,7 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
             pl.BlockSpec((1, 1, block_q), lambda bi, hi, qi, ki: (bi, 0, qi)),
             pl.BlockSpec((1, 1, block_k),
                          lambda bi, hi, qi, ki: (bi, 0, dq_ki_map(bi, hi, qi, ki))),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, block_k, d),
                          lambda bi, hi, qi, ki: (bi, hi, dq_ki_map(bi, hi, qi, ki), 0)),
             pl.BlockSpec((1, 1, block_k, d),
@@ -530,7 +623,7 @@ def _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do, *, causal, sm_scale,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interpret,
-    )(q_seg3, kv_seg3, k, v, do, l4, m4, di4, q)
+    )(q_seg3, kv_seg3, seed, k, v, do, l4, m4, di4, q)
     return dq, dk, dv
 
 
@@ -549,9 +642,18 @@ def _attention_mask(sq, skv, q_seg, kv_seg, causal):
 
 
 def reference_attention(q, k, v, *, causal=False, sm_scale=None,
-                        q_segment_ids=None, kv_segment_ids=None):
+                        q_segment_ids=None, kv_segment_ids=None,
+                        p_dropout: float = 0.0, dropout_seed=0,
+                        return_softmax: bool = False):
     """Exact attention (the py_ut_gpu einsum-softmax reference,
-    test_flash_attention.py:41-69) — also the non-TPU fallback."""
+    test_flash_attention.py:41-69) — also the non-TPU fallback.
+
+    ``p_dropout > 0`` applies the SAME counter-based keep-mask as the Pallas
+    kernels (bit-identical given the same seed). ``return_softmax=True``
+    additionally returns the post-dropout probabilities — the reference
+    FMHAForward's ``return_sm`` debug output (O(S²) memory, like the
+    reference's)."""
+    b, h = q.shape[0], q.shape[1]
     d = q.shape[-1]
     if sm_scale is None:
         sm_scale = 1.0 / np.sqrt(d)
@@ -561,60 +663,71 @@ def reference_attention(q, k, v, *, causal=False, sm_scale=None,
                            kv_segment_ids, causal)
     s = jnp.where(mask[:, None, :, :], s, DEFAULT_MASK_VALUE)
     p = jax.nn.softmax(s, axis=-1)
+    if p_dropout > 0.0:
+        keep = _dropout_keep_dense(dropout_seed, b, h, q.shape[2],
+                                   k.shape[2], p_dropout)
+        p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - p_dropout))
     # fully-masked rows (padding) → zero output
     any_valid = jnp.any(mask, axis=-1)[:, None, :, None]
     out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
-    return jnp.where(any_valid, out, 0.0).astype(q.dtype)
+    out = jnp.where(any_valid, out, 0.0).astype(q.dtype)
+    if return_softmax:
+        return out, jnp.where(any_valid, p, 0.0)
+    return out
 
 
-def _fwd_dispatch(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
-                  interpret, save_residuals):
+def _fwd_dispatch(q, k, v, q_seg, kv_seg, seed, causal, sm_scale, block_q,
+                  block_k, interpret, save_residuals, p_dropout=0.0):
     """Route to the single-step kernel when the whole KV sequence fits one
     VMEM block and there is no causal tile-skipping to exploit (causal
     measured FASTER tiled: skipping above-diagonal tiles outweighs the
     saved online-softmax VPU work)."""
     if not causal and k.shape[2] <= _SINGLE_STEP_MAX_KV:
-        return _fwd_single(q, k, v, q_seg, kv_seg, sm_scale=sm_scale,
+        return _fwd_single(q, k, v, q_seg, kv_seg, seed, sm_scale=sm_scale,
                            block_q=block_q, interpret=interpret,
-                           save_residuals=save_residuals)
-    return _fwd(q, k, v, q_seg, kv_seg, causal=causal, sm_scale=sm_scale,
-                block_q=block_q, block_k=block_k, interpret=interpret,
-                save_residuals=save_residuals)
+                           save_residuals=save_residuals,
+                           p_dropout=p_dropout)
+    return _fwd(q, k, v, q_seg, kv_seg, seed, causal=causal,
+                sm_scale=sm_scale, block_q=block_q, block_k=block_k,
+                interpret=interpret, save_residuals=save_residuals,
+                p_dropout=p_dropout)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(5, 6, 7, 8, 9))
-def _flash(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
-           interpret):
-    out, _, _ = _fwd_dispatch(q, k, v, q_seg, kv_seg, causal, sm_scale,
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11))
+def _flash(q, k, v, q_seg, kv_seg, seed, causal, sm_scale, block_q, block_k,
+           interpret, p_dropout):
+    out, _, _ = _fwd_dispatch(q, k, v, q_seg, kv_seg, seed, causal, sm_scale,
                               block_q, block_k, interpret,
-                              save_residuals=False)
+                              save_residuals=False, p_dropout=p_dropout)
     return out
 
 
-def _flash_fwd(q, k, v, q_seg, kv_seg, causal, sm_scale, block_q, block_k,
-               interpret):
-    out, l, m = _fwd_dispatch(q, k, v, q_seg, kv_seg, causal, sm_scale,
+def _flash_fwd(q, k, v, q_seg, kv_seg, seed, causal, sm_scale, block_q,
+               block_k, interpret, p_dropout):
+    out, l, m = _fwd_dispatch(q, k, v, q_seg, kv_seg, seed, causal, sm_scale,
                               block_q, block_k, interpret,
-                              save_residuals=True)
-    return out, (q, k, v, q_seg, kv_seg, out, l, m)
+                              save_residuals=True, p_dropout=p_dropout)
+    return out, (q, k, v, q_seg, kv_seg, seed, out, l, m)
 
 
-def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
+def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, p_dropout,
+               res, do):
     """Standard flash backward from (o, l, m) residuals:
     p = exp(s−m)/l; di = Σ(do·o); ds = p∘(do·vᵀ − di); dq = ds·k; dk = dsᵀ·q;
-    dv = pᵀ·do (cf. the reference backward consuming softmax_lse).
+    dv = p_dᵀ·do (cf. the reference backward consuming softmax_lse +
+    rng_state — the dropout mask regenerates from the same seed).
 
     Runs the blockwise Pallas dkv/dq kernel pair on TPU (memory O(S) — the
     scores are never materialised); the dense XLA recompute below is the
     non-TPU fallback."""
-    q, k, v, q_seg, kv_seg, out, l, m = res
+    q, k, v, q_seg, kv_seg, seed, out, l, m = res
     if jax.default_backend() == "tpu" or interpret:
-        dq, dk, dv = _bwd_pallas(q, k, v, q_seg, kv_seg, out, l, m, do,
+        dq, dk, dv = _bwd_pallas(q, k, v, q_seg, kv_seg, seed, out, l, m, do,
                                  causal=causal, sm_scale=sm_scale,
                                  block_q=block_q, block_k=block_k,
-                                 interpret=interpret)
-        return dq, dk, dv, None, None
+                                 interpret=interpret, p_dropout=p_dropout)
+        return dq, dk, dv, None, None, None
     qf = q.astype(jnp.float32)
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
@@ -627,42 +740,92 @@ def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, res, do):
     p = jnp.where(mask[:, None, :, :], p, 0.0)
     di = jnp.sum(dof * out.astype(jnp.float32), axis=-1, keepdims=True)
     dp = jnp.einsum("bhqd,bhkd->bhqk", dof, vf)
+    if p_dropout > 0.0:
+        keep = _dropout_keep_dense(seed[0], q.shape[0], q.shape[1],
+                                   q.shape[2], k.shape[2], p_dropout)
+        inv = 1.0 / (1.0 - p_dropout)
+        p_d = jnp.where(keep, p, 0.0) * inv
+        dp = jnp.where(keep, dp, 0.0) * inv
+    else:
+        p_d = p
     ds = p * (dp - di)
     dq = jnp.einsum("bhqk,bhkd->bhqd", ds, kf) * sm_scale
     dk = jnp.einsum("bhqk,bhqd->bhkd", ds, qf) * sm_scale
-    dv = jnp.einsum("bhqk,bhqd->bhkd", p, dof)
+    dv = jnp.einsum("bhqk,bhqd->bhkd", p_d, dof)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-            None, None)
+            None, None, None)
 
 
 _flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def _seed_array(dropout_seed) -> jnp.ndarray:
+    return jnp.asarray([dropout_seed] if np.ndim(dropout_seed) == 0
+                       else dropout_seed, jnp.int32).reshape(1)
 
 
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
                     q_segment_ids=None, kv_segment_ids=None,
                     block_q: int = 512, block_k: int = 1024,
+                    p_dropout: float = 0.0, dropout_seed=0,
                     interpret: Optional[bool] = None):
     """Blockwise flash attention.
 
     q [B, H, Sq, D], k/v [B, H, Skv, D]; optional int32 segment ids
     [B, Sq] / [B, Skv] (−1 = padding). Seq lengths must divide the block
     sizes (pad with segment −1 otherwise). Differentiable.
+
+    ``p_dropout``/``dropout_seed`` mirror the reference FMHA contract
+    (flash_attention_ops.cc:8-37 ``p_dropout``/``rng_state``): inverted
+    dropout on the attention probabilities, identical masks in forward and
+    backward (regenerated from the seed — pass a fresh seed per step).
+    ``p_dropout=0`` is bit-identical to the no-dropout kernel.
     """
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
     if (q_segment_ids is None) != (kv_segment_ids is None):
         raise ValueError("provide both or neither segment id array")
+    if not (0.0 <= p_dropout < 1.0):
+        raise ValueError(f"p_dropout must be in [0, 1), got {p_dropout}")
     if interpret is None:
         if jax.default_backend() != "tpu":
             # exact fallback keeps CPU tests fast; kernel is validated
             # separately in interpreter mode
             return reference_attention(
                 q, k, v, causal=causal, sm_scale=sm_scale,
-                q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids)
+                q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
+                p_dropout=p_dropout, dropout_seed=dropout_seed)
         interpret = False
-    return _flash(q, k, v, q_segment_ids, kv_segment_ids, causal, sm_scale,
-                  block_q, block_k, interpret)
+    return _flash(q, k, v, q_segment_ids, kv_segment_ids,
+                  _seed_array(dropout_seed), causal, sm_scale,
+                  block_q, block_k, interpret, float(p_dropout))
+
+
+def flash_attention_with_lse(q, k, v, *, causal: bool = False,
+                             sm_scale: Optional[float] = None,
+                             q_segment_ids=None, kv_segment_ids=None,
+                             block_q: int = 512, block_k: int = 1024,
+                             p_dropout: float = 0.0, dropout_seed=0,
+                             interpret: Optional[bool] = None):
+    """Forward pass returning ``(out, softmax_lse)`` — the reference
+    FMHAForward's ``softmax_lse`` output [B, H, Sq] consumed by downstream
+    ops (flash_attention_ops.cc:8-37). lse is the PRE-dropout
+    log-sum-exp of the masked scores; fully-masked (padding) rows get
+    ``-inf``. Primal-only (use :func:`flash_attention` for gradients)."""
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    if (q_segment_ids is None) != (kv_segment_ids is None):
+        raise ValueError("provide both or neither segment id array")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    out, l, m = _fwd_dispatch(q, k, v, q_segment_ids, kv_segment_ids,
+                              _seed_array(dropout_seed), causal, sm_scale,
+                              block_q, block_k, interpret,
+                              save_residuals=True, p_dropout=float(p_dropout))
+    lse = jnp.where(l > 0.0, m + jnp.log(jnp.where(l > 0.0, l, 1.0)),
+                    -jnp.inf)
+    return out, lse
 
 
 def make_segment_ids_from_lengths(lengths, seq_len: int):
