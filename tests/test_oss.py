@@ -1,0 +1,104 @@
+"""oss:// object-store backend tests — the full checkpoint stack over a
+genuine HTTP object store (reference: oss_file_system.{h,cc} +
+REGISTER_FILE_SYSTEM("oss")). The emulator verifies OSS HMAC signatures,
+serves ranged GETs and prefix listings, so the client code under test is
+the same code that would talk to a real OSS-compatible endpoint."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfplus_tpu import kv, train as tft
+from tfplus_tpu import checkpoint as ckpt
+from tfplus_tpu.checkpoint import bundle, saver
+from tfplus_tpu.io import register_oss, parse_oss_uri
+from tfplus_tpu.io.object_store import ObjectStoreClient
+from tfplus_tpu.io.oss_emulator import OSSEmulator
+
+CREDS = {"test-id": "sekrit-key"}
+
+
+@pytest.fixture()
+def oss():
+    with OSSEmulator(CREDS) as host:
+        register_oss()
+        yield host
+
+
+def uri(host, path):
+    """Reference-style credential-embedded URI (oss_file_system.cc)."""
+    return (f"oss://bkt\x01id=test-id\x02key={CREDS['test-id']}"
+            f"\x02host={host}/{path}")
+
+
+class TestClient:
+    def test_put_get_head_delete_range(self, oss):
+        c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], oss)
+        c.put("a/b.bin", b"0123456789")
+        assert c.head("a/b.bin") == 10
+        assert c.get("a/b.bin") == b"0123456789"
+        assert c.get("a/b.bin", 2, 6) == b"2345"
+        assert sorted(c.list("a/")) == ["a/b.bin"]
+        c.copy("a/b.bin", "a/c.bin")
+        assert c.get("a/c.bin") == b"0123456789"
+        c.delete("a/b.bin")
+        assert c.head("a/b.bin") is None
+        with pytest.raises(FileNotFoundError):
+            c.get("a/b.bin")
+
+    def test_bad_signature_rejected(self, oss):
+        c = ObjectStoreClient("bkt", "test-id", "WRONG-KEY", oss)
+        with pytest.raises(IOError):
+            c.put("x", b"data")
+
+    def test_unknown_id_rejected(self, oss):
+        c = ObjectStoreClient("bkt", "who", "sekrit-key", oss)
+        with pytest.raises(IOError):
+            c.put("x", b"data")
+
+
+class TestUriContract:
+    def test_parse_roundtrip(self, oss):
+        bucket, key, creds = parse_oss_uri(uri(oss, "dir/obj"))
+        assert bucket == "bkt"
+        assert creds["id"] == "test-id"
+        assert creds["key"] == "sekrit-key"
+        assert creds["host"] == oss
+        assert key == "dir/obj"
+
+
+class TestBundleOverOSS:
+    def test_bundle_roundtrip(self, oss):
+        p = uri(oss, "ck/bundle")
+        with bundle.BundleWriter(p, num_shards=2) as w:
+            w.add("a", np.arange(100, dtype=np.float32))
+            w.add("b", np.arange(6, dtype=np.int32).reshape(2, 3))
+        r = bundle.BundleReader(p)
+        np.testing.assert_array_equal(r.lookup("a"), np.arange(100))
+        np.testing.assert_array_equal(r.lookup("b"),
+                                      np.arange(6).reshape(2, 3))
+        # partial (ranged) read
+        np.testing.assert_array_equal(
+            r.lookup_slice("a", 10, 5), np.arange(10, 15, dtype=np.float32))
+        # streamed read with CRC verification
+        got = np.concatenate([c for _, c in r.stream("a", 16)])
+        np.testing.assert_array_equal(got, np.arange(100))
+
+    def test_checkpoint_save_restore_over_oss(self, oss):
+        t = kv.create(8, 512, seed=0)
+        opt = tft.AdagradOptimizer()
+        t = opt.init(t)
+        ids = np.arange(1, 300, dtype=np.int64)
+        q = kv.encode_ids_np_to_device(ids)
+        res = kv.lookup_or_insert(t, q)
+        t = opt.apply(res.table, res.slot, jnp.ones((299, 8)) * 0.1,
+                      lr=0.1, step=1)
+        p = uri(oss, "ckpts/model-1")
+        t = ckpt.save(p, {"emb": t}, chunk_rows=64)["emb"]
+        out, _ = ckpt.restore(p, {"emb": kv.create(8, 512)})
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(out["emb"], q)),
+            np.asarray(kv.lookup_or_zeros(t, q)), rtol=1e-6)
+        # elastic: restore the same object-store checkpoint into 3 shards
+        shards, _ = ckpt.restore(p, {"emb": [kv.create(8, 256)] * 3})
+        total = sum(int(kv.size(s)) for s in shards["emb"])
+        assert total == 299

@@ -125,21 +125,25 @@ class MemFileSystem(FileSystem):
 
 def parse_oss_uri(uri: str):
     """Parse the reference's OSS URI credential embedding
-    (oss_file_system.cc: ``oss://bucket\\x01id=..\\x02key=..\\x02host=..``;
-    fields fall back to OSS_ACCESS_ID / OSS_ACCESS_KEY / OSS_HOST env)."""
-    rest = uri[len("oss://"):]
+    (oss_file_system.cc:512-577 ParseOSSURIPath):
+    ``oss://bucket\\x01id=..\\x02key=..\\x02host=endpoint/path/to/object``.
+    The authority (everything before the first ``/`` after the scheme)
+    carries bucket + credentials — delimited by ``\\x01``/``\\x02`` or the
+    ``?``/``&`` variant — and the remainder is the object key. Missing
+    fields fall back to OSS_ACCESS_ID / OSS_ACCESS_KEY / OSS_HOST env."""
+    rest = uri[len("oss://"):] if uri.startswith("oss://") else uri
+    authority, _, object_path = rest.partition("/")
     creds = {"id": os.environ.get("OSS_ACCESS_ID", ""),
              "key": os.environ.get("OSS_ACCESS_KEY", ""),
              "host": os.environ.get("OSS_HOST", "")}
-    if "\x01" in rest:
-        bucket_part, cred_part = rest.split("\x01", 1)
-        for kvp in cred_part.split("\x02"):
+    bucket_delim, access_delim = ("\x01", "\x02") if "\x01" in authority \
+        else ("?", "&")
+    bucket, sep, cred_part = authority.partition(bucket_delim)
+    if sep:
+        for kvp in cred_part.split(access_delim):
             if "=" in kvp:
                 k, v = kvp.split("=", 1)
                 creds[k] = v
-    else:
-        bucket_part = rest
-    bucket, _, object_path = bucket_part.partition("/")
     return bucket, object_path, creds
 
 

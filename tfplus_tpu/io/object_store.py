@@ -1,0 +1,350 @@
+"""OSS-style object-store filesystem — a REAL remote backend for the
+``oss://`` scheme.
+
+TPU-native equivalent of the reference's Alibaba OSS filesystem plugin
+(``oss/kernels/ossfs/oss_file_system.{h,cc}``, 1,293 LoC: OSSConnection
+pool :83-120, Random/Writable/Appendable files, dir emulation over
+objects; op registration ``REGISTER_FILE_SYSTEM("oss", ...)``
+ops/ossfs_ops.cc:9). This is an actual HTTP client — OSS-compatible REST
+verbs (PUT/GET/HEAD/DELETE, ranged GET, prefix listing) with the OSS
+``Authorization: OSS <id>:<hmac-sha1 signature>`` header — not a local
+shim; point it at any OSS-compatible endpoint. Tests run it against
+:mod:`tfplus_tpu.io.oss_emulator` (an in-process object-store server that
+verifies the signatures), since this image has zero network egress.
+
+Credentials follow the reference's URI embedding
+(``oss://bucket\\x01id=..\\x02key=..\\x02host=..``, oss_file_system.cc) or
+the OSS_ACCESS_ID / OSS_ACCESS_KEY / OSS_HOST environment variables —
+:func:`tfplus_tpu.io.filesystem.parse_oss_uri`.
+
+Capabilities the checkpoint layer needs and gets here:
+  * streaming writes — spooled to a temp file, single PUT on close
+    (bounded memory for multi-GB bundle shards),
+  * random-access reads — ranged GETs with a readahead buffer
+    (BundleReader.lookup_slice / stream hit this),
+  * atomic-ish publish — rename = server-side copy + delete (OSS has no
+    rename; same emulation as the reference),
+  * dir emulation over key prefixes.
+"""
+from __future__ import annotations
+
+import base64
+import email.utils
+import hashlib
+import hmac
+import http.client
+import io
+import os
+import tempfile
+import threading
+from typing import Dict, List, Optional, Tuple
+from urllib.parse import quote, urlparse
+
+from .filesystem import FileSystem, parse_oss_uri, register_filesystem
+
+_READAHEAD = 4 << 20          # ranged-GET readahead
+_SPOOL_MAX = 64 << 20         # writes spill to disk beyond this
+
+
+def _sign(key: str, verb: str, date: str, resource: str,
+          content_md5: str = "", content_type: str = "") -> str:
+    """OSS header signature: base64(hmac-sha1(key, VERB\\nMD5\\nTYPE\\nDATE\\n
+    /bucket/object)) — the contract the reference's SDK signs with."""
+    msg = "\n".join([verb, content_md5, content_type, date, resource])
+    mac = hmac.new(key.encode(), msg.encode(), hashlib.sha1)
+    return base64.b64encode(mac.digest()).decode()
+
+
+class OSSConnectionPool:
+    """Reusable HTTP connections per host (reference OSSConnection pool,
+    oss_file_system.cc:83-120)."""
+
+    def __init__(self, host: str, max_connections: int = 8):
+        u = urlparse(host if "//" in host else "http://" + host)
+        self._addr = (u.hostname, u.port or 80)
+        self._free: List[http.client.HTTPConnection] = []
+        self._lock = threading.Lock()
+        self._max = max_connections
+
+    def acquire(self) -> http.client.HTTPConnection:
+        with self._lock:
+            if self._free:
+                return self._free.pop()
+        return http.client.HTTPConnection(*self._addr, timeout=60)
+
+    def release(self, conn: http.client.HTTPConnection):
+        with self._lock:
+            if len(self._free) < self._max:
+                self._free.append(conn)
+                return
+        conn.close()
+
+
+class ObjectStoreClient:
+    """Signed OSS-REST client for one bucket."""
+
+    def __init__(self, bucket: str, access_id: str, access_key: str,
+                 host: str):
+        if not host:
+            raise ValueError("object store host required "
+                             "(URI \\x02host=... or OSS_HOST)")
+        self.bucket = bucket
+        self._id = access_id
+        self._key = access_key
+        self._pool = OSSConnectionPool(host)
+
+    def _request(self, verb: str, key: str, *, body=None,
+                 headers: Optional[Dict[str, str]] = None,
+                 query: str = "") -> Tuple[int, dict, bytes]:
+        date = email.utils.formatdate(usegmt=True)
+        resource = f"/{self.bucket}/{key}"
+        h = {"Date": date,
+             "Authorization":
+                 f"OSS {self._id}:{_sign(self._key, verb, date, resource)}"}
+        if headers:
+            h.update(headers)
+        path = "/" + quote(f"{self.bucket}/{key}", safe="/")
+        if query:
+            path += "?" + query
+        conn = self._pool.acquire()
+        try:
+            conn.request(verb, path, body=body, headers=h)
+            resp = conn.getresponse()
+            data = resp.read()
+            out_headers = dict(resp.getheaders())
+            status = resp.status
+        except (http.client.HTTPException, OSError):
+            conn.close()
+            raise
+        self._pool.release(conn)
+        return status, out_headers, data
+
+    # -- object verbs -------------------------------------------------------
+    def put(self, key: str, data: bytes):
+        st, _, body = self._request("PUT", key, body=data)
+        if st != 200:
+            raise IOError(f"PUT oss://{self.bucket}/{key}: {st} {body[:200]}")
+
+    def get(self, key: str, start: Optional[int] = None,
+            end: Optional[int] = None) -> bytes:
+        headers = {}
+        if start is not None:
+            # HTTP Range is inclusive
+            headers["Range"] = f"bytes={start}-{'' if end is None else end - 1}"
+        st, _, data = self._request("GET", key, headers=headers)
+        if st == 404:
+            raise FileNotFoundError(f"oss://{self.bucket}/{key}")
+        if st not in (200, 206):
+            raise IOError(f"GET oss://{self.bucket}/{key}: {st}")
+        return data
+
+    def head(self, key: str) -> Optional[int]:
+        """Object size, or None if absent."""
+        st, headers, _ = self._request("HEAD", key)
+        if st == 404:
+            return None
+        if st != 200:
+            raise IOError(f"HEAD oss://{self.bucket}/{key}: {st}")
+        return int(headers.get("Content-Length", "0"))
+
+    def delete(self, key: str):
+        st, _, _ = self._request("DELETE", key)
+        if st not in (200, 204, 404):
+            raise IOError(f"DELETE oss://{self.bucket}/{key}: {st}")
+
+    def copy(self, src_key: str, dst_key: str):
+        st, _, body = self._request(
+            "PUT", dst_key,
+            headers={"x-oss-copy-source": f"/{self.bucket}/{src_key}"})
+        if st == 404:
+            raise FileNotFoundError(f"oss://{self.bucket}/{src_key}")
+        if st != 200:
+            raise IOError(f"COPY {src_key} -> {dst_key}: {st} {body[:200]}")
+
+    def list(self, prefix: str) -> List[str]:
+        st, _, data = self._request("GET", "",
+                                    query="prefix=" + quote(prefix, safe=""))
+        if st != 200:
+            raise IOError(f"LIST oss://{self.bucket}?prefix={prefix}: {st}")
+        return [k for k in data.decode().splitlines() if k]
+
+
+class _OSSReadFile(io.RawIOBase):
+    """Random-access reader over ranged GETs with readahead buffering."""
+
+    def __init__(self, client: ObjectStoreClient, key: str, size: int):
+        self._c = client
+        self._key = key
+        self._size = size
+        self._pos = 0
+        self._buf = b""
+        self._buf_start = 0
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return True
+
+    def seek(self, pos, whence=0):
+        if whence == 0:
+            self._pos = pos
+        elif whence == 1:
+            self._pos += pos
+        else:
+            self._pos = self._size + pos
+        return self._pos
+
+    def tell(self):
+        return self._pos
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            n = self._size - self._pos
+        n = max(0, min(n, self._size - self._pos))
+        if n == 0:
+            return b""
+        out = []
+        remaining = n
+        while remaining > 0:
+            bo = self._pos - self._buf_start
+            if 0 <= bo < len(self._buf):
+                take = min(remaining, len(self._buf) - bo)
+                out.append(self._buf[bo:bo + take])
+                self._pos += take
+                remaining -= take
+                continue
+            fetch = max(remaining, _READAHEAD)
+            end = min(self._pos + fetch, self._size)
+            self._buf = self._c.get(self._key, self._pos, end)
+            self._buf_start = self._pos
+        return b"".join(out)
+
+    def readinto(self, b):
+        # io.BufferedReader drives the raw file through readinto
+        data = self.read(len(b))
+        b[:len(data)] = data
+        return len(data)
+
+
+class _OSSWriteFile(io.RawIOBase):
+    """Spooled writer: bytes buffer in a temp file, ONE PUT on close."""
+
+    def __init__(self, client: ObjectStoreClient, key: str,
+                 initial: bytes = b""):
+        self._c = client
+        self._key = key
+        self._spool = tempfile.SpooledTemporaryFile(max_size=_SPOOL_MAX)
+        if initial:
+            self._spool.write(initial)
+        self._closed = False
+
+    def writable(self):
+        return True
+
+    def write(self, b):
+        self._spool.write(b)
+        return len(b)
+
+    def tell(self):
+        return self._spool.tell()
+
+    def seek(self, pos, whence=0):
+        return self._spool.seek(pos, whence)
+
+    def close(self):
+        if self._closed:
+            return
+        self._spool.seek(0)
+        self._c.put(self._key, self._spool.read())
+        self._spool.close()
+        self._closed = True
+        super().close()
+
+
+class OSSFileSystem(FileSystem):
+    """``oss://bucket/key`` filesystem over :class:`ObjectStoreClient`.
+
+    Paths arriving from the registry are ``bucket/key`` (scheme stripped);
+    the bucket may carry the reference's ``\\x01``-embedded credentials.
+    Directories are emulated over key prefixes (zero-byte ``dir/`` markers
+    on makedirs, like the reference's CreateDir)."""
+
+    def __init__(self, default_client: Optional[ObjectStoreClient] = None):
+        self._clients: Dict[str, ObjectStoreClient] = {}
+        if default_client is not None:
+            self._clients[default_client.bucket] = default_client
+
+    def _resolve(self, path: str) -> Tuple[ObjectStoreClient, str]:
+        bucket, key, creds = parse_oss_uri("oss://" + path)
+        client = self._clients.get(bucket)
+        if client is None:
+            client = ObjectStoreClient(bucket, creds["id"], creds["key"],
+                                       creds["host"])
+            self._clients[bucket] = client
+        return client, key
+
+    def open(self, path, mode="rb"):
+        c, key = self._resolve(path)
+        if "r" in mode:
+            size = c.head(key)
+            if size is None:
+                raise FileNotFoundError(f"oss://{path}")
+            f = _OSSReadFile(c, key, size)
+            return io.BufferedReader(f) if "b" in mode else f
+        initial = b""
+        if "a" in mode:
+            if c.head(key) is not None:
+                initial = c.get(key)
+        return _OSSWriteFile(c, key, initial)
+
+    def exists(self, path):
+        c, key = self._resolve(path)
+        if c.head(key) is not None:
+            return True
+        return bool(c.list(key.rstrip("/") + "/"))
+
+    def listdir(self, path):
+        c, key = self._resolve(path)
+        prefix = key.rstrip("/") + "/" if key else ""
+        out = set()
+        for k in c.list(prefix):
+            rest = k[len(prefix):]
+            if rest:
+                out.add(rest.split("/")[0])
+        return sorted(out)
+
+    def makedirs(self, path):
+        c, key = self._resolve(path)
+        if key:
+            c.put(key.rstrip("/") + "/", b"")
+
+    def remove(self, path):
+        c, key = self._resolve(path)
+        c.delete(key)
+
+    def rename(self, src, dst):
+        # OSS has no rename: server-side copy + delete (the reference's
+        # RenameFile does the same). The bundle's atomic-publish guarantee
+        # degrades to copy-then-delete on object stores.
+        c, skey = self._resolve(src)
+        _, dkey = self._resolve(dst)
+        c.copy(skey, dkey)
+        c.delete(skey)
+
+    def size(self, path):
+        c, key = self._resolve(path)
+        n = c.head(key)
+        if n is None:
+            raise FileNotFoundError(f"oss://{path}")
+        return n
+
+
+def register_oss(default_client: Optional[ObjectStoreClient] = None
+                 ) -> OSSFileSystem:
+    """Install the ``oss://`` scheme (reference: REGISTER_FILE_SYSTEM("oss"),
+    ops/ossfs_ops.cc:9). Credentials resolve per-bucket from the URI or
+    env at first touch."""
+    fs = OSSFileSystem(default_client)
+    register_filesystem("oss", fs)
+    return fs

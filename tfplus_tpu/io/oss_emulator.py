@@ -1,0 +1,157 @@
+"""In-process OSS-compatible object-store server (test harness).
+
+Stands in for the real OSS service in this zero-egress image so the
+``oss://`` client (:mod:`tfplus_tpu.io.object_store`) is exercised over a
+genuine HTTP wire: PUT/GET/HEAD/DELETE, ranged GET (206), server-side copy
+(``x-oss-copy-source``), prefix listing, and verification of the OSS
+``Authorization: OSS <id>:<hmac-sha1>`` signature — requests signed with a
+wrong key are rejected 403, like the service.
+
+Usage::
+
+    with OSSEmulator({"my-id": "my-secret"}) as host:   # "127.0.0.1:PORT"
+        uri = f"oss://bucket\\x01id=my-id\\x02key=my-secret\\x02host={host}"
+"""
+from __future__ import annotations
+
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+from urllib.parse import parse_qs, unquote, urlparse
+
+from .object_store import _sign
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+
+    # objects + creds injected per-server (see OSSEmulator)
+    store: Dict[str, bytes]
+    creds: Dict[str, str]
+    lock: threading.Lock
+
+    def log_message(self, *a):       # silence
+        pass
+
+    def _key(self):
+        u = urlparse(self.path)
+        return unquote(u.path.lstrip("/")), parse_qs(u.query)
+
+    def _authorized(self, verb: str) -> bool:
+        auth = self.headers.get("Authorization", "")
+        if not auth.startswith("OSS "):
+            return False
+        try:
+            access_id, signature = auth[4:].split(":", 1)
+        except ValueError:
+            return False
+        secret = self.creds.get(access_id)
+        if secret is None:
+            return False
+        date = self.headers.get("Date", "")
+        path, _ = self._key()
+        want = _sign(secret, verb, date, "/" + path.split("?")[0])
+        return signature == want
+
+    def _deny(self):
+        self.send_response(403)
+        self.send_header("Content-Length", "0")
+        self.end_headers()
+
+    def _reply(self, status: int, body: bytes = b"",
+               headers: Optional[dict] = None):
+        self.send_response(status)
+        headers = dict(headers or {})
+        if "Content-Length" not in headers:
+            headers["Content-Length"] = str(len(body))
+        for k, v in headers.items():
+            self.send_header(k, v)
+        self.end_headers()
+        if body:
+            self.wfile.write(body)
+
+    def do_PUT(self):
+        if not self._authorized("PUT"):
+            return self._deny()
+        key, _ = self._key()
+        src = self.headers.get("x-oss-copy-source")
+        with self.lock:
+            if src is not None:
+                skey = src.lstrip("/")
+                if skey not in self.store:
+                    return self._reply(404)
+                self.store[key] = self.store[skey]
+            else:
+                n = int(self.headers.get("Content-Length", "0"))
+                self.store[key] = self.rfile.read(n)
+        self._reply(200)
+
+    def do_GET(self):
+        if not self._authorized("GET"):
+            return self._deny()
+        key, q = self._key()
+        if "prefix" in q:       # bucket listing
+            bucket = key.split("/")[0]
+            prefix = bucket + "/" + q["prefix"][0]
+            with self.lock:
+                keys = [k[len(bucket) + 1:] for k in self.store
+                        if k.startswith(prefix)]
+            return self._reply(200, ("\n".join(sorted(keys))).encode())
+        with self.lock:
+            data = self.store.get(key)
+        if data is None:
+            return self._reply(404)
+        rng = self.headers.get("Range")
+        if rng and rng.startswith("bytes="):
+            lo, _, hi = rng[6:].partition("-")
+            start = int(lo)
+            end = int(hi) + 1 if hi else len(data)
+            return self._reply(206, data[start:end])
+        self._reply(200, data)
+
+    def do_HEAD(self):
+        if not self._authorized("HEAD"):
+            return self._deny()
+        key, _ = self._key()
+        with self.lock:
+            data = self.store.get(key)
+        if data is None:
+            return self._reply(404)
+        self._reply(200, headers={"Content-Length": str(len(data))})
+        # body suppressed for HEAD by _reply writing b"" only
+
+    def do_DELETE(self):
+        if not self._authorized("DELETE"):
+            return self._deny()
+        key, _ = self._key()
+        with self.lock:
+            self.store.pop(key, None)
+        self._reply(204)
+
+
+class OSSEmulator:
+    """Threaded object-store server; context manager yields ``host:port``."""
+
+    def __init__(self, creds: Dict[str, str]):
+        handler = type("Handler", (_Handler,), {
+            "store": {}, "creds": dict(creds), "lock": threading.Lock()})
+        self._handler = handler
+        self._srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
+        self._thread = threading.Thread(target=self._srv.serve_forever,
+                                        daemon=True)
+
+    @property
+    def host(self) -> str:
+        return f"127.0.0.1:{self._srv.server_address[1]}"
+
+    @property
+    def objects(self) -> Dict[str, bytes]:
+        return self._handler.store
+
+    def __enter__(self) -> str:
+        self._thread.start()
+        return self.host
+
+    def __exit__(self, *exc):
+        self._srv.shutdown()
+        self._srv.server_close()
