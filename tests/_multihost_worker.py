@@ -1,0 +1,109 @@
+"""Worker process for the two-process multihost tests (test_multihost.py).
+
+Each worker joins a real ``jax.distributed`` CPU cluster (Gloo collectives
+across OS processes), builds an 8-shard sharded table over the GLOBAL mesh
+(4 local devices per process), runs two sharded train steps (cross-process
+all_to_all id/row exchange + pmean'd loss), then saves its OWN local shards
+with ``save_multihost`` — validating the global shard numbering and the
+"process 0 writes dense" contract across genuine process boundaries
+(round-1 gap: multihost paths were only simulated in-process).
+
+argv: <process_id> <num_processes> <coordinator_port> <out_dir>
+"""
+import functools
+import json
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=4")
+
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
+pid = int(sys.argv[1])
+nproc = int(sys.argv[2])
+port = int(sys.argv[3])
+out_dir = sys.argv[4]
+
+jax.distributed.initialize(f"127.0.0.1:{port}", num_processes=nproc,
+                           process_id=pid)
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax import shard_map  # noqa: E402
+from jax.sharding import PartitionSpec as P  # noqa: E402
+
+from tfplus_tpu import kv, train as tft  # noqa: E402
+from tfplus_tpu import parallel as par  # noqa: E402
+from tfplus_tpu.checkpoint import saver  # noqa: E402
+
+N_GLOBAL = len(jax.devices())
+N_LOCAL = len(jax.local_devices())
+assert N_GLOBAL == 4 * nproc and N_LOCAL == 4
+
+mesh = par.make_mesh(N_GLOBAL)
+DIM, BL = 8, 16
+opt = tft.AdagradOptimizer()
+
+t = par.create_sharded(DIM, 256, N_GLOBAL, seed=7)
+t = par.init_optimizer_sharded(opt, t)
+t = jax.device_put(t, par.table_sharding(mesh))
+tspec = jax.tree_util.tree_map(lambda _: P("mp"), t)
+
+
+@functools.partial(shard_map, mesh=mesh,
+                   in_specs=(tspec, P("mp"), P("mp"), P()),
+                   out_specs=(tspec, P()), check_vma=False)
+def step(tab, ids, y, s):
+    rows, state, tab = par.sharded_lookup(tab, ids, defer_meta=True)
+    loss, g = jax.value_and_grad(
+        lambda r: jnp.mean((r.sum(-1) - y) ** 2))(rows)
+    tab = par.sharded_apply_grads(opt, tab, state, g, lr=0.05, step=s)
+    return tab, jax.lax.pmean(loss, "mp")
+
+
+# every process feeds the SAME global batch (deterministic), split over the
+# mesh by the P("mp") in_spec — the id/row exchange crosses process
+# boundaries for ids whose owner shard lives on the other process
+rng = np.random.RandomState(0)
+idn = rng.randint(1, 400, BL * N_GLOBAL).astype(np.int64)
+ids = kv.encode_ids_np_to_device(idn)
+y = jnp.asarray((idn % 7).astype(np.float32))
+
+jstep = jax.jit(step)
+t, loss1 = jstep(t, ids, y, jnp.int32(1))
+t, loss2 = jstep(t, ids, y, jnp.int32(2))
+
+# global lookup of every trained id (again via the sharded exchange)
+@functools.partial(shard_map, mesh=mesh, in_specs=(tspec, P("mp")),
+                   out_specs=P(), check_vma=False)
+def read(tab, ids):
+    rows, _, _ = par.sharded_lookup(tab, ids, train=False)
+    # replicate so each PROCESS can device_get the full result (a P("mp")
+    # output would span both processes' devices — not addressable here)
+    return jax.lax.all_gather(rows, "mp", axis=0, tiled=True)
+
+rows = np.asarray(jax.device_get(read(t, ids)))
+
+# ---- extract this process's LOCAL shards and save them -------------------
+def local_table(sharded, g):
+    def get(x):
+        for s in x.addressable_shards:
+            if s.index[0].start == g:
+                return jnp.asarray(np.asarray(s.data)[0])
+        raise AssertionError(f"global shard {g} not addressable on proc {pid}")
+    return jax.tree_util.tree_map(get, sharded)
+
+local = [local_table(t, pid * N_LOCAL + i) for i in range(N_LOCAL)]
+dense = {"w": jnp.arange(6.0).reshape(2, 3), "step": jnp.int32(2)}
+saver.save_multihost(os.path.join(out_dir, "mh"), {"emb": local},
+                     dense=dense, process_id=pid, num_processes=nproc)
+
+if pid == 0:
+    np.save(os.path.join(out_dir, "ids.npy"), idn)
+    np.save(os.path.join(out_dir, "rows.npy"), rows)
+with open(os.path.join(out_dir, f"result-{pid}.json"), "w") as f:
+    json.dump({"loss1": float(loss1), "loss2": float(loss2),
+               "devices": N_GLOBAL}, f)
+print(f"worker {pid}: ok loss {float(loss1):.5f} -> {float(loss2):.5f}")

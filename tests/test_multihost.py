@@ -1,0 +1,120 @@
+"""Two-PROCESS multihost tests: real OS processes joined by
+``jax.distributed`` (CPU + Gloo collectives), exercising the sharded
+train step's cross-process all_to_all exchange, the coordinator-free
+``save_multihost`` global shard numbering, the "process 0 writes dense"
+contract, and elastic restore of the union checkpoint — none of which the
+in-process fake-device tests can validate (round-1 weak spot #6)."""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tfplus_tpu import kv
+from tfplus_tpu.checkpoint import bundle, saver
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_multihost_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    """Run the 2-process cluster once; every test inspects its outputs."""
+    out = str(tmp_path_factory.mktemp("mh"))
+    port = _free_port()
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)          # worker sets its own device count
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, WORKER, str(p), "2", str(port), out],
+        cwd=REPO, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for p in range(2)]
+    outs = []
+    for p in procs:
+        stdout, _ = p.communicate(timeout=420)
+        outs.append(stdout.decode())
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
+    return out
+
+
+class TestTwoProcessCluster:
+    def test_losses_agree_and_decrease(self, run_dir):
+        """Cross-process collectives: both processes compute the identical
+        pmean'd loss, and the sharded optimizer step reduces it."""
+        r0 = json.load(open(os.path.join(run_dir, "result-0.json")))
+        r1 = json.load(open(os.path.join(run_dir, "result-1.json")))
+        assert r0["devices"] == r1["devices"] == 8
+        assert abs(r0["loss1"] - r1["loss1"]) < 1e-6
+        assert abs(r0["loss2"] - r1["loss2"]) < 1e-6
+        assert r0["loss2"] < r0["loss1"]
+
+    def test_dense_written_by_process0_only(self, run_dir):
+        p0 = bundle.BundleReader(os.path.join(run_dir,
+                                              "mh-proc00000-of-00002"))
+        p1 = bundle.BundleReader(os.path.join(run_dir,
+                                              "mh-proc00001-of-00002"))
+        assert any(k.startswith("dense/") for k in p0.keys())
+        assert not any(k.startswith("dense/") for k in p1.keys())
+        assert "emb-num_shards" in p0 and "emb-num_shards" not in p1
+
+    def test_global_shard_numbering(self, run_dir):
+        """Process p's bundle holds global parts 4p..4p+3 of 8."""
+        for p, parts in ((0, range(0, 4)), (1, range(4, 8))):
+            r = bundle.BundleReader(
+                os.path.join(run_dir, f"mh-proc{p:05d}-of-00002"))
+            for g in range(8):
+                present = f"emb/part_{g}-keys" in r
+                assert present == (g in parts), (p, g)
+
+    def test_union_restore_matches_trained_rows(self, run_dir):
+        """restore_multihost: every trained row comes back exactly, into
+        the SAME shard count."""
+        tables, dense = saver.restore_multihost(
+            os.path.join(run_dir, "mh"),
+            {"emb": [kv.create(8, 256) for _ in range(8)]},
+            {"w": jnp.zeros((2, 3)), "step": jnp.int32(0)})
+        ids = np.load(os.path.join(run_dir, "ids.npy"))
+        rows = np.load(os.path.join(run_dir, "rows.npy"))
+        shards = tables["emb"]
+        for i in np.random.RandomState(1).choice(len(ids), 40, replace=False):
+            key = int(ids[i])
+            s = key % 8
+            got = np.asarray(kv.lookup_or_zeros(
+                shards[s], kv.encode_ids_np_to_device(
+                    np.array([key], np.int64))))[0]
+            np.testing.assert_allclose(got, rows[i], rtol=1e-5,
+                                       err_msg=f"id {key}")
+        np.testing.assert_array_equal(np.asarray(dense["w"]),
+                                      np.arange(6.0).reshape(2, 3))
+        assert int(dense["step"]) == 2
+
+    def test_elastic_restore_to_three_shards(self, run_dir):
+        """2 processes wrote 8 global shards; restore into 3 (re-mod)."""
+        tables, _ = saver.restore_multihost(
+            os.path.join(run_dir, "mh"),
+            {"emb": [kv.create(8, 512) for _ in range(3)]})
+        ids = np.load(os.path.join(run_dir, "ids.npy"))
+        rows = np.load(os.path.join(run_dir, "rows.npy"))
+        uniq = np.unique(ids)
+        total = sum(int(kv.size(s)) for s in tables["emb"])
+        assert total == len(uniq)
+        for i in np.random.RandomState(2).choice(len(ids), 40, replace=False):
+            key = int(ids[i])
+            got = np.asarray(kv.lookup_or_zeros(
+                tables["emb"][key % 3], kv.encode_ids_np_to_device(
+                    np.array([key], np.int64))))[0]
+            np.testing.assert_allclose(got, rows[i], rtol=1e-5,
+                                       err_msg=f"id {key}")
