@@ -40,11 +40,130 @@ from ..utils import packing
 _B = hashing.BUCKET_SIZE
 
 
+class _NpIndex:
+    """Vectorized uint64 → row-index map: numpy open-addressing hash table
+    with linear probing, BATCH get/put/pop (no per-key Python — spilling or
+    prefetching 10⁵ rows is a handful of array passes, round-1 weak spot #5).
+    Single-threaded by design (tier moves are host-mediated between steps).
+    """
+
+    def __init__(self, cap: int = 2048):
+        self._cap = cap
+        self._keys = np.zeros((cap,), np.uint64)
+        self._state = np.zeros((cap,), np.int8)   # 0 empty, 1 live, 2 tomb
+        self._vals = np.zeros((cap,), np.int64)
+        self.live = 0
+        self._used = 0                            # live + tombstones
+
+    @staticmethod
+    def _mix(k: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer (vectorized)."""
+        k = np.asarray(k, np.uint64).copy()
+        k ^= k >> np.uint64(33)
+        k *= np.uint64(0xFF51AFD7ED558CCD)
+        k ^= k >> np.uint64(33)
+        k *= np.uint64(0xC4CEB9FE1A85EC53)
+        k ^= k >> np.uint64(33)
+        return k
+
+    def _probe(self, keys: np.ndarray):
+        """Batch find: ``(slot[N] live match or −1, free[N] first insertable
+        slot on the probe path)``. Probing continues past tombstones and
+        stops at live-match or empty."""
+        n = len(keys)
+        cap = self._cap
+        h = (self._mix(keys) % np.uint64(cap)).astype(np.int64)
+        slot = np.full(n, -1, np.int64)
+        free = np.full(n, -1, np.int64)
+        pending = np.ones(n, bool)
+        for off in range(cap):
+            if not pending.any():
+                break
+            idx = np.nonzero(pending)[0]
+            pos = (h[idx] + off) % cap
+            st = self._state[pos]
+            hit = (st == 1) & (self._keys[pos] == keys[idx])
+            slot[idx[hit]] = pos[hit]
+            rec = (st != 1) & (free[idx] < 0)
+            free[idx[rec]] = pos[rec]
+            pending[idx[hit | (st == 0)]] = False
+        return slot, free
+
+    def _rehash(self, new_cap: int):
+        old_keys = self._keys[self._state == 1]
+        old_vals = self._vals[self._state == 1]
+        self._cap = new_cap
+        self._keys = np.zeros((new_cap,), np.uint64)
+        self._state = np.zeros((new_cap,), np.int8)
+        self._vals = np.zeros((new_cap,), np.int64)
+        self.live = 0
+        self._used = 0
+        if len(old_keys):
+            self.put(old_keys, old_vals)
+
+    def get(self, keys: np.ndarray):
+        """``(found bool[N], vals int64[N] — −1 where missing)``."""
+        keys = np.asarray(keys, np.uint64)
+        if not len(keys) or self.live == 0:
+            return np.zeros(len(keys), bool), np.full(len(keys), -1, np.int64)
+        slot, _ = self._probe(keys)
+        found = slot >= 0
+        vals = np.where(found, self._vals[np.where(found, slot, 0)], -1)
+        return found, vals
+
+    def put(self, keys: np.ndarray, vals: np.ndarray):
+        """Batch upsert; ``keys`` must be unique within the batch."""
+        keys = np.asarray(keys, np.uint64)
+        vals = np.asarray(vals, np.int64)
+        if (self._used + len(keys)) * 5 > self._cap * 3:   # load > 0.6
+            cap = self._cap
+            while (self.live + len(keys)) * 5 > cap * 3:
+                cap *= 2
+            self._rehash(cap)
+        while len(keys):
+            slot, free = self._probe(keys)
+            found = slot >= 0
+            self._vals[slot[found]] = vals[found]
+            keys, vals, free = keys[~found], vals[~found], free[~found]
+            if not len(keys):
+                return
+            # distinct keys can race for the same free slot: first wins,
+            # losers re-probe (the slot is live next round, their probe
+            # walks past it to the next free)
+            _, first = np.unique(free, return_index=True)
+            place = np.zeros(len(keys), bool)
+            place[first] = True
+            ps = free[place]
+            self._used += int((self._state[ps] == 0).sum())
+            self._keys[ps] = keys[place]
+            self._state[ps] = 1
+            self._vals[ps] = vals[place]
+            self.live += int(place.sum())
+            keys, vals = keys[~place], vals[~place]
+
+    def pop(self, keys: np.ndarray):
+        """Batch remove: ``(found bool[N], vals int64[N])``; hits become
+        tombstones."""
+        keys = np.asarray(keys, np.uint64)
+        if not len(keys) or self.live == 0:
+            return np.zeros(len(keys), bool), np.full(len(keys), -1, np.int64)
+        slot, _ = self._probe(keys)
+        found = slot >= 0
+        vals = np.where(found, self._vals[np.where(found, slot, 0)], -1)
+        self._state[slot[found]] = 2
+        self.live -= int(found.sum())
+        return found, vals
+
+    def values(self) -> np.ndarray:
+        return self._vals[self._state == 1]
+
+
 class HostStorageTier:
     """Growable host arena of spilled rows: ``keys u64[M]``,
     ``payload vdtype[M, W]`` (embedding + slot columns), ``meta uint32[M]``
-    (internal packed word — freq | day13 | flags). O(1) key lookup via a
-    Python dict; rows are recycled through a free list.
+    (internal packed word — freq | day13 | flags). Key lookup through the
+    vectorized :class:`_NpIndex`; rows are recycled through a free list.
+    All row ops are BATCH numpy operations — no per-key Python loops.
 
     Parity: MemStorageTable (storage_table.h:74-196) with the capacity /
     eviction hooks of StorageTableInterface; ``capacity == 0`` = unbounded.
@@ -56,7 +175,7 @@ class HostStorageTier:
         self.width = payload_width or dim
         self.value_dtype = np.dtype(value_dtype)
         self.capacity = capacity
-        self._index: Dict[int, int] = {}
+        self._index = _NpIndex()
         cap0 = 1024
         self._keys = np.zeros((cap0,), np.uint64)
         self._payload = np.zeros((cap0, self.width), self.value_dtype)
@@ -66,14 +185,15 @@ class HostStorageTier:
     # -- sizing ----------------------------------------------------------
     @property
     def size(self) -> int:
-        return len(self._index)
+        return self._index.live
 
     @property
     def nbytes(self) -> int:
         return self._payload.nbytes + self._keys.nbytes + self._meta.nbytes
 
     def __contains__(self, id_u64: int) -> bool:
-        return int(id_u64) in self._index
+        found, _ = self._index.get(np.asarray([id_u64], np.uint64))
+        return bool(found[0])
 
     def _grow_arena(self, need: int) -> None:
         cap = self._keys.shape[0]
@@ -107,37 +227,29 @@ class HostStorageTier:
         n = ids_u64.shape[0]
         if n == 0:
             return
-        fresh = sum(1 for i in ids_u64 if int(i) not in self._index)
+        found, rows = self._index.get(ids_u64)
+        fresh = int((~found).sum())
         if self.capacity and self.size + fresh > self.capacity:
             raise RuntimeError(
                 f"HostStorageTier over capacity ({self.size}+{fresh} > "
                 f"{self.capacity})")
         self._grow_arena(fresh)
-        payload = np.asarray(payload, self.value_dtype)
-        meta = np.asarray(meta, np.uint32)
-        for j in range(n):
-            k = int(ids_u64[j])
-            row = self._index.get(k)
-            if row is None:
-                row = self._free.pop()
-                self._index[k] = row
-                self._keys[row] = ids_u64[j]
-            self._payload[row] = payload[j]
-            self._meta[row] = meta[j]
+        if fresh:
+            new_rows = np.asarray(self._free[-fresh:], np.int64)
+            del self._free[-fresh:]
+            rows = rows.copy()
+            rows[~found] = new_rows
+            self._index.put(ids_u64[~found], new_rows)
+            self._keys[new_rows] = ids_u64[~found]
+        self._payload[rows] = np.asarray(payload, self.value_dtype)
+        self._meta[rows] = np.asarray(meta, np.uint32)
 
     def lookup_rows(self, ids_u64: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Non-destructive Get: ``(found bool[N], payload [N, W], meta [N])``
         (zeros where missing)."""
         ids_u64 = np.asarray(ids_u64, np.uint64).reshape(-1)
-        n = ids_u64.shape[0]
-        found = np.zeros((n,), bool)
-        rows = np.full((n,), -1, np.int64)
-        for j in range(n):
-            r = self._index.get(int(ids_u64[j]))
-            if r is not None:
-                found[j] = True
-                rows[j] = r
+        found, rows = self._index.get(ids_u64)
         safe = np.where(found, rows, 0)
         payload = np.where(found[:, None], self._payload[safe],
                            np.zeros((), self.value_dtype))
@@ -148,38 +260,35 @@ class HostStorageTier:
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Destructive Get: like :meth:`lookup_rows` but removes the hits
         (tier-move semantics — a key lives in exactly one tier)."""
-        found, payload, meta = self.lookup_rows(ids_u64)
         ids_u64 = np.asarray(ids_u64, np.uint64).reshape(-1)
-        for j in np.nonzero(found)[0]:
-            row = self._index.pop(int(ids_u64[j]))
-            self._free.append(row)
+        found, rows = self._index.pop(ids_u64)
+        safe = np.where(found, rows, 0)
+        payload = np.where(found[:, None], self._payload[safe],
+                           np.zeros((), self.value_dtype))
+        meta = np.where(found, self._meta[safe], np.uint32(0))
+        self._free.extend(rows[found].tolist())
         return found, payload, meta
 
     def delete(self, ids_u64: np.ndarray) -> int:
         """Evict keys outright (reference Evict, storage_table.h:53)."""
         ids_u64 = np.asarray(ids_u64, np.uint64).reshape(-1)
-        removed = 0
-        for i in ids_u64:
-            row = self._index.pop(int(i), None)
-            if row is not None:
-                self._free.append(row)
-                removed += 1
-        return removed
+        found, rows = self._index.pop(ids_u64)
+        self._free.extend(rows[found].tolist())
+        return int(found.sum())
 
     # -- bulk views --------------------------------------------------------
     def live_rows(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """``(keys u64[M], payload [M, W], meta uint32[M])`` of live rows."""
-        if not self._index:
+        rows = self._index.values()
+        if not len(rows):
             return (np.zeros((0,), np.uint64),
                     np.zeros((0, self.width), self.value_dtype),
                     np.zeros((0,), np.uint32))
-        rows = np.fromiter(self._index.values(), np.int64, len(self._index))
         return self._keys[rows], self._payload[rows], self._meta[rows]
 
     def clear_touch_bits(self, bit: np.uint32) -> None:
-        if self._index:
-            rows = np.fromiter(self._index.values(), np.int64,
-                               len(self._index))
+        rows = self._index.values()
+        if len(rows):
             self._meta[rows] &= np.uint32(~int(bit) & 0xFFFFFFFF)
 
     def stats(self) -> dict:
