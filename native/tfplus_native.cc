@@ -44,6 +44,163 @@ void tfp_fnv1a64_batch(const char* buf, const int64_t* offsets, int64_t n,
 }
 
 // ---------------------------------------------------------------------------
+// FarmHash Fingerprint64 (the farmhashna::Hash64 algorithm) — implemented
+// from the published FarmHash specification so STRING feature ids match the
+// reference's utility.h ModKeyImpl (farmhash::Fingerprint64) and TFPlus
+// checkpoints containing string-hashed keys import with identical routing.
+// Verified in tests against tf.fingerprint(method="farmhash64").
+// ---------------------------------------------------------------------------
+
+static const uint64_t kFH0 = 0xc3a5c85c97cb3127ULL;
+static const uint64_t kFH1 = 0xb492b66fbe98f273ULL;
+static const uint64_t kFH2 = 0x9ae16a3b2f90404fULL;
+
+static inline uint64_t fh_fetch64(const char* p) {
+  uint64_t v;
+  memcpy(&v, p, 8);
+  return v;  // little-endian hosts only (this image)
+}
+static inline uint32_t fh_fetch32(const char* p) {
+  uint32_t v;
+  memcpy(&v, p, 4);
+  return v;
+}
+static inline uint64_t fh_rot(uint64_t v, int s) {
+  return s == 0 ? v : (v >> s) | (v << (64 - s));
+}
+static inline uint64_t fh_shiftmix(uint64_t v) { return v ^ (v >> 47); }
+static inline uint64_t fh_len16(uint64_t u, uint64_t v, uint64_t mul) {
+  uint64_t a = (u ^ v) * mul;
+  a ^= a >> 47;
+  uint64_t b = (v ^ a) * mul;
+  b ^= b >> 47;
+  return b * mul;
+}
+
+static uint64_t fh_len0to16(const char* s, int64_t len) {
+  if (len >= 8) {
+    uint64_t mul = kFH2 + (uint64_t)len * 2;
+    uint64_t a = fh_fetch64(s) + kFH2;
+    uint64_t b = fh_fetch64(s + len - 8);
+    uint64_t c = fh_rot(b, 37) * mul + a;
+    uint64_t d = (fh_rot(a, 25) + b) * mul;
+    return fh_len16(c, d, mul);
+  }
+  if (len >= 4) {
+    uint64_t mul = kFH2 + (uint64_t)len * 2;
+    uint64_t a = fh_fetch32(s);
+    return fh_len16((uint64_t)len + (a << 3), fh_fetch32(s + len - 4), mul);
+  }
+  if (len > 0) {
+    uint8_t a = (uint8_t)s[0];
+    uint8_t b = (uint8_t)s[len >> 1];
+    uint8_t c = (uint8_t)s[len - 1];
+    uint32_t y = (uint32_t)a + ((uint32_t)b << 8);
+    uint32_t z = (uint32_t)len + ((uint32_t)c << 2);
+    return fh_shiftmix((uint64_t)y * kFH2 ^ (uint64_t)z * kFH0) * kFH2;
+  }
+  return kFH2;
+}
+
+static uint64_t fh_len17to32(const char* s, int64_t len) {
+  uint64_t mul = kFH2 + (uint64_t)len * 2;
+  uint64_t a = fh_fetch64(s) * kFH1;
+  uint64_t b = fh_fetch64(s + 8);
+  uint64_t c = fh_fetch64(s + len - 8) * mul;
+  uint64_t d = fh_fetch64(s + len - 16) * kFH2;
+  return fh_len16(fh_rot(a + b, 43) + fh_rot(c, 30) + d,
+                  a + fh_rot(b + kFH2, 18) + c, mul);
+}
+
+static uint64_t fh_len33to64(const char* s, int64_t len) {
+  uint64_t mul = kFH2 + (uint64_t)len * 2;
+  uint64_t a = fh_fetch64(s) * kFH2;
+  uint64_t b = fh_fetch64(s + 8);
+  uint64_t c = fh_fetch64(s + len - 8) * mul;
+  uint64_t d = fh_fetch64(s + len - 16) * kFH2;
+  uint64_t y = fh_rot(a + b, 43) + fh_rot(c, 30) + d;
+  uint64_t z = fh_len16(y, a + fh_rot(b + kFH2, 18) + c, mul);
+  uint64_t e = fh_fetch64(s + 16) * mul;
+  uint64_t f = fh_fetch64(s + 24);
+  uint64_t g = (y + fh_fetch64(s + len - 32)) * mul;
+  uint64_t h = (z + fh_fetch64(s + len - 24)) * mul;
+  return fh_len16(fh_rot(e + f, 43) + fh_rot(g, 30) + h,
+                  e + fh_rot(f + a, 18) + g, mul);
+}
+
+static inline void fh_weak32(uint64_t w, uint64_t x, uint64_t y, uint64_t z,
+                             uint64_t a, uint64_t b, uint64_t* o1,
+                             uint64_t* o2) {
+  a += w;
+  b = fh_rot(b + a + z, 21);
+  uint64_t c = a;
+  a += x;
+  a += y;
+  b += fh_rot(a, 44);
+  *o1 = a + z;
+  *o2 = b + c;
+}
+
+static inline void fh_weak32s(const char* s, uint64_t a, uint64_t b,
+                              uint64_t* o1, uint64_t* o2) {
+  fh_weak32(fh_fetch64(s), fh_fetch64(s + 8), fh_fetch64(s + 16),
+            fh_fetch64(s + 24), a, b, o1, o2);
+}
+
+static uint64_t farmhash64(const char* s, int64_t len) {
+  if (len <= 16) return fh_len0to16(s, len);
+  if (len <= 32) return fh_len17to32(s, len);
+  if (len <= 64) return fh_len33to64(s, len);
+  const uint64_t seed = 81;
+  uint64_t x = seed;
+  uint64_t y = seed * kFH1 + 113;
+  uint64_t z = fh_shiftmix(y * kFH2 + 113) * kFH2;
+  uint64_t v1 = 0, v2 = 0, w1 = 0, w2 = 0;
+  x = x * kFH2 + fh_fetch64(s);
+  const char* end = s + ((len - 1) / 64) * 64;
+  const char* last64 = end + ((len - 1) & 63) - 63;
+  do {
+    x = fh_rot(x + y + v1 + fh_fetch64(s + 8), 37) * kFH1;
+    y = fh_rot(y + v2 + fh_fetch64(s + 48), 42) * kFH1;
+    x ^= w2;
+    y += v1 + fh_fetch64(s + 40);
+    z = fh_rot(z + w1, 33) * kFH1;
+    fh_weak32s(s, v2 * kFH1, x + w1, &v1, &v2);
+    fh_weak32s(s + 32, z + w2, y + fh_fetch64(s + 16), &w1, &w2);
+    uint64_t t = z;
+    z = x;
+    x = t;
+    s += 64;
+  } while (s != end);
+  uint64_t mul = kFH1 + ((z & 0xff) << 1);
+  s = last64;
+  w1 += (uint64_t)((len - 1) & 63);
+  v1 += w1;
+  w1 += v1;
+  x = fh_rot(x + y + v1 + fh_fetch64(s + 8), 37) * mul;
+  y = fh_rot(y + v2 + fh_fetch64(s + 48), 42) * mul;
+  x ^= w2 * 9;
+  y += v1 * 9 + fh_fetch64(s + 40);
+  z = fh_rot(z + w1, 33) * mul;
+  fh_weak32s(s, v2 * mul, x + w1, &v1, &v2);
+  fh_weak32s(s + 32, z + w2, y + fh_fetch64(s + 16), &w1, &w2);
+  uint64_t t = z;
+  z = x;
+  x = t;
+  return fh_len16(fh_len16(v1, w1, mul) + fh_shiftmix(y) * kFH0 + z,
+                  fh_len16(v2, w2, mul) + x, mul);
+}
+
+uint64_t tfp_farmhash64(const char* s, int64_t n) { return farmhash64(s, n); }
+
+void tfp_farmhash64_batch(const char* buf, const int64_t* offsets, int64_t n,
+                          uint64_t* out) {
+  for (int64_t i = 0; i < n; ++i) {
+    out[i] = farmhash64(buf + offsets[i], offsets[i + 1] - offsets[i]);
+  }
+}
+
+// ---------------------------------------------------------------------------
 // CRC32 (zlib polynomial 0xEDB88320), slice-by-8
 // ---------------------------------------------------------------------------
 

@@ -71,8 +71,8 @@ class TestNative:
 
     def test_fingerprint_matches_python(self):
         for s in [b"", b"a", b"hello world", b"\x00\xff" * 100]:
-            lib_fp = native.fingerprint64(s)
-            # python fallback reference
+            lib_fp = native.fingerprint64(s, algo="fnv")
+            # python fallback reference (legacy fnv ids)
             h = 0xCBF29CE484222325
             for byte in s:
                 h = ((h ^ byte) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
@@ -263,3 +263,40 @@ class TestNativeBatcherProgress:
         got = list(_batches_native(str(p), 3, None, chunk_bytes=64))
         assert len(got) == 2          # 7 rows -> two full batches of 3
         assert all(len(b["label"]) == 3 for b in got)
+
+
+class TestFarmhashFingerprint64:
+    """String-key routing parity: farmhash Fingerprint64 (the reference's
+    utility.h:96-112 ModKeyImpl) — C++, pure-Python fallback, and TF's own
+    farmhash64 must all agree bit-for-bit."""
+
+    CASES = [b"", b"a", b"abc", b"hello world", b"0123456789abcdef",
+             b"0123456789abcdef0123456789", b"x" * 50, b"y" * 64,
+             b"z" * 65, bytes(range(200)), b"q" * 1000, b"user_12345"]
+
+    def test_cpp_matches_python(self):
+        from tfplus_tpu.io.native import _farmhash64_py, fingerprint64
+        for s in self.CASES:
+            assert fingerprint64(s) == _farmhash64_py(s), s[:12]
+
+    def test_matches_tensorflow_farmhash(self):
+        tf = pytest.importorskip("tensorflow")
+        from tfplus_tpu.io.native import fingerprint64
+        vals = tf.fingerprint(tf.constant(list(self.CASES)),
+                              method="farmhash64").numpy()
+        for s, v in zip(self.CASES, vals):
+            want = int.from_bytes(v.tobytes(), "little")
+            assert fingerprint64(s) == want, s[:12]
+
+    def test_batch_and_legacy_fnv(self):
+        from tfplus_tpu.io.native import (fingerprint64,
+                                          fingerprint64_batch)
+        got = fingerprint64_batch([b"abc", b"hello world", "user_1"])
+        assert int(got[0]) == fingerprint64(b"abc")
+        assert int(got[2]) == fingerprint64(b"user_1")
+        # legacy fnv ids stay available (round-1 checkpoints, criteo tags)
+        assert fingerprint64(b"abc", algo="fnv") != fingerprint64(b"abc")
+        h = 0xCBF29CE484222325
+        for b in b"abc":
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        assert fingerprint64(b"abc", algo="fnv") == h
