@@ -85,3 +85,38 @@ def test_scan_rejects_bf16_tables():
     with pytest.raises(ValueError, match="float32"):
         opt.apply(res.table, res.slot, jnp.ones((8, 8), jnp.float32),
                   lr=0.1, step=1, use_scan=True)
+
+
+def test_calibration_gated_routing(monkeypatch):
+    """apply(use_scan=None) routes to the scan kernel ONLY when a
+    calibration run measured it faster for this table shape (PERF.md:
+    remote-compile variance makes static routing untrustworthy)."""
+    import pytest
+    from tfplus_tpu.ops import scan_update as su
+    opt = tft.AdagradOptimizer()
+    t = opt.init(kv.create(8, 1024, seed=0))
+    ids = kv.encode_ids_np_to_device(np.arange(1, 600, dtype=np.int64))
+    res = kv.lookup_or_insert(t, ids)
+    n = 599
+
+    # default: no calibration -> scatter path everywhere
+    assert su.routed(res.table, n, opt.rule) is False
+
+    # calibrate measures both paths and caches a decision for the shape
+    su._CALIB_CACHE.clear()
+    out = su.calibrate(res.table, n, opt, reps=1)
+    assert set(out) >= {"scatter_s", "scan_s", "use_scan", "key"}
+    assert out["key"] in su._CALIB_CACHE
+
+    # off-TPU the gate stays closed regardless of the cache...
+    su._CALIB_CACHE[out["key"]] = True
+    assert su.routed(res.table, n, opt.rule) is False
+    # ...and opens on TPU for calibrated shapes (suitability respected)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    want = su.suitable(res.table.capacity, n, 8, 1, False)
+    assert su.routed(res.table, n, opt.rule) is want
+    # bf16 tables never route to the scan kernel (aliased f32 output)
+    tb = tft.AdagradOptimizer().init(
+        kv.create(8, 1024, value_dtype=jnp.bfloat16))
+    assert su.routed(tb, n, opt.rule) is False
+    su._CALIB_CACHE.clear()

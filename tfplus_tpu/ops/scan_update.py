@@ -42,6 +42,89 @@ MAXQ = 128           # queries applied per wave (CHUNK // MAXQ waves max)
 _MAX_GRADS_BYTES = 64 << 20
 
 
+# ---------------------------------------------------------------------------
+# Calibration-gated auto-routing (PERF.md: the remote compiler shows up to
+# 5x run-to-run schedule variance for this kernel, so a static model can't
+# be trusted — the gate opens only after MEASURING both paths on the real
+# device for this table shape and seeing a robust win).
+# ---------------------------------------------------------------------------
+
+_CALIB_CACHE: dict = {}
+_WIN_RATIO = 0.8     # scan must beat scatter by >=20% (variance hysteresis)
+
+
+def _cache_key(capacity: int, width: int, dim: int, n: int) -> tuple:
+    import math
+    nb = 1 << max(int(math.ceil(math.log2(max(n, 1)))), 0)   # bucket n
+    return (capacity, width, dim, nb)
+
+
+def routed(table, n: int, rule) -> bool:
+    """Auto-routing decision for ``opt.apply(use_scan=None)``: True only
+    when a prior :func:`calibrate` run for this table shape measured the
+    scan kernel robustly faster. Never True off-TPU, for unsuitable
+    shapes, for rules needing an extra input, or for non-f32 tables."""
+    import jax
+    if jax.default_backend() != "tpu":
+        return False
+    if table.payload.dtype != jnp.float32:
+        return False
+    if getattr(rule, "needs_extra", False):
+        return False
+    dim = table.config.dim
+    w = table.payload.shape[1]
+    if not suitable(table.capacity, n, dim, (w - dim) // dim, False):
+        return False
+    return _CALIB_CACHE.get(_cache_key(table.capacity, w, dim, n), False)
+
+
+def calibrate(table, n: int, rule, *, lr=0.01, reps: int = 5) -> dict:
+    """Measure scatter-apply vs scan-apply for this table shape on the
+    CURRENT device and cache the routing decision (call once outside jit —
+    e.g. at table-creation or from bench.py). Returns the measurements.
+
+    Median of ``reps`` hard-synced runs each; scan wins only below
+    ``_WIN_RATIO``x the scatter time (remote-compile variance hysteresis,
+    PERF.md scan-update section).
+    """
+    import statistics
+    import time
+    import jax
+    from ..optim.base import SparseOptimizer
+
+    dim = table.config.dim
+    w = table.payload.shape[1]
+    key = _cache_key(table.capacity, w, dim, n)
+    opt = SparseOptimizer(rule) if not isinstance(rule, SparseOptimizer) \
+        else rule
+    slot_idx = jnp.arange(n, dtype=jnp.int32) % table.capacity
+    grads = jnp.ones((n, dim), jnp.float32) * 1e-3
+
+    def _time(fn):
+        out = fn(table, slot_idx, grads)          # compile
+        jax.device_get(jax.tree_util.tree_leaves(out)[0])[:1]
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = fn(table, slot_idx, grads)
+            # hard sync: device_get of real data (block_until_ready can
+            # return early on the tunnel backend — CLAUDE.md trap #2)
+            jax.device_get(out.payload[0, :1])
+            ts.append(time.perf_counter() - t0)
+        return statistics.median(ts)
+
+    scatter_fn = jax.jit(lambda t, s, g: opt.apply(t, s, g, lr=lr, step=1,
+                                                   use_scan=False))
+    scan_fn = jax.jit(lambda t, s, g: opt.apply(t, s, g, lr=lr, step=1,
+                                                use_scan=True))
+    t_scatter = _time(scatter_fn)
+    t_scan = _time(scan_fn)
+    win = t_scan < _WIN_RATIO * t_scatter
+    _CALIB_CACHE[key] = bool(win)
+    return {"scatter_s": t_scatter, "scan_s": t_scan, "use_scan": bool(win),
+            "key": key}
+
+
 def suitable(capacity: int, n: int, dim: int, slot_width: int,
              has_extra: bool) -> bool:
     """Static routing decision: scan wins when the batch touches a

@@ -66,6 +66,12 @@ class SparseOptimizer:
         ``.meta_rows`` from the SAME step's lookup to skip both gathers here
         (valid because only metadata changed between lookup and apply).
         """
+        if use_scan is None:
+            # auto-route: scan only when a calibration run for this table
+            # shape measured it robustly faster on the real device
+            # (scan_update.calibrate; remote-compile variance hysteresis)
+            from ..ops import scan_update
+            use_scan = scan_update.routed(table, slot_idx.shape[0], self.rule)
         if use_scan:
             from ..ops import scan_update
             if table.payload.dtype != jnp.float32:
