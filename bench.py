@@ -152,6 +152,30 @@ def bench_inference_lookup():
     return n / dt
 
 
+def bench_group_adam_calibration():
+    """GroupAdam (k=3 wide payload — the scan kernel's target case) step
+    time: scatter path vs the streaming scan kernel, via the calibration
+    that also opens/closes the auto-route gate (scan_update.calibrate).
+    TPU-only: the scan kernel has no CPU lowering outside interpret mode."""
+    import jax
+    from tfplus_tpu import kv, train as tft
+    from tfplus_tpu.ops import scan_update
+    if jax.default_backend() != "tpu":
+        return None
+    dim, capacity, n = 128, 1 << 20, 1 << 15
+    t = kv.create(dim, capacity, max_probes=16, seed=0)
+    opt = tft.GroupAdamOptimizer()
+    t = opt.init(t)
+    rng = np.random.RandomState(0)
+    ids = kv.encode_ids_np_to_device(
+        rng.choice(capacity * 4, n, replace=False).astype(np.int64))
+    t = kv.lookup_or_insert(t, ids).table
+    res = scan_update.calibrate(t, n, opt, reps=5)
+    return {"group_adam_scatter_step_ms": round(res["scatter_s"] * 1e3, 3),
+            "group_adam_scan_step_ms": round(res["scan_s"] * 1e3, 3),
+            "scan_route_enabled": res["use_scan"]}
+
+
 def bench_tf_cpu_reference(steps: int = 20) -> float:
     """Measured reference baseline: stock TF-CPU on the IDENTICAL workload
     (1M x 128 f32 table, 32k unique ids, gather + fused sparse Adagrad).
@@ -309,6 +333,10 @@ def main():
         infer_ips = round(bench_inference_lookup(), 0)
     except Exception:
         infer_ips = None
+    try:
+        ga_cal = bench_group_adam_calibration()
+    except Exception:
+        ga_cal = None
 
     print(json.dumps({
         "metric": "fused_lookup_update_bandwidth",
@@ -331,6 +359,7 @@ def main():
             "flash_attention_grad_tflops_bf16": fa_bwd_tflops,
             "dcn_train_examples_per_s_per_chip": dcn_eps,
             "inference_lookup_ids_per_s": infer_ips,
+            "group_adam_calibration": ga_cal,
         },
     }))
 

@@ -102,3 +102,23 @@ class TestBundleOverOSS:
         shards, _ = ckpt.restore(p, {"emb": [kv.create(8, 256)] * 3})
         total = sum(int(kv.size(s)) for s in shards["emb"])
         assert total == 299
+
+
+class TestManagerOverOSS:
+    def test_lineage_on_object_store(self, oss):
+        """Full + delta lineage, GC and restore entirely on oss://."""
+        from tfplus_tpu.checkpoint.manager import CheckpointManager
+        d = uri(oss, "mgr")
+        mgr = CheckpointManager(d, max_to_keep=1)
+        t = kv.create(4, 256, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, 30, dtype=np.int64))
+        t = kv.insert(t, q, jnp.ones((29, 4)))
+        t = mgr.save({"emb": t}, step=1, full=True)["emb"]
+        t = kv.scatter(t, q, jnp.ones((29, 4)), "add")
+        t = mgr.save({"emb": t}, step=2, full=False)["emb"]
+
+        mgr2 = CheckpointManager(d)          # re-open: state file round-trips
+        out, _, step = mgr2.restore({"emb": kv.create(4, 256)})
+        assert step == 2
+        got = np.asarray(kv.lookup_or_zeros(out["emb"], q))
+        np.testing.assert_allclose(got, 2.0)

@@ -15,11 +15,20 @@ import time
 from typing import Dict, Optional
 
 from . import saver as _saver
+from ..io.filesystem import get_filesystem
 
 _STATE_FILE = "checkpoint_ext.json"
 
 
+def _join(directory: str, name: str) -> str:
+    return directory.rstrip("/") + "/" + name
+
+
 class CheckpointManager:
+    """Works on any registered filesystem scheme — local paths, ``ram://``,
+    ``oss://`` object stores (the reference's checkpoints land on OSS the
+    same way: gfile through the registered plugin)."""
+
     def __init__(self, directory: str, *, max_to_keep: int = 5,
                  first_n: int = _saver.FIRST_N_TRAIN,
                  num_file_shards: int = 1):
@@ -27,24 +36,25 @@ class CheckpointManager:
         self.max_to_keep = max_to_keep
         self.first_n = first_n
         self.num_file_shards = num_file_shards
-        os.makedirs(directory, exist_ok=True)
+        self._fs, self._dir = get_filesystem(directory)
+        self._fs.makedirs(self._dir)
         self._state = self._load_state()
 
     # -- state file --------------------------------------------------------
     def _state_path(self) -> str:
-        return os.path.join(self.directory, _STATE_FILE)
+        return _join(self._dir, _STATE_FILE)
 
     def _load_state(self) -> dict:
-        if os.path.exists(self._state_path()):
-            with open(self._state_path()) as f:
-                return json.load(f)
+        if self._fs.exists(self._state_path()):
+            with self._fs.open(self._state_path(), "rb") as f:
+                return json.loads(f.read().decode())
         return {"current_full": None, "deltas": [], "history": []}
 
     def _write_state(self):
         tmp = self._state_path() + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._state, f, indent=1)
-        os.replace(tmp, self._state_path())
+        with self._fs.open(tmp, "wb") as f:
+            f.write(json.dumps(self._state, indent=1).encode())
+        self._fs.rename(tmp, self._state_path())
 
     # -- save --------------------------------------------------------------
     def save(self, tables, dense=None, *, step: int, full: bool = True,
@@ -67,7 +77,7 @@ class CheckpointManager:
             # escalate this snapshot to a full export (resets the log)
             full = True
         kind = "full" if full else "delta"
-        prefix = os.path.join(self.directory, f"ckpt-{kind}-{step}")
+        prefix = _join(self.directory, f"ckpt-{kind}-{step}")
         if not full and self._state["current_full"] is None:
             raise ValueError("cannot take a delta checkpoint before any full one")
         kw = dict(first_n=self.first_n if full else _saver.FIRST_N_DELTA,
@@ -122,12 +132,12 @@ class CheckpointManager:
                 self._remove_prefix(entry["prefix"])
 
     def _remove_prefix(self, prefix: str):
-        d = os.path.dirname(prefix)
-        base = os.path.basename(prefix)
-        for fn in os.listdir(d):
+        fs, p = get_filesystem(prefix)
+        d, base = p.rsplit("/", 1) if "/" in p else ("", p)
+        for fn in fs.listdir(d):
             if fn.startswith(base + "."):
                 try:
-                    os.remove(os.path.join(d, fn))
+                    fs.remove(_join(d, fn) if d else fn)
                 except OSError:
                     pass
 
