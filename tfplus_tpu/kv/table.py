@@ -54,7 +54,10 @@ FLAG_TOUCH_BOTH = packing.FLAG_TOUCH_BOTH
 # 32 probes keeps the per-key miss probability below ~1e-5 at the 0.7 grow
 # threshold (0.7^32); overflow beyond that triggers a host-mediated grow().
 DEFAULT_MAX_PROBES = 32
-DEFAULT_INIT_POOL_ROWS = 1024     # reference uses a [10000, dim] pool (variable_scope.py:229-231)
+# Reference default: a [10000, dim] random pool sampled per new key
+# (variable_scope.py:229-231 forces shape [10000]+dim); same default here so
+# init-row distributions match out of the box (round-1 used 1024).
+DEFAULT_INIT_POOL_ROWS = 10000
 GROW_LOAD_FACTOR = 0.7
 DELETED_LOG_CAPACITY = 4096       # per-table deletion log for delta ckpts
 
