@@ -100,8 +100,16 @@ class SparseOptimizer:
         safe = jnp.where(ok, slot_idx, 0)
 
         # ONE metadata gather serves the freq filter, the blacklist read and
-        # the flag-bit update below (merged word, utils/packing.py)
-        meta_g = table.meta[safe] if meta_rows is None else meta_rows
+        # the flag-bit update below (merged word, utils/packing.py). Gather
+        # meta lanes straight from the FLAT header — `table.meta[safe]`
+        # would materialise the whole [C] meta plane (reshape+slice) before
+        # the gather, ~0.5 ms/step at 1M rows (PERF.md apply-overhead item)
+        if meta_rows is None:
+            flat = table.header.reshape(-1)
+            meta_g = jax.lax.bitcast_convert_type(
+                flat[kvt._hpos_meta(safe)], jnp.uint32)
+        else:
+            meta_g = meta_rows
 
         # frequency filter (should_filter in the reference kernels)
         thr = table.config.enter_threshold
