@@ -122,3 +122,32 @@ class TestManagerOverOSS:
         assert step == 2
         got = np.asarray(kv.lookup_or_zeros(out["emb"], q))
         np.testing.assert_allclose(got, 2.0)
+
+
+class TestMultihostOverOSS:
+    def test_union_restore_from_object_store(self, oss):
+        """Each 'process' writes its own bundle to oss://; restore reads the
+        union (coordinator-free multihost checkpoints on the object store)."""
+        base = uri(oss, "mh/run1")
+        shards = []
+        for pid in range(2):
+            local = []
+            for i in range(2):
+                g = pid * 2 + i
+                t = kv.create(4, 128, seed=g)
+                ids = np.arange(g, 40, 4, dtype=np.int64) * 4 + g
+                t = kv.insert(t, enc_ids(ids), jnp.full((len(ids), 4),
+                                                        float(g + 1)))
+                local.append(t)
+            shards.append(local)
+            saver.save_multihost(base, {"emb": shards[pid]},
+                                 process_id=pid, num_processes=2)
+        tables, _ = saver.restore_multihost(
+            base, {"emb": [kv.create(4, 128) for _ in range(4)]})
+        total = sum(int(kv.size(s)) for s in tables["emb"])
+        want = sum(int(kv.size(s)) for p in shards for s in p)
+        assert total == want
+
+
+def enc_ids(a):
+    return kv.encode_ids_np_to_device(np.asarray(a, np.int64))

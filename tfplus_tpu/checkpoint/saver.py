@@ -452,12 +452,25 @@ def _proc_prefix(prefix: str, process_id: int, num_processes: int) -> str:
 
 
 class UnionReader:
-    """Reader-like union over every process's bundle of a multihost save."""
+    """Reader-like union over every process's bundle of a multihost save.
+    Resolves through the filesystem registry, so multihost checkpoints on
+    ``oss://`` (each process writing its own bundle to the object store)
+    restore the same way as local ones."""
 
     def __init__(self, prefix: str):
-        import glob
-        idx = sorted(glob.glob(prefix + "-proc*-of-*" +
-                               ".index.json"))
+        import re as _re
+        from ..io.filesystem import get_filesystem
+        fs, p = get_filesystem(prefix)
+        d, base = p.rsplit("/", 1) if "/" in p else ("", p)
+        scheme = prefix[:-len(p)]                 # "" or "<scheme>://"
+        pat = _re.compile(_re.escape(base) +
+                          r"-proc\d{5}-of-\d{5}\.index\.json$")
+        try:
+            names = fs.listdir(d)
+        except (FileNotFoundError, OSError):
+            names = []
+        idx = sorted(scheme + (d + "/" if d else "") + fn
+                     for fn in names if pat.match(fn))
         if not idx:
             raise FileNotFoundError(f"no multihost bundles under {prefix}")
         self._readers = [bundle.BundleReader(fn[:-len(".index.json")])
