@@ -238,12 +238,16 @@ def tpu_backend_alive(timeout_s: float = 120.0) -> bool:
 
 
 def main():
+    tpu_unreachable = False
     if os.environ.get("BENCH_CPU"):
         import jax
         jax.config.update("jax_platforms", "cpu")
     elif not tpu_backend_alive():
         # wedged/absent tunnel: a CPU result with device:"cpu" beats a hang
-        # that records nothing for the round
+        # that records nothing for the round. The flag below marks the
+        # record as a FALLBACK measuring the host, not the chip — the
+        # latest real-TPU numbers live in PERF.md/README.
+        tpu_unreachable = True
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
@@ -355,6 +359,9 @@ def main():
             "dim": dim,
             "capacity": capacity,
             "device": str(jax.devices()[0].device_kind),
+            # True = the axon tunnel was wedged/absent at bench time and
+            # this record measured the CPU host (see PERF.md fallback note)
+            "tpu_unreachable_fallback": tpu_unreachable,
             "flash_attention_tflops_bf16": fa_tflops,
             "flash_attention_grad_tflops_bf16": fa_bwd_tflops,
             "dcn_train_examples_per_s_per_chip": dcn_eps,

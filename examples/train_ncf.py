@@ -30,10 +30,12 @@ def main():
     import numpy as np
     import optax
     from tfplus_tpu import train as tft, checkpoint as ckpt
-    from tfplus_tpu.data import synthetic
+    from tfplus_tpu.data import movielens
     from tfplus_tpu.models import NCF, init_state, make_train_step
 
-    data = synthetic.movielens_like(args.examples, seed=2021)
+    # real ml-100k u.data when on disk (MOVIELENS_PATH), else synthetic
+    data = movielens.load_or_synthetic(args.examples, seed=2021)
+    args.examples = min(args.examples, len(data["rating"]))
     model = NCF()
     opt = tft.AdamOptimizer(learning_rate=args.lr)
     tx = optax.adam(args.lr)

@@ -300,3 +300,21 @@ class TestFarmhashFingerprint64:
         for b in b"abc":
             h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
         assert fingerprint64(b"abc", algo="fnv") == h
+
+
+class TestMovieLensLoader:
+    def test_u_data_parse_and_fallback(self, tmp_path):
+        from tfplus_tpu.data import movielens
+        p = tmp_path / "u.data"
+        rows = [(1, 10, 5, 874965758), (2, 20, 3, 876893171),
+                (943, 1682, 1, 888640250)]
+        p.write_text("\n".join("\t".join(map(str, r)) for r in rows) + "\n")
+        d = movielens.load(str(p), shuffle_seed=None)
+        np.testing.assert_array_equal(d["user_id"], [1, 2, 943])
+        np.testing.assert_array_equal(d["movie_id"], [10, 20, 1682])
+        np.testing.assert_array_equal(d["rating"], [5.0, 3.0, 1.0])
+        assert d["rating"].dtype == np.float32
+        # absent file -> synthetic stream with the same columns
+        syn = movielens.load_or_synthetic(1000, path=str(tmp_path / "nope"))
+        assert set(syn) >= {"user_id", "movie_id", "rating"}
+        assert len(syn["rating"]) == 1000
