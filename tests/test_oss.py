@@ -151,3 +151,106 @@ class TestMultihostOverOSS:
 
 def enc_ids(a):
     return kv.encode_ids_np_to_device(np.asarray(a, np.int64))
+
+
+class TestReviewRegressions:
+    """Round-2 self-review findings (pinned)."""
+
+    def test_denied_put_keeps_connection_usable(self, oss):
+        """A 403'd PUT must drain its body or the pooled keep-alive
+        connection desyncs and later requests parse garbage."""
+        bad = ObjectStoreClient("bkt", "test-id", "WRONG-KEY", oss)
+        with pytest.raises(IOError, match="403"):
+            bad.put("x", b"payload-bytes-left-on-the-socket")
+        # same client, same pooled connection: a CLEAN 403 again — the
+        # regression surfaced as 501/garbage parsed from the stale body
+        with pytest.raises(IOError, match="403"):
+            bad.head("x")
+        with pytest.raises(IOError, match="403"):
+            bad.put("x", b"again")
+
+    def test_copy_signature_includes_oss_headers(self, oss):
+        """x-oss-copy-source must be canonicalized into the signature
+        (real OSS rejects otherwise); emulator verifies the same way."""
+        c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], oss)
+        c.put("src.bin", b"abc")
+        c.copy("src.bin", "dst.bin")
+        assert c.get("dst.bin") == b"abc"
+
+    def test_cross_bucket_rename_lands_in_destination(self, oss):
+        from tfplus_tpu.io.object_store import OSSFileSystem
+        fs = OSSFileSystem()
+        auth = f"\x01id=test-id\x02key={CREDS['test-id']}\x02host={oss}"
+        with fs.open(f"bkta{auth}/f.bin", "wb") as f:
+            f.write(b"zz")
+        fs.rename(f"bkta{auth}/f.bin", f"bktb{auth}/g.bin")
+        assert fs.exists(f"bktb{auth}/g.bin")
+        assert not fs.exists(f"bkta{auth}/f.bin")
+        with fs.open(f"bktb{auth}/g.bin", "rb") as f:
+            assert f.read() == b"zz"
+
+    def test_xml_listing_parsed(self, oss):
+        """Real OSS GetBucket returns XML ListBucketResult — the client
+        must parse both that and the emulator's plaintext."""
+        c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], oss)
+        orig = c._request
+
+        def fake_request(verb, key, **kw):
+            if "prefix=" in kw.get("query", ""):
+                xml = (b"<?xml version='1.0'?><ListBucketResult>"
+                       b"<Contents><Key>p/a.bin</Key></Contents>"
+                       b"<Contents><Key>p/b.bin</Key></Contents>"
+                       b"</ListBucketResult>")
+                return 200, {}, xml
+            return orig(verb, key, **kw)
+
+        c._request = fake_request
+        assert c.list("p/") == ["p/a.bin", "p/b.bin"]
+
+    def test_relative_multihost_prefix(self, tmp_path, monkeypatch):
+        """UnionReader must find bundles under a RELATIVE prefix (no dir
+        component) — regression: listdir('') raised FileNotFoundError."""
+        monkeypatch.chdir(tmp_path)
+        t = kv.create(4, 128, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, 9, dtype=np.int64))
+        t = kv.insert(t, q, jnp.ones((8, 4)))
+        saver.save_multihost("mh", {"emb": [t]}, process_id=0,
+                             num_processes=1)
+        tables, _ = saver.restore_multihost("mh", {"emb": [kv.create(4, 128)]})
+        assert int(kv.size(tables["emb"][0])) == 8
+
+
+class TestTierDuplicates:
+    def test_take_and_delete_with_duplicate_ids(self):
+        """Duplicate ids in one batch must behave like repeated dict.pop
+        (regression: live count went negative and arena rows double-freed,
+        aliasing later keys' payloads)."""
+        from tfplus_tpu.kv.storage import HostStorageTier
+        tier = HostStorageTier(dim=2)
+        ids = np.array([5, 7], np.uint64)
+        tier.put(ids, np.ones((2, 2), np.float32), np.zeros(2, np.uint32))
+        dup = np.array([5, 5, 7, 9], np.uint64)
+        found, pay, meta = tier.take(dup)
+        assert found.tolist() == [True, False, True, False]
+        assert tier.size == 0
+        # free list intact: fill many fresh keys, no payload aliasing
+        n = 50
+        ks = np.arange(100, 100 + n, dtype=np.uint64)
+        tier.put(ks, np.arange(n * 2, dtype=np.float32).reshape(n, 2),
+                 np.zeros(n, np.uint32))
+        f2, p2, _ = tier.lookup_rows(ks)
+        assert f2.all()
+        np.testing.assert_array_equal(
+            p2, np.arange(n * 2, dtype=np.float32).reshape(n, 2))
+
+    def test_put_with_duplicate_ids_last_wins_no_leak(self):
+        from tfplus_tpu.kv.storage import HostStorageTier
+        tier = HostStorageTier(dim=2)
+        ids = np.array([3, 3, 3], np.uint64)
+        pay = np.array([[1, 1], [2, 2], [9, 9]], np.float32)
+        tier.put(ids, pay, np.zeros(3, np.uint32))
+        assert tier.size == 1
+        _, p, _ = tier.lookup_rows(np.array([3], np.uint64))
+        np.testing.assert_array_equal(p[0], [9, 9])
+        # arena did not leak rows for the duplicates
+        assert len(tier._free) == tier._keys.shape[0] - 1

@@ -466,7 +466,8 @@ class UnionReader:
         pat = _re.compile(_re.escape(base) +
                           r"-proc\d{5}-of-\d{5}\.index\.json$")
         try:
-            names = fs.listdir(d)
+            # relative local prefixes have no dir component: list the cwd
+            names = fs.listdir(d if d else ".")
         except (FileNotFoundError, OSError):
             names = []
         idx = sorted(scheme + (d + "/" if d else "") + fn

@@ -152,15 +152,17 @@ def _align_freq(keys: np.ndarray, freq_keys: np.ndarray,
                 freq_values: np.ndarray) -> Optional[np.ndarray]:
     """Per-key frequency aligned to ``keys`` — reference UpdateWithFn
     semantics: frequencies apply to existing rows only; freq keys outside
-    the key set are dropped (dynamic_restore.hpp:219-249)."""
+    the key set are dropped (dynamic_restore.hpp:219-249). Vectorized
+    (searchsorted over the sorted freq keys): 41M-row variables align in
+    array passes, not Python-level iterations."""
     if not len(freq_keys):
         return None
-    lut = {int(k): i for i, k in enumerate(freq_keys)}
+    order = np.argsort(freq_keys)
+    sk = freq_keys[order]
+    pos = np.clip(np.searchsorted(sk, keys), 0, len(sk) - 1)
+    hit = sk[pos] == keys
     out = np.zeros((len(keys),), freq_values.dtype)
-    for i, k in enumerate(keys):
-        j = lut.get(int(k))
-        if j is not None:
-            out[i] = freq_values[j]
+    out[hit] = freq_values[order[pos[hit]]]
     return out
 
 

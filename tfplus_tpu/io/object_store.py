@@ -17,6 +17,11 @@ Credentials follow the reference's URI embedding
 the OSS_ACCESS_ID / OSS_ACCESS_KEY / OSS_HOST environment variables —
 :func:`tfplus_tpu.io.filesystem.parse_oss_uri`.
 
+Known limits vs a full SDK: listings read the first response page only
+(no continuation-marker paging — fine for checkpoint directories, not for
+million-object buckets) and multipart upload is not used (single PUT per
+object, spooled).
+
 Capabilities the checkpoint layer needs and gets here:
   * streaming writes — spooled to a temp file, single PUT on close
     (bounded memory for multi-GB bundle shards),
@@ -47,10 +52,19 @@ _SPOOL_MAX = 64 << 20         # writes spill to disk beyond this
 
 
 def _sign(key: str, verb: str, date: str, resource: str,
-          content_md5: str = "", content_type: str = "") -> str:
+          content_md5: str = "", content_type: str = "",
+          oss_headers: Optional[Dict[str, str]] = None) -> str:
     """OSS header signature: base64(hmac-sha1(key, VERB\\nMD5\\nTYPE\\nDATE\\n
-    /bucket/object)) — the contract the reference's SDK signs with."""
-    msg = "\n".join([verb, content_md5, content_type, date, resource])
+    CanonicalizedOSSHeaders + /bucket/object)) — the contract the
+    reference's SDK signs with. ``oss_headers``: any ``x-oss-*`` request
+    headers, canonicalized (lowercased, sorted, ``k:v\\n`` each) per the
+    OSS signing spec — required for copy (x-oss-copy-source) to verify."""
+    canon = ""
+    if oss_headers:
+        items = sorted((k.lower(), v) for k, v in oss_headers.items()
+                       if k.lower().startswith("x-oss-"))
+        canon = "".join(f"{k}:{v}\n" for k, v in items)
+    msg = "\n".join([verb, content_md5, content_type, date, canon + resource])
     mac = hmac.new(key.encode(), msg.encode(), hashlib.sha1)
     return base64.b64encode(mac.digest()).decode()
 
@@ -98,9 +112,8 @@ class ObjectStoreClient:
                  query: str = "") -> Tuple[int, dict, bytes]:
         date = email.utils.formatdate(usegmt=True)
         resource = f"/{self.bucket}/{key}"
-        h = {"Date": date,
-             "Authorization":
-                 f"OSS {self._id}:{_sign(self._key, verb, date, resource)}"}
+        sig = _sign(self._key, verb, date, resource, oss_headers=headers)
+        h = {"Date": date, "Authorization": f"OSS {self._id}:{sig}"}
         if headers:
             h.update(headers)
         path = "/" + quote(f"{self.bucket}/{key}", safe="/")
@@ -152,12 +165,13 @@ class ObjectStoreClient:
         if st not in (200, 204, 404):
             raise IOError(f"DELETE oss://{self.bucket}/{key}: {st}")
 
-    def copy(self, src_key: str, dst_key: str):
+    def copy(self, src_key: str, dst_key: str,
+             src_bucket: Optional[str] = None):
+        src = f"/{src_bucket or self.bucket}/{src_key}"
         st, _, body = self._request(
-            "PUT", dst_key,
-            headers={"x-oss-copy-source": f"/{self.bucket}/{src_key}"})
+            "PUT", dst_key, headers={"x-oss-copy-source": src})
         if st == 404:
-            raise FileNotFoundError(f"oss://{self.bucket}/{src_key}")
+            raise FileNotFoundError(f"oss:/{src}")
         if st != 200:
             raise IOError(f"COPY {src_key} -> {dst_key}: {st} {body[:200]}")
 
@@ -166,7 +180,12 @@ class ObjectStoreClient:
                                     query="prefix=" + quote(prefix, safe=""))
         if st != 200:
             raise IOError(f"LIST oss://{self.bucket}?prefix={prefix}: {st}")
-        return [k for k in data.decode().splitlines() if k]
+        text = data.decode()
+        if text.lstrip().startswith("<"):
+            # real OSS GetBucket responses are XML ListBucketResult
+            import re
+            return re.findall(r"<Key>([^<]*)</Key>", text)
+        return [k for k in text.splitlines() if k]
 
 
 class _OSSReadFile(io.RawIOBase):
@@ -218,6 +237,12 @@ class _OSSReadFile(io.RawIOBase):
             end = min(self._pos + fetch, self._size)
             self._buf = self._c.get(self._key, self._pos, end)
             self._buf_start = self._pos
+            if not self._buf:
+                # the object shrank under us (size was cached at open):
+                # raise instead of refetching the same empty range forever
+                raise IOError(
+                    f"oss://{self._c.bucket}/{self._key}: empty ranged read "
+                    f"at {self._pos} (object changed during read?)")
         return b"".join(out)
 
     def readinto(self, b):
@@ -326,11 +351,13 @@ class OSSFileSystem(FileSystem):
     def rename(self, src, dst):
         # OSS has no rename: server-side copy + delete (the reference's
         # RenameFile does the same). The bundle's atomic-publish guarantee
-        # degrades to copy-then-delete on object stores.
-        c, skey = self._resolve(src)
-        _, dkey = self._resolve(dst)
-        c.copy(skey, dkey)
-        c.delete(skey)
+        # degrades to copy-then-delete on object stores. The DESTINATION
+        # bucket's client issues the copy (cross-bucket renames must land
+        # in the destination, under its credentials).
+        sc, skey = self._resolve(src)
+        dc, dkey = self._resolve(dst)
+        dc.copy(skey, dkey, src_bucket=sc.bucket)
+        sc.delete(skey)
 
     def size(self, path):
         c, key = self._resolve(path)

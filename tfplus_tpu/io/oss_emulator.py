@@ -50,10 +50,21 @@ class _Handler(BaseHTTPRequestHandler):
             return False
         date = self.headers.get("Date", "")
         path, _ = self._key()
-        want = _sign(secret, verb, date, "/" + path.split("?")[0])
+        oss_headers = {k: v for k, v in self.headers.items()
+                       if k.lower().startswith("x-oss-")}
+        want = _sign(secret, verb, date, "/" + path,
+                     oss_headers=oss_headers)
         return signature == want
 
+    def _drain(self):
+        n = int(self.headers.get("Content-Length", "0") or 0)
+        while n > 0:
+            n -= len(self.rfile.read(min(n, 1 << 20)))
+
     def _deny(self):
+        # drain the unread body first or the keep-alive connection desyncs
+        # (the next pooled request would parse stale body bytes)
+        self._drain()
         self.send_response(403)
         self.send_header("Content-Length", "0")
         self.end_headers()

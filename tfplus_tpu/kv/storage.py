@@ -143,12 +143,20 @@ class _NpIndex:
 
     def pop(self, keys: np.ndarray):
         """Batch remove: ``(found bool[N], vals int64[N])``; hits become
-        tombstones."""
+        tombstones. Duplicate keys within the batch behave like repeated
+        ``dict.pop``: only the FIRST occurrence is found (the rest would
+        double-free arena rows and drive ``live`` negative)."""
         keys = np.asarray(keys, np.uint64)
         if not len(keys) or self.live == 0:
             return np.zeros(len(keys), bool), np.full(len(keys), -1, np.int64)
         slot, _ = self._probe(keys)
         found = slot >= 0
+        if found.any():
+            fidx = np.nonzero(found)[0]
+            _, first = np.unique(slot[fidx], return_index=True)
+            dup = np.ones(len(fidx), bool)
+            dup[first] = False
+            found[fidx[dup]] = False
         vals = np.where(found, self._vals[np.where(found, slot, 0)], -1)
         self._state[slot[found]] = 2
         self.live -= int(found.sum())
@@ -227,6 +235,17 @@ class HostStorageTier:
         n = ids_u64.shape[0]
         if n == 0:
             return
+        payload = np.asarray(payload, self.value_dtype)
+        meta = np.asarray(meta, np.uint32)
+        uniq = np.unique(ids_u64)
+        if len(uniq) != n:
+            # duplicate ids: keep the LAST occurrence (dict upsert
+            # semantics) — otherwise each duplicate would claim its own
+            # arena row and leak all but one
+            _, last_rev = np.unique(ids_u64[::-1], return_index=True)
+            keep = np.sort(n - 1 - last_rev)
+            ids_u64, payload, meta = ids_u64[keep], payload[keep], meta[keep]
+            n = len(ids_u64)
         found, rows = self._index.get(ids_u64)
         fresh = int((~found).sum())
         if self.capacity and self.size + fresh > self.capacity:
