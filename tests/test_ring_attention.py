@@ -81,3 +81,47 @@ class TestContextParallel:
         ref = fa.reference_attention(q, k, v, causal=causal)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    atol=2e-4, rtol=2e-4)
+
+
+class TestRingDropout:
+    """Ring attention dropout uses the flash kernel's global-coordinate
+    hash masks: an 8-way ring-sharded run must drop EXACTLY the entries
+    the single-device dense path drops for the same seed."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_dense_same_seed(self, mesh, causal):
+        q, k, v = make_qkv(2)
+        fn = functools.partial(ra.ring_attention, axis_name="sp",
+                               causal=causal, p_dropout=0.3, dropout_seed=42)
+        out = jax.jit(shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(None, None, "sp", None),) * 3,
+            out_specs=P(None, None, "sp", None), check_vma=False))(q, k, v)
+        ref = fa.reference_attention(q, k, v, causal=causal, p_dropout=0.3,
+                                     dropout_seed=42)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_context_parallel_matches_dense(self, mesh):
+        q, k, v = make_qkv(2)
+        fn = functools.partial(ra.context_parallel_attention, axis_name="sp",
+                               p_dropout=0.25, dropout_seed=9)
+        out = jax.jit(shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(), P(None, None, "sp", None),
+                      P(None, None, "sp", None)),
+            out_specs=P(), check_vma=False))(q, k, v)
+        ref = fa.reference_attention(q, k, v, p_dropout=0.25, dropout_seed=9)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_zero_dropout_unchanged(self, mesh):
+        q, k, v = make_qkv(2)
+        base = functools.partial(ra.ring_attention, axis_name="sp")
+        zero = functools.partial(ra.ring_attention, axis_name="sp",
+                                 p_dropout=0.0, dropout_seed=5)
+        specs = dict(mesh=mesh, in_specs=(P(None, None, "sp", None),) * 3,
+                     out_specs=P(None, None, "sp", None), check_vma=False)
+        a = jax.jit(shard_map(base, **specs))(q, k, v)
+        b = jax.jit(shard_map(zero, **specs))(q, k, v)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

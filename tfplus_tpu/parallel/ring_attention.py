@@ -31,26 +31,57 @@ import numpy as np
 _NEG = -0.7 * float(np.finfo(np.float32).max)
 
 
-def _local_block(q, k, v, sm_scale, causal, q_off, kv_off):
+def _dropout_keep_block(seed, b, h, sq, skv, row0, col0,
+                        p_dropout: float) -> jnp.ndarray:
+    """[B,H,sq,skv] keep-mask for GLOBAL coordinates (row0+i, col0+j) —
+    the same counter-based hash as the flash kernel's dropout
+    (ops.flash_attention._dropout_keep), so a ring-sharded sequence drops
+    exactly the same attention entries as the single-device kernel given
+    the same seed, independent of ring step order."""
+    from ..ops.flash_attention import _mix_bits
+    bi = jnp.arange(b, dtype=jnp.uint32)[:, None, None, None]
+    hi = jnp.arange(h, dtype=jnp.uint32)[None, :, None, None]
+    r = (jnp.arange(sq, dtype=jnp.uint32)
+         + jnp.uint32(row0))[None, None, :, None]
+    c = (jnp.arange(skv, dtype=jnp.uint32)
+         + jnp.uint32(col0))[None, None, None, :]
+    base = (jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
+            + bi * jnp.uint32(0x7FEB352D) + hi * jnp.uint32(0x846CA68B))
+    x = _mix_bits(base + r * jnp.uint32(0x27D4EB2F) + c)
+    thresh = jnp.uint32(min(int(p_dropout * 4294967296.0), 4294967295))
+    return x >= thresh
+
+
+def _local_block(q, k, v, sm_scale, causal, q_off, kv_off,
+                 p_dropout=0.0, seed=0):
     """One (q_local × kv_block) attention partial → (acc, l, m)."""
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32)) * sm_scale
+    sq, skv = q.shape[2], k.shape[2]
     if causal:
-        sq, skv = q.shape[2], k.shape[2]
         row = q_off + jnp.arange(sq)[:, None]
         col = kv_off + jnp.arange(skv)[None, :]
         s = jnp.where((col <= row)[None, None], s, _NEG)
     m = jnp.max(s, axis=-1)                                    # [B,H,Sq]
     p = jnp.exp(s - m[..., None])
-    l = jnp.sum(p, axis=-1)
+    l = jnp.sum(p, axis=-1)       # lse normaliser stays pre-dropout
+    if p_dropout > 0.0:
+        keep = _dropout_keep_block(seed, q.shape[0], q.shape[1], sq, skv,
+                                   q_off, kv_off, p_dropout)
+        p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - p_dropout))
     acc = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
     return acc, l, m
 
 
 def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
-                   sm_scale: Optional[float] = None):
+                   sm_scale: Optional[float] = None,
+                   p_dropout: float = 0.0, dropout_seed=0):
     """q [B,H,Sq_l,D], k/v [B,H,Skv_l,D] — the local sequence shards of this
-    device. Returns the local output shard [B,H,Sq_l,D]."""
+    device. Returns the local output shard [B,H,Sq_l,D].
+
+    ``p_dropout``/``dropout_seed``: attention dropout with the flash
+    kernel's seed-replayed global-coordinate masks — a ring-sharded run
+    drops the same entries as the single-device kernel."""
     if sm_scale is None:
         sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
     n = jax.lax.psum(1, axis_name)
@@ -70,7 +101,7 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
         src = (my - step) % n                    # who this block came from
         kv_off = src * skv_l
         a_i, l_i, m_i = _local_block(q, k_blk, v_blk, sm_scale, causal,
-                                     q_off, kv_off)
+                                     q_off, kv_off, p_dropout, dropout_seed)
         m_new = jnp.maximum(m, m_i)
         alpha = jnp.exp(m - m_new)
         beta = jnp.exp(m_i - m_new)
@@ -92,7 +123,8 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
 
 def context_parallel_attention(q, k_shard, v_shard, *, axis_name: str,
                                causal: bool = False,
-                               sm_scale: Optional[float] = None):
+                               sm_scale: Optional[float] = None,
+                               p_dropout: float = 0.0, dropout_seed=0):
     """Simpler alternative (one collective round instead of a ring): each
     device computes a partial against its local KV shard; partials merge with
     a cross-device online-softmax combine (pmax + psum)."""
@@ -102,7 +134,7 @@ def context_parallel_attention(q, k_shard, v_shard, *, axis_name: str,
     skv_l = k_shard.shape[2]
     # q replicated across the axis: global offsets start at 0
     acc, l, m = _local_block(q, k_shard, v_shard, sm_scale, causal,
-                             0, my * skv_l)
+                             0, my * skv_l, p_dropout, dropout_seed)
     m_g = jax.lax.pmax(m, axis_name)
     corr = jnp.exp(m - m_g)
     l_g = jax.lax.psum(l * corr, axis_name)
