@@ -125,3 +125,40 @@ class TestRingDropout:
         a = jax.jit(shard_map(base, **specs))(q, k, v)
         b = jax.jit(shard_map(zero, **specs))(q, k, v)
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestRingFlash:
+    """Ring attention with Pallas flash local blocks (O(S_local) memory):
+    must match exact attention on the 8-way ring — the kernel runs in
+    interpret mode on CPU."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_matches_exact(self, mesh, causal):
+        q, k, v = make_qkv(3)
+        fn = functools.partial(ra.ring_flash_attention, axis_name="sp",
+                               causal=causal, block_q=32, block_k=32,
+                               interpret=True)
+        out = jax.jit(shard_map(
+            fn, mesh=mesh,
+            in_specs=(P(None, None, "sp", None),) * 3,
+            out_specs=P(None, None, "sp", None), check_vma=False))(q, k, v)
+        ref = fa.reference_attention(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-3, rtol=2e-3)
+
+    def test_dropout_runs_and_differs(self, mesh):
+        q, k, v = make_qkv(3)
+        specs = dict(mesh=mesh, in_specs=(P(None, None, "sp", None),) * 3,
+                     out_specs=P(None, None, "sp", None), check_vma=False)
+        base = jax.jit(shard_map(functools.partial(
+            ra.ring_flash_attention, axis_name="sp", block_q=32, block_k=32,
+            interpret=True), **specs))(q, k, v)
+        drop = jax.jit(shard_map(functools.partial(
+            ra.ring_flash_attention, axis_name="sp", p_dropout=0.3,
+            dropout_seed=11, block_q=32, block_k=32,
+            interpret=True), **specs))(q, k, v)
+        assert np.isfinite(np.asarray(drop)).all()
+        assert np.abs(np.asarray(drop) - np.asarray(base)).max() > 1e-4
+        # inverted dropout keeps the output scale (loose expectation check)
+        assert (np.abs(np.asarray(drop)).mean()
+                < 3 * np.abs(np.asarray(base)).mean() + 1e-3)

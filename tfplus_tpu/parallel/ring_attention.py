@@ -121,6 +121,91 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
     return out.astype(q.dtype)
 
 
+def ring_flash_attention(q, k, v, *, axis_name: str, causal: bool = False,
+                         sm_scale: Optional[float] = None,
+                         p_dropout: float = 0.0, dropout_seed=0,
+                         block_q: int = 512, block_k: int = 512,
+                         interpret: Optional[bool] = None):
+    """Ring attention with the PALLAS FLASH KERNEL as the per-block compute:
+    device memory stays O(S_local) — the [Sq_l, Skv_l] block score matrix of
+    :func:`ring_attention` is never materialised, so sequence length scales
+    with ring size × flash-kernel reach (the plain-jnp ring tops out when
+    one block's scores exhaust HBM).
+
+    Works with the UNMODIFIED flash kernel because a ring block pair is
+    always one of three whole-block cases: the diagonal (kv from this
+    device — causal flash), fully visible (kv from an earlier position —
+    non-causal flash), or fully masked (later position — skipped via
+    ``lax.cond``, the ring's tile-skipping).
+
+    Dropout uses a per-(source-shard) derived seed — statistically
+    equivalent inverted dropout, but the mask pattern does not replicate
+    the single-device kernel's (use :func:`ring_attention` when exact
+    cross-topology mask equality matters). Forward-only primal; wrap in
+    ``jax.checkpoint``/custom VJP at the call site for training.
+    """
+    import jax.numpy as jnp
+    from ..ops import flash_attention as fa
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+    b, h, sq_l, d = q.shape
+
+    m = jnp.full((b, h, sq_l), -jnp.inf, jnp.float32)
+    l = jnp.zeros((b, h, sq_l), jnp.float32)
+    acc = jnp.zeros((b, h, sq_l, d), jnp.float32)
+
+    def block(q, k_blk, v_blk, blk_causal: bool, seed):
+        out, l_i, m_i = fa._fwd_dispatch(
+            q, k_blk, v_blk, None, None, fa._seed_array(seed),
+            blk_causal, sm_scale, block_q, block_k, interpret,
+            save_residuals=True, p_dropout=float(p_dropout))
+        # un-normalise: the kernel returns out = acc / l
+        return out.astype(jnp.float32) * l_i[..., None], l_i, m_i
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    k_blk, v_blk = k, v
+    for step in range(n):
+        src = (my - step) % n
+        # per-block dropout seed: decorrelate the ring steps
+        seed_i = (jnp.asarray(dropout_seed, jnp.int32)
+                  + src * jnp.int32(0x9E3D) + jnp.int32(step))
+        if not causal:
+            a_i, l_i, m_i = block(q, k_blk, v_blk, False, seed_i)
+        elif step == 0:
+            # diagonal: kv is this device's own shard → causal inside
+            a_i, l_i, m_i = block(q, k_blk, v_blk, True, seed_i)
+        else:
+            # fully visible iff the kv shard sits strictly before this
+            # device's queries; fully masked otherwise — whole-block skip
+            a_i, l_i, m_i = jax.lax.cond(
+                src < my,
+                lambda args: block(*args, False, seed_i),
+                lambda args: (jnp.zeros_like(acc), jnp.zeros_like(l),
+                              jnp.full_like(m, -jnp.inf)),
+                (q, k_blk, v_blk))
+        m_new = jnp.maximum(m, m_i)
+        big = 0.5 * _NEG
+        alpha = jnp.exp(jnp.maximum(m, big) - jnp.maximum(m_new, big))
+        beta = jnp.exp(jnp.maximum(m_i, big) - jnp.maximum(m_new, big))
+        alpha = jnp.where(m == -jnp.inf, 0.0, alpha)
+        beta = jnp.where(m_i == -jnp.inf, 0.0, beta)
+        acc = acc * alpha[..., None] + a_i * beta[..., None]
+        l = l * alpha + l_i * beta
+        m = m_new
+        if step < n - 1:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    out = acc / l_safe[..., None]
+    out = jnp.where((l > 0.0)[..., None], out, 0.0)
+    return out.astype(q.dtype)
+
+
 def context_parallel_attention(q, k_shard, v_shard, *, axis_name: str,
                                causal: bool = False,
                                sm_scale: Optional[float] = None,
