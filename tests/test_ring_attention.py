@@ -162,3 +162,74 @@ class TestRingFlash:
         # inverted dropout keeps the output scale (loose expectation check)
         assert (np.abs(np.asarray(drop)).mean()
                 < 3 * np.abs(np.asarray(base)).mean() + 1e-3)
+
+
+class TestRingFlashGradients:
+    """ring_flash_attention's custom VJP (flash backward kernels per ring
+    block, global (l,m) stats, dk/dv riding the rotating buffers home)
+    must match autodiff through an equivalent dense implementation."""
+
+    def _ring_fn(self, causal, p_dropout=0.0, seed=0):
+        return functools.partial(
+            ra.ring_flash_attention, axis_name="sp", causal=causal,
+            p_dropout=p_dropout, dropout_seed=seed,
+            block_q=32, block_k=32, interpret=True)
+
+    def _sharded_grads(self, mesh, fn, q, k, v):
+        specs = dict(mesh=mesh, in_specs=(P(None, None, "sp", None),) * 3,
+                     out_specs=P(None, None, "sp", None), check_vma=False)
+
+        def loss(q, k, v):
+            o = shard_map(fn, **specs)(q, k, v)
+            return jnp.sum(o * o)
+
+        return jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v)
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_grads_match_dense(self, mesh, causal):
+        q, k, v = make_qkv(5)
+        gk = self._sharded_grads(mesh, self._ring_fn(causal), q, k, v)
+
+        def dense_loss(q, k, v):
+            o = fa.reference_attention(q, k, v, causal=causal)
+            return jnp.sum(o * o)
+
+        gd = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gk, gd, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=5e-3,
+                                       err_msg=f"d{name}")
+
+    def test_grads_with_dropout_match_dense_replica(self, mesh):
+        """Dense replica applies EXACTLY the ring's per-(shard,step) block
+        masks; gradients must agree — proving the backward replays the
+        forward's masks."""
+        q, k, v = make_qkv(6)
+        seed, p_drop = 21, 0.25
+        n = NDEV
+        sq_l = S // n
+        sm = 1.0 / np.sqrt(D)
+
+        def dense_loss(q, k, v):
+            s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * sm
+            p = jax.nn.softmax(s, axis=-1)
+            keep = jnp.zeros((B, H, S, S), bool)
+            for my in range(n):
+                for step in range(n):
+                    src = (my - step) % n
+                    blk_seed = seed + src * 0x9E3D + step
+                    kb = fa._dropout_keep_dense(blk_seed, B, H, sq_l, sq_l,
+                                                p_drop)
+                    keep = keep.at[:, :, my * sq_l:(my + 1) * sq_l,
+                                   src * sq_l:(src + 1) * sq_l].set(kb)
+            p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - p_drop))
+            o = jnp.einsum("bhqk,bhkd->bhqd", p, v)
+            return jnp.sum(o * o)
+
+        gk = self._sharded_grads(
+            mesh, self._ring_fn(False, p_drop, seed), q, k, v)
+        gd = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gk, gd, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=5e-3, rtol=5e-3,
+                                       err_msg=f"d{name}")

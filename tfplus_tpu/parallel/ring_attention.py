@@ -121,35 +121,20 @@ def ring_attention(q, k, v, *, axis_name: str, causal: bool = False,
     return out.astype(q.dtype)
 
 
-def ring_flash_attention(q, k, v, *, axis_name: str, causal: bool = False,
-                         sm_scale: Optional[float] = None,
-                         p_dropout: float = 0.0, dropout_seed=0,
-                         block_q: int = 512, block_k: int = 512,
-                         interpret: Optional[bool] = None):
-    """Ring attention with the PALLAS FLASH KERNEL as the per-block compute:
-    device memory stays O(S_local) — the [Sq_l, Skv_l] block score matrix of
-    :func:`ring_attention` is never materialised, so sequence length scales
-    with ring size × flash-kernel reach (the plain-jnp ring tops out when
-    one block's scores exhaust HBM).
+def _block_seed(dropout_seed, src, step):
+    """Per-ring-block dropout seed (decorrelates ring steps; the flash
+    kernel hashes block-LOCAL coordinates, so the per-block seed is what
+    makes the global pattern well-defined)."""
+    import jax.numpy as jnp
+    return (jnp.asarray(dropout_seed, jnp.int32)
+            + src * jnp.int32(0x9E3D) + jnp.int32(step))
 
-    Works with the UNMODIFIED flash kernel because a ring block pair is
-    always one of three whole-block cases: the diagonal (kv from this
-    device — causal flash), fully visible (kv from an earlier position —
-    non-causal flash), or fully masked (later position — skipped via
-    ``lax.cond``, the ring's tile-skipping).
 
-    Dropout uses a per-(source-shard) derived seed — statistically
-    equivalent inverted dropout, but the mask pattern does not replicate
-    the single-device kernel's (use :func:`ring_attention` when exact
-    cross-topology mask equality matters). Forward-only primal; wrap in
-    ``jax.checkpoint``/custom VJP at the call site for training.
-    """
+def _ring_flash_fwd_loop(q, k, v, axis_name, causal, sm_scale, p_dropout,
+                         dropout_seed, block_q, block_k, interpret):
+    """Forward ring sweep → (out, l, m) with GLOBAL online-softmax stats."""
     import jax.numpy as jnp
     from ..ops import flash_attention as fa
-    if sm_scale is None:
-        sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
     n = jax.lax.psum(1, axis_name)
     my = jax.lax.axis_index(axis_name)
     b, h, sq_l, d = q.shape
@@ -170,9 +155,7 @@ def ring_flash_attention(q, k, v, *, axis_name: str, causal: bool = False,
     k_blk, v_blk = k, v
     for step in range(n):
         src = (my - step) % n
-        # per-block dropout seed: decorrelate the ring steps
-        seed_i = (jnp.asarray(dropout_seed, jnp.int32)
-                  + src * jnp.int32(0x9E3D) + jnp.int32(step))
+        seed_i = _block_seed(dropout_seed, src, step)
         if not causal:
             a_i, l_i, m_i = block(q, k_blk, v_blk, False, seed_i)
         elif step == 0:
@@ -203,7 +186,125 @@ def ring_flash_attention(q, k, v, *, axis_name: str, causal: bool = False,
     l_safe = jnp.where(l == 0.0, 1.0, l)
     out = acc / l_safe[..., None]
     out = jnp.where((l > 0.0)[..., None], out, 0.0)
-    return out.astype(q.dtype)
+    return out.astype(q.dtype), l, m
+
+
+import functools as _functools
+
+
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9, 10))
+def _ring_flash(q, k, v, seed, axis_name, causal, sm_scale, p_dropout,
+                block_q, block_k, interpret):
+    out, _, _ = _ring_flash_fwd_loop(q, k, v, axis_name, causal, sm_scale,
+                                     p_dropout, seed, block_q, block_k,
+                                     interpret)
+    return out
+
+
+def _ring_flash_vjp_fwd(q, k, v, seed, axis_name, causal, sm_scale,
+                        p_dropout, block_q, block_k, interpret):
+    out, l, m = _ring_flash_fwd_loop(q, k, v, axis_name, causal, sm_scale,
+                                     p_dropout, seed, block_q, block_k,
+                                     interpret)
+    return out, (q, k, v, seed, out, l, m)
+
+
+def _ring_flash_vjp_bwd(axis_name, causal, sm_scale, p_dropout, block_q,
+                        block_k, interpret, res, do):
+    """Ring backward: every block's (dq, dk, dv) comes from the Pallas
+    flash backward kernels fed the GLOBAL (l, m) stats — p reconstructs as
+    the global softmax probability, so per-block gradients sum to the
+    exact attention gradient. dq accumulates locally; dk/dv accumulate on
+    buffers that travel WITH the kv blocks and take one final ppermute
+    hop home. Device memory stays O(S_local) in backward too.
+    """
+    import jax.numpy as jnp
+    from ..ops import flash_attention as fa
+    q, k, v, seed, out, l, m = res
+    n = jax.lax.psum(1, axis_name)
+    my = jax.lax.axis_index(axis_name)
+
+    def block_bwd(q, k_blk, v_blk, blk_causal: bool, seed_i):
+        return fa._bwd_pallas(q, k_blk, v_blk, None, None,
+                              fa._seed_array(seed_i), out, l, m, do,
+                              causal=blk_causal, sm_scale=sm_scale,
+                              block_q=block_q, block_k=block_k,
+                              interpret=interpret,
+                              p_dropout=float(p_dropout))
+
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    dq = jnp.zeros(q.shape, jnp.float32)
+    k_blk, v_blk = k, v
+    dk_blk = jnp.zeros(k.shape, jnp.float32)
+    dv_blk = jnp.zeros(v.shape, jnp.float32)
+    for step in range(n):
+        src = (my - step) % n
+        seed_i = _block_seed(0 if seed is None else seed, src, step)
+        if not causal:
+            dq_i, dk_i, dv_i = block_bwd(q, k_blk, v_blk, False, seed_i)
+        elif step == 0:
+            dq_i, dk_i, dv_i = block_bwd(q, k_blk, v_blk, True, seed_i)
+        else:
+            dq_i, dk_i, dv_i = jax.lax.cond(
+                src < my,
+                lambda args: block_bwd(*args, False, seed_i),
+                lambda args: (jnp.zeros_like(q), jnp.zeros_like(k),
+                              jnp.zeros_like(v)),
+                (q, k_blk, v_blk))
+        dq = dq + dq_i.astype(jnp.float32)
+        dk_blk = dk_blk + dk_i.astype(jnp.float32)
+        dv_blk = dv_blk + dv_i.astype(jnp.float32)
+        if step < n - 1:
+            k_blk = jax.lax.ppermute(k_blk, axis_name, perm)
+            v_blk = jax.lax.ppermute(v_blk, axis_name, perm)
+            dk_blk = jax.lax.ppermute(dk_blk, axis_name, perm)
+            dv_blk = jax.lax.ppermute(dv_blk, axis_name, perm)
+    # after n-1 rotations the block owned by o sits on device o-1:
+    # one more hop returns the accumulated dk/dv to their owners
+    dk_blk = jax.lax.ppermute(dk_blk, axis_name, perm)
+    dv_blk = jax.lax.ppermute(dv_blk, axis_name, perm)
+    return (dq.astype(q.dtype), dk_blk.astype(k.dtype),
+            dv_blk.astype(v.dtype), None)
+
+
+_ring_flash.defvjp(_ring_flash_vjp_fwd, _ring_flash_vjp_bwd)
+
+
+def ring_flash_attention(q, k, v, *, axis_name: str, causal: bool = False,
+                         sm_scale: Optional[float] = None,
+                         p_dropout: float = 0.0, dropout_seed=0,
+                         block_q: int = 512, block_k: int = 512,
+                         interpret: Optional[bool] = None):
+    """Ring attention with the PALLAS FLASH KERNEL as the per-block compute:
+    device memory stays O(S_local) — the [Sq_l, Skv_l] block score matrix of
+    :func:`ring_attention` is never materialised, so sequence length scales
+    with ring size × flash-kernel reach (the plain-jnp ring tops out when
+    one block's scores exhaust HBM).
+
+    Works with the UNMODIFIED flash kernel because a ring block pair is
+    always one of three whole-block cases: the diagonal (kv from this
+    device — causal flash), fully visible (kv from an earlier position —
+    non-causal flash), or fully masked (later position — skipped via
+    ``lax.cond``, the ring's tile-skipping).
+
+    DIFFERENTIABLE: the custom VJP runs the flash backward kernel pair per
+    ring block with the global (l, m) stats, dk/dv riding the rotating
+    buffers home — O(S_local) memory in backward too.
+
+    Dropout uses a per-(source-shard, step) derived seed — statistically
+    equivalent inverted dropout, replayed exactly in backward; the mask
+    pattern does not replicate the single-device kernel's (use
+    :func:`ring_attention` when exact cross-topology mask equality
+    matters).
+    """
+    import jax.numpy as jnp
+    if sm_scale is None:
+        sm_scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _ring_flash(q, k, v, jnp.asarray(dropout_seed, jnp.int32),
+                       axis_name, causal, sm_scale, float(p_dropout),
+                       block_q, block_k, interpret)
 
 
 def context_parallel_attention(q, k_shard, v_shard, *, axis_name: str,
