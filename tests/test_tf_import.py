@@ -178,3 +178,68 @@ class TestImport:
     def test_missing_variable_raises(self, ckpt):
         with pytest.raises(KeyError, match="nope"):
             tf_import.import_kv_variable(ckpt["prefix"], "nope")
+
+
+class TestExportRoundtrip:
+    """Bidirectional migration: tables exported with tf_export are genuine
+    TF TensorBundles (read back by tf.train.load_checkpoint) and round-trip
+    through tf_import exactly."""
+
+    def _table(self):
+        t = kv.create(8, 256, seed=0)
+        raw = np.array([3, 11, 2**40, 7, 9], np.int64)
+        q = kv.encode_ids_np_to_device(raw)
+        rows = np.arange(40, dtype=np.float32).reshape(5, 8)
+        t = kv.insert(t, q, jnp.asarray(rows),
+                      freq=jnp.array([5, 6, 7, 8, 9], jnp.uint32),
+                      blacklist=jnp.array([False, True, False, False, False]),
+                      day=20000)
+        return t, raw, rows
+
+    def test_roundtrip_via_tf(self, tmp_path):
+        from tfplus_tpu.checkpoint import tf_export, tf_import
+        t, raw, rows = self._table()
+        prefix = str(tmp_path / "export.ckpt-1")
+        tf_export.export_checkpoint(prefix, {"emb": t},
+                                    freq_use_uint32=True,
+                                    as_of_unix_day=20005)
+        # genuine bundle: TF reads it directly
+        reader = tf.train.load_checkpoint(prefix)
+        shapes = reader.get_variable_to_shape_map()
+        assert set(shapes) >= {"emb-keys", "emb-values", "emb-init_table",
+                               "emb-blacklist", "emb-freq_keys",
+                               "emb-freq_values"}
+        assert shapes["emb-values"] == [5, 8]
+        # round-trip through the importer
+        (t2,) = tf_import.import_kv_variable(prefix, "emb")
+        q = kv.encode_ids_np_to_device(raw)
+        got = np.asarray(kv.lookup_or_zeros(t2, q))
+        want = np.asarray(kv.lookup_or_zeros(t, q))
+        np.testing.assert_allclose(got, want, rtol=1e-6)   # incl. blacklist 0s
+        np.testing.assert_array_equal(np.asarray(kv.get_count(t2, q)),
+                                      np.asarray(kv.get_count(t, q)))
+        np.testing.assert_array_equal(np.asarray(kv.get_timestamp(t2, q)),
+                                      np.asarray(kv.get_timestamp(t, q)))
+
+    def test_sharded_export_part_naming(self, tmp_path):
+        from tfplus_tpu.checkpoint import tf_export
+        t0, _, _ = self._table()
+        t1 = kv.create(8, 256, seed=1)
+        prefix = str(tmp_path / "sharded.ckpt-1")
+        tf_export.export_checkpoint(prefix, {"emb": [t0, t1]},
+                                    dense={"dnn/w": np.eye(2, dtype=np.float32)})
+        reader = tf.train.load_checkpoint(prefix)
+        shapes = reader.get_variable_to_shape_map()
+        assert "emb/part_0-keys" in shapes and "emb/part_1-keys" in shapes
+        np.testing.assert_array_equal(reader.get_tensor("dnn/w"), np.eye(2))
+
+    def test_inference_mode_first_n3(self, tmp_path):
+        from tfplus_tpu.checkpoint import tf_export
+        from tfplus_tpu.checkpoint.saver import FIRST_N_INFERENCE
+        t, _, _ = self._table()
+        prefix = str(tmp_path / "infer.ckpt-1")
+        tf_export.export_checkpoint(prefix, {"emb": t},
+                                    first_n=FIRST_N_INFERENCE)
+        shapes = tf.train.load_checkpoint(prefix).get_variable_to_shape_map()
+        assert "emb-init_table" in shapes
+        assert "emb-blacklist" not in shapes and "emb-freq_values" not in shapes

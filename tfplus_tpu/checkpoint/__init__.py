@@ -1,4 +1,4 @@
-from . import bundle, repartition, tf_import
+from . import bundle, repartition, tf_export, tf_import
 from .bundle import BundleReader, BundleWriter
 from .manager import CheckpointManager
 from .saver import (FIRST_N_DELTA, FIRST_N_INFERENCE, FIRST_N_KV,
