@@ -254,3 +254,20 @@ class TestTierDuplicates:
         np.testing.assert_array_equal(p[0], [9, 9])
         # arena did not leak rows for the duplicates
         assert len(tier._free) == tier._keys.shape[0] - 1
+
+
+class TestServingOverOSS:
+    def test_export_load_serving_on_object_store(self, oss):
+        """Inference exports + template-free load entirely on oss://."""
+        from tfplus_tpu import serving
+        t = kv.create(8, 256, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, 40, dtype=np.int64))
+        t = kv.insert(t, q, jnp.ones((39, 8)) * 2.0)
+        md = serving.RankingMetadata()
+        md.add_embedding_column(column_name="user", var_name="user_emb",
+                                embedding_dim=8)
+        d = uri(oss, "serving_exp")
+        serving.export_for_serving(d, {"user_emb": t}, md)
+        tables, md2 = serving.load_for_serving(d)
+        got = np.asarray(kv.lookup_or_zeros(tables["user_emb"], q))
+        np.testing.assert_allclose(got, 2.0)

@@ -5,6 +5,8 @@ the reference's tensor contract (``<var>-keys/-values/-init_table/-blacklist/
 The fixture checkpoint is produced by TensorFlow itself (tf.raw_ops.SaveV2 —
 the exact op the reference's saver emits), so this exercises the genuine
 on-disk format, not our own writer."""
+import json
+
 import numpy as np
 import pytest
 
@@ -243,3 +245,28 @@ class TestExportRoundtrip:
         shapes = tf.train.load_checkpoint(prefix).get_variable_to_shape_map()
         assert "emb-init_table" in shapes
         assert "emb-blacklist" not in shapes and "emb-freq_values" not in shapes
+
+
+class TestServingTFPlusFormat:
+    def test_export_for_serving_tfplus_format(self, tmp_path):
+        """format='tfplus': the serving checkpoint is a genuine TensorBundle
+        an existing TFPlus ranking service reads by tensor name."""
+        from tfplus_tpu import serving
+        t = kv.create(4, 128, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, 20, dtype=np.int64))
+        t = kv.insert(t, q, jnp.ones((19, 4)))
+        md = serving.RankingMetadata()
+        md.add_embedding_column(column_name="item", var_name="item_emb",
+                                embedding_dim=4)
+        d = str(tmp_path / "srv")
+        prefix = serving.export_for_serving(d, {"item_emb": t}, md,
+                                            format="tfplus")
+        reader = tf.train.load_checkpoint(prefix)
+        shapes = reader.get_variable_to_shape_map()
+        # the metadata's advertised tensor names exist in the bundle
+        meta = json.loads(open(d + "/rank_service_embedding.json").read())
+        col = meta[serving.RANK_SERVICE_COLLECTION][0]
+        for name in col["embedding_var_keys"] + col["embedding_var_values"]:
+            assert name in shapes, name
+        keys = reader.get_tensor("item_emb-keys")
+        assert sorted(keys.tolist()) == list(range(1, 20))

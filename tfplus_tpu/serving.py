@@ -79,23 +79,41 @@ class RankingMetadata:
 def export_for_serving(directory: str, tables, metadata: RankingMetadata, *,
                        enable_cutoff: bool = True,
                        cutoff_value: float = 1e-20,
-                       extra: Optional[dict] = None) -> str:
+                       extra: Optional[dict] = None,
+                       format: str = "native") -> str:
     """Write an inference-mode export: first_n=3 checkpoint (keys, values,
     init_table — no optimizer slots, near-zero rows clipped) + the
     ``__rank_service_embedding`` metadata + signature JSON.
 
     ``tables``: {var_name: KvTable or [shard tables]} — var_name must match
     the metadata's registered columns. Returns the checkpoint prefix.
+
+    ``format="tfplus"`` writes the checkpoint as a REAL TF TensorBundle
+    (checkpoint.tf_export) so an EXISTING TFPlus-based ranking service
+    consumes it unchanged; ``"native"`` (default) uses this framework's
+    bundle (readable by :func:`load_for_serving`, works on any registered
+    filesystem incl. ``oss://``).
     """
-    import os
+    from .io.filesystem import get_filesystem
     from .checkpoint import saver
-    os.makedirs(directory, exist_ok=True)
-    prefix = os.path.join(directory, "serving")
-    saver.save(prefix, tables, dense=extra, first_n=saver.FIRST_N_INFERENCE,
-               enable_cutoff=enable_cutoff, cutoff_value=cutoff_value)
-    metadata.save(os.path.join(directory, "rank_service_embedding.json"))
-    with open(os.path.join(directory, "signature.json"), "w") as f:
-        json.dump(metadata.generate_signature(), f, indent=1)
+    fs, d = get_filesystem(directory)
+    fs.makedirs(d)
+    join = (lambda a, b: a.rstrip("/") + "/" + b)
+    prefix = join(directory, "serving")
+    if format == "tfplus":
+        from .checkpoint import tf_export
+        tf_export.export_checkpoint(
+            prefix, tables, first_n=saver.FIRST_N_INFERENCE,
+            enable_cutoff=enable_cutoff, cutoff_value=cutoff_value,
+            dense=extra)
+    else:
+        saver.save(prefix, tables, dense=extra,
+                   first_n=saver.FIRST_N_INFERENCE,
+                   enable_cutoff=enable_cutoff, cutoff_value=cutoff_value)
+    metadata.save(join(directory, "rank_service_embedding.json"))
+    sig_fs, sig_p = get_filesystem(join(directory, "signature.json"))
+    with sig_fs.open(sig_p, "wb") as f:
+        f.write(json.dumps(metadata.generate_signature(), indent=1).encode())
     return prefix
 
 
@@ -105,13 +123,13 @@ def load_for_serving(directory: str, *, load_factor: float = 0.6):
     ``(tables, metadata)`` where tables is {var_name: KvTable or [shards]}
     ready for ``kv.lookup_or_zeros`` / ``embedding_lookup(train=False)``.
     """
-    import os
     from .checkpoint import bundle, saver
     from .kv import table as kvt
 
+    join = (lambda a, b: a.rstrip("/") + "/" + b)
     metadata = RankingMetadata.load(
-        os.path.join(directory, "rank_service_embedding.json"))
-    reader = bundle.BundleReader(os.path.join(directory, "serving"))
+        join(directory, "rank_service_embedding.json"))
+    reader = bundle.BundleReader(join(directory, "serving"))
     tables = {}
     for col in metadata._columns:
         dim = col["embedding_dim"]
