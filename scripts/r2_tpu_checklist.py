@@ -12,8 +12,10 @@ so a mid-run wedge still leaves the early results):
   4. the standalone-apply ablation (flat-header meta gather vs the
      round-1 view-based gather — the ~1 ms overhead suspect).
 
-Usage:  timeout 1200 python scripts/r2_tpu_checklist.py
-Never kill it mid-RPC (wedges the tunnel; CLAUDE.md trap #6).
+Usage:  timeout 2400 python scripts/r2_tpu_checklist.py
+(The OUTER timeout must exceed the inner 900 s bench limit, or the expiry
+SIGKILLs the bench client mid-RPC and wedges the tunnel — CLAUDE.md
+trap #6. Inner limits fire first by design.)
 """
 import json
 import os
@@ -35,8 +37,13 @@ def main():
 
     step("1. headline bench")
     r = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                       capture_output=True, timeout=1800)
-    line = r.stdout.decode().strip().splitlines()[-1]
+                       capture_output=True, timeout=900)
+    out_lines = r.stdout.decode().strip().splitlines()
+    if r.returncode != 0 or not out_lines:
+        raise RuntimeError(
+            f"bench.py failed (rc={r.returncode}):\n"
+            f"{r.stderr.decode()[-2000:]}")
+    line = out_lines[-1]
     print(line, flush=True)
     results["bench"] = json.loads(line)
     with open(os.path.join(REPO, "BENCH_LOCAL.json"), "w") as f:
@@ -70,7 +77,6 @@ def main():
                                  k.astype(jnp.float32),
                                  v.astype(jnp.float32), causal=True,
                                  p_dropout=0.2, dropout_seed=7)
-    d = float(jnp.max(jnp.abs(o.astype(jnp.float32) * 0)))  # o is non-causal
     oc = fa.flash_attention(q, k, v, causal=True, p_dropout=0.2,
                             dropout_seed=7, interpret=False)
     err = float(jnp.max(jnp.abs(oc.astype(jnp.float32)

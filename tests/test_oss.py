@@ -271,3 +271,44 @@ class TestServingOverOSS:
         tables, md2 = serving.load_for_serving(d)
         got = np.asarray(kv.lookup_or_zeros(tables["user_emb"], q))
         np.testing.assert_allclose(got, 2.0)
+
+
+class TestListingPagination:
+    def test_paged_listing_returns_everything(self):
+        """Real OSS serves <=1000 keys per GetBucket page; the client must
+        follow IsTruncated/NextMarker (emulator page_size=7 forces many
+        pages)."""
+        with OSSEmulator(CREDS, page_size=7) as host:
+            register_oss()
+            c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
+            names = [f"d/obj{i:03d}" for i in range(25)]
+            for nm in names:
+                c.put(nm, b"x")
+            assert c.list("d/") == sorted(names)
+            # listdir through the fs layer sees all of them too
+            from tfplus_tpu.io.filesystem import get_filesystem
+            fs, p = get_filesystem(uri(host, "d"))
+            assert len(fs.listdir(p)) == 25
+
+
+class TestUnionReaderSafety:
+    def test_incomplete_multihost_save_is_an_error(self, oss, tmp_path):
+        """A listing that surfaces fewer bundles than the -of-NNNNN count
+        encodes must raise, never silently restore a subset of processes."""
+        base = str(tmp_path / "mh")
+        t = kv.create(4, 128, seed=0)
+        saver.save_multihost(base, {"emb": [t]}, process_id=0,
+                             num_processes=3)   # 2 of 3 bundles missing
+        with pytest.raises(IOError, match="incomplete"):
+            saver.UnionReader(base)
+
+    def test_flat_ram_prefix(self):
+        """Flat (no directory) prefixes on ram:// restore fine."""
+        t = kv.create(4, 128, seed=0)
+        q = enc_ids(np.arange(1, 9))
+        t = kv.insert(t, q, jnp.ones((8, 4)))
+        saver.save_multihost("ram://mhflat", {"emb": [t]}, process_id=0,
+                             num_processes=1)
+        tables, _ = saver.restore_multihost("ram://mhflat",
+                                            {"emb": [kv.create(4, 128)]})
+        assert int(kv.size(tables["emb"][0])) == 8

@@ -464,16 +464,36 @@ class UnionReader:
         d, base = p.rsplit("/", 1) if "/" in p else ("", p)
         scheme = prefix[:-len(p)]                 # "" or "<scheme>://"
         pat = _re.compile(_re.escape(base) +
-                          r"-proc\d{5}-of-\d{5}\.index\.json$")
-        try:
-            # relative local prefixes have no dir component: list the cwd
-            names = fs.listdir(d if d else ".")
-        except (FileNotFoundError, OSError):
-            names = []
-        idx = sorted(scheme + (d + "/" if d else "") + fn
-                     for fn in names if pat.match(fn))
-        if not idx:
+                          r"-proc\d{5}-of-(\d{5})\.index\.json$")
+        names: List[str] = []
+        # relative/flat prefixes have no dir component: local = cwd,
+        # flat-key filesystems (ram://) list the root
+        for cand in ([d] if d else [".", ""]):
+            try:
+                names = fs.listdir(cand)
+            except (FileNotFoundError, OSError):
+                names = []
+            if names:
+                break
+        matches = sorted(fn for fn in names if pat.match(fn))
+        if not matches:
             raise FileNotFoundError(f"no multihost bundles under {prefix}")
+        # every matched filename encodes the save's process count — an
+        # incomplete listing (truncated/eventually-consistent object-store
+        # listing, in-flight writes) must be a hard error, not a silent
+        # partial restore of a subset of the processes' rows
+        counts = {int(pat.match(fn).group(1)) for fn in matches}
+        if len(counts) != 1:
+            raise IOError(
+                f"multihost bundles under {prefix} disagree on process "
+                f"count: {sorted(counts)} — mixed/partial save?")
+        want = counts.pop()
+        if len(matches) != want:
+            raise IOError(
+                f"multihost checkpoint under {prefix} is incomplete: found "
+                f"{len(matches)} of {want} process bundles (listing "
+                "truncated or save still in flight)")
+        idx = [scheme + (d + "/" if d else "") + fn for fn in matches]
         self._readers = [bundle.BundleReader(fn[:-len(".index.json")])
                          for fn in idx]
         self._where = {}

@@ -103,6 +103,9 @@ class MemFileSystem(FileSystem):
             k.startswith(path.rstrip("/") + "/") for k in self._files)
 
     def listdir(self, path):
+        if path in ("", "."):
+            # flat keys have no directory structure: root lists them all
+            return sorted({k.split("/")[0] for k in self._files})
         prefix = path.rstrip("/") + "/"
         out = set()
         for k in self._files:

@@ -176,16 +176,35 @@ class ObjectStoreClient:
             raise IOError(f"COPY {src_key} -> {dst_key}: {st} {body[:200]}")
 
     def list(self, prefix: str) -> List[str]:
-        st, _, data = self._request("GET", "",
-                                    query="prefix=" + quote(prefix, safe=""))
-        if st != 200:
-            raise IOError(f"LIST oss://{self.bucket}?prefix={prefix}: {st}")
-        text = data.decode()
-        if text.lstrip().startswith("<"):
-            # real OSS GetBucket responses are XML ListBucketResult
-            import re
-            return re.findall(r"<Key>([^<]*)</Key>", text)
-        return [k for k in text.splitlines() if k]
+        """Full prefix listing — follows GetBucket pagination
+        (IsTruncated/NextMarker; OSS serves at most 1000 keys per page, so
+        a single-page read would silently drop keys of any non-trivial
+        checkpoint directory)."""
+        import re
+        out: List[str] = []
+        marker = ""
+        while True:
+            query = "prefix=" + quote(prefix, safe="") + "&max-keys=1000"
+            if marker:
+                query += "&marker=" + quote(marker, safe="")
+            st, _, data = self._request("GET", "", query=query)
+            if st != 200:
+                raise IOError(
+                    f"LIST oss://{self.bucket}?prefix={prefix}: {st}")
+            text = data.decode()
+            if text.lstrip().startswith("<"):
+                # real OSS GetBucket responses are XML ListBucketResult
+                keys = re.findall(r"<Key>([^<]*)</Key>", text)
+                out.extend(keys)
+                if "<IsTruncated>true</IsTruncated>" not in text:
+                    return out
+                nm = re.search(r"<NextMarker>([^<]*)</NextMarker>", text)
+                marker = nm.group(1) if nm else (keys[-1] if keys else "")
+                if not marker:
+                    return out
+            else:
+                out.extend(k for k in text.splitlines() if k)
+                return out       # plaintext emulators return everything
 
 
 class _OSSReadFile(io.RawIOBase):

@@ -29,6 +29,7 @@ class _Handler(BaseHTTPRequestHandler):
     store: Dict[str, bytes]
     creds: Dict[str, str]
     lock: threading.Lock
+    page_size: int = 1000      # listing keys per page (tests shrink this)
 
     def log_message(self, *a):       # silence
         pass
@@ -101,13 +102,26 @@ class _Handler(BaseHTTPRequestHandler):
         if not self._authorized("GET"):
             return self._deny()
         key, q = self._key()
-        if "prefix" in q:       # bucket listing
+        if "prefix" in q:       # bucket listing: real XML ListBucketResult
             bucket = key.split("/")[0]
             prefix = bucket + "/" + q["prefix"][0]
+            marker = q.get("marker", [""])[0]
+            page = min(int(q.get("max-keys", ["1000"])[0]), self.page_size)
             with self.lock:
-                keys = [k[len(bucket) + 1:] for k in self.store
-                        if k.startswith(prefix)]
-            return self._reply(200, ("\n".join(sorted(keys))).encode())
+                keys = sorted(k[len(bucket) + 1:] for k in self.store
+                              if k.startswith(prefix))
+            if marker:
+                keys = [k for k in keys if k > marker]
+            truncated = len(keys) > page
+            out = keys[:page]
+            body = ["<?xml version='1.0'?><ListBucketResult>"]
+            body += [f"<Contents><Key>{k}</Key></Contents>" for k in out]
+            body.append(f"<IsTruncated>{'true' if truncated else 'false'}"
+                        "</IsTruncated>")
+            if truncated and out:
+                body.append(f"<NextMarker>{out[-1]}</NextMarker>")
+            body.append("</ListBucketResult>")
+            return self._reply(200, "".join(body).encode())
         with self.lock:
             data = self.store.get(key)
         if data is None:
@@ -143,9 +157,10 @@ class _Handler(BaseHTTPRequestHandler):
 class OSSEmulator:
     """Threaded object-store server; context manager yields ``host:port``."""
 
-    def __init__(self, creds: Dict[str, str]):
+    def __init__(self, creds: Dict[str, str], page_size: int = 1000):
         handler = type("Handler", (_Handler,), {
-            "store": {}, "creds": dict(creds), "lock": threading.Lock()})
+            "store": {}, "creds": dict(creds), "lock": threading.Lock(),
+            "page_size": page_size})
         self._handler = handler
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         self._thread = threading.Thread(target=self._srv.serve_forever,

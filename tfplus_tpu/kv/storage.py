@@ -237,12 +237,11 @@ class HostStorageTier:
             return
         payload = np.asarray(payload, self.value_dtype)
         meta = np.asarray(meta, np.uint32)
-        uniq = np.unique(ids_u64)
-        if len(uniq) != n:
-            # duplicate ids: keep the LAST occurrence (dict upsert
-            # semantics) — otherwise each duplicate would claim its own
-            # arena row and leak all but one
-            _, last_rev = np.unique(ids_u64[::-1], return_index=True)
+        # duplicate ids: keep the LAST occurrence (dict upsert semantics) —
+        # otherwise each duplicate would claim its own arena row and leak
+        # all but one. One reversed unique detects AND resolves them.
+        _, last_rev = np.unique(ids_u64[::-1], return_index=True)
+        if len(last_rev) != n:
             keep = np.sort(n - 1 - last_rev)
             ids_u64, payload, meta = ids_u64[keep], payload[keep], meta[keep]
             n = len(ids_u64)
@@ -260,8 +259,8 @@ class HostStorageTier:
             rows[~found] = new_rows
             self._index.put(ids_u64[~found], new_rows)
             self._keys[new_rows] = ids_u64[~found]
-        self._payload[rows] = np.asarray(payload, self.value_dtype)
-        self._meta[rows] = np.asarray(meta, np.uint32)
+        self._payload[rows] = payload
+        self._meta[rows] = meta
 
     def lookup_rows(self, ids_u64: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:

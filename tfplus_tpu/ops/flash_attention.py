@@ -72,13 +72,16 @@ def _dropout_keep(seed, bi, hi, row0, col0, bq: int, bk: int,
 
 
 def _dropout_keep_dense(seed, b: int, h: int, sq: int, skv: int,
-                        p_dropout: float) -> jnp.ndarray:
-    """[B, H, Sq, Skv] keep-mask — the dense-fallback twin of
-    :func:`_dropout_keep` (bit-identical by construction)."""
+                        p_dropout: float, row0=0, col0=0) -> jnp.ndarray:
+    """[B, H, Sq, Skv] keep-mask — the dense twin of :func:`_dropout_keep`
+    (bit-identical by construction). ``row0``/``col0`` offset the global
+    coordinates (ring attention uses this for per-block masks)."""
     bi = jnp.arange(b, dtype=jnp.uint32)[:, None, None, None]
     hi = jnp.arange(h, dtype=jnp.uint32)[None, :, None, None]
-    r = jnp.arange(sq, dtype=jnp.uint32)[None, None, :, None]
-    c = jnp.arange(skv, dtype=jnp.uint32)[None, None, None, :]
+    r = (jnp.arange(sq, dtype=jnp.uint32)
+         + jnp.uint32(row0))[None, None, :, None]
+    c = (jnp.arange(skv, dtype=jnp.uint32)
+         + jnp.uint32(col0))[None, None, None, :]
     base = (jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
             + bi * jnp.uint32(0x7FEB352D) + hi * jnp.uint32(0x846CA68B))
     x = _mix_bits(base + r * jnp.uint32(0x27D4EB2F) + c)

@@ -34,22 +34,13 @@ _NEG = -0.7 * float(np.finfo(np.float32).max)
 def _dropout_keep_block(seed, b, h, sq, skv, row0, col0,
                         p_dropout: float) -> jnp.ndarray:
     """[B,H,sq,skv] keep-mask for GLOBAL coordinates (row0+i, col0+j) —
-    the same counter-based hash as the flash kernel's dropout
-    (ops.flash_attention._dropout_keep), so a ring-sharded sequence drops
-    exactly the same attention entries as the single-device kernel given
-    the same seed, independent of ring step order."""
-    from ..ops.flash_attention import _mix_bits
-    bi = jnp.arange(b, dtype=jnp.uint32)[:, None, None, None]
-    hi = jnp.arange(h, dtype=jnp.uint32)[None, :, None, None]
-    r = (jnp.arange(sq, dtype=jnp.uint32)
-         + jnp.uint32(row0))[None, None, :, None]
-    c = (jnp.arange(skv, dtype=jnp.uint32)
-         + jnp.uint32(col0))[None, None, None, :]
-    base = (jnp.uint32(seed) * jnp.uint32(0x9E3779B9)
-            + bi * jnp.uint32(0x7FEB352D) + hi * jnp.uint32(0x846CA68B))
-    x = _mix_bits(base + r * jnp.uint32(0x27D4EB2F) + c)
-    thresh = jnp.uint32(min(int(p_dropout * 4294967296.0), 4294967295))
-    return x >= thresh
+    the flash kernel's hash (ops.flash_attention._dropout_keep_dense with
+    offsets), so a ring-sharded sequence drops exactly the same attention
+    entries as the single-device kernel given the same seed, independent
+    of ring step order."""
+    from ..ops.flash_attention import _dropout_keep_dense
+    return _dropout_keep_dense(seed, b, h, sq, skv, p_dropout,
+                               row0=row0, col0=col0)
 
 
 def _local_block(q, k, v, sm_scale, causal, q_off, kv_off,

@@ -96,6 +96,14 @@ def export_for_serving(directory: str, tables, metadata: RankingMetadata, *,
     """
     from .io.filesystem import get_filesystem
     from .checkpoint import saver
+    if format == "tfplus" and "://" in directory:
+        # SaveV2 writes through TensorFlow's own filesystem layer, which
+        # cannot resolve this framework's scheme registry — fail BEFORE any
+        # partial side effects; write locally then copy, or use "native"
+        raise ValueError(
+            "format='tfplus' requires a local directory (TensorFlow's "
+            f"SaveV2 cannot resolve {directory.split('://')[0]}:// URIs); "
+            "export locally and upload, or use format='native'")
     fs, d = get_filesystem(directory)
     fs.makedirs(d)
     join = (lambda a, b: a.rstrip("/") + "/" + b)
