@@ -353,3 +353,13 @@ def test_multi_table_isolation_fuzz():
             set(model[name]), name
     assert int(jax.device_get(kv.size(mt.table))) == \
         sum(len(v) for v in model.values())
+
+
+def test_checkpoint_lineage_fuzz_chunked(tmp_path, monkeypatch):
+    """The lineage fuzz again, with the saver's chunk budget forced tiny so
+    every save/restore/repartition in the sequence exercises the CHUNKED
+    streaming path (multi-segment writes, lookup-slice restores) instead of
+    the single-chunk fast case small tests otherwise hit."""
+    from tfplus_tpu.checkpoint import saver as _saver
+    monkeypatch.setattr(_saver, "DEFAULT_CHUNK_BYTES", 256)  # ~16 rows/chunk
+    test_checkpoint_lineage_fuzz(12, tmp_path)
