@@ -165,14 +165,16 @@ def test_random_op_sequence(seed):
 
 
 @pytest.mark.parametrize("seed", [10, 11])
-def test_checkpoint_lineage_fuzz(seed, tmp_path):
+def test_checkpoint_lineage_fuzz(seed, tmp_path, ckpt_dir=None):
     """Random train/full/delta/crash-restore sequences: after every restore
     the table must equal the dict model that tracked only COMMITTED state
-    (mutations since the last save are lost, exactly like a real crash)."""
+    (mutations since the last save are lost, exactly like a real crash).
+    ``ckpt_dir`` overrides the lineage directory (oss:// integration fuzz)."""
     from tfplus_tpu import checkpoint as ckpt
 
     rng = np.random.RandomState(seed)
-    mgr = ckpt.CheckpointManager(str(tmp_path / f"s{seed}"), max_to_keep=3)
+    mgr = ckpt.CheckpointManager(ckpt_dir or str(tmp_path / f"s{seed}"),
+                                 max_to_keep=3)
     t = kv.create(DIM, 512, seed=seed)
     committed = {}        # id -> row, as of the last save
     live = {}             # id -> row, current

@@ -312,3 +312,12 @@ class TestUnionReaderSafety:
         tables, _ = saver.restore_multihost("ram://mhflat",
                                             {"emb": [kv.create(4, 128)]})
         assert int(kv.size(tables["emb"][0])) == 8
+
+
+class TestLineageFuzzOverOSS:
+    def test_lineage_fuzz_on_object_store(self, oss, tmp_path):
+        """The full checkpoint-lineage fuzz (random train/full/delta/crash
+        sequences) with the lineage directory ON the object store — manager
+        state file, bundles, GC and restores all over signed HTTP."""
+        from tests.test_fuzz_table import test_checkpoint_lineage_fuzz
+        test_checkpoint_lineage_fuzz(10, tmp_path, ckpt_dir=uri(oss, "fz"))
