@@ -187,3 +187,25 @@ class TestSecondOrderSegmentGrads:
         hvp = jax.grad(lambda r: jnp.vdot(jax.grad(f)(r), g))(look.rows)
         assert np.all(np.isfinite(np.asarray(hvp)))
         assert np.abs(np.asarray(hvp)).sum() > 0
+
+
+class TestQuantizedServingLoad:
+    def test_load_for_serving_quantized(self, tmp_path):
+        from tfplus_tpu import serving
+        from tfplus_tpu.kv import quant
+        t = kv.create(8, 512, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, 100, dtype=np.int64))
+        rng = np.random.RandomState(0)
+        t = kv.insert(t, q, jnp.asarray(rng.randn(99, 8).astype(np.float32)))
+        md = serving.RankingMetadata()
+        md.add_embedding_column(column_name="u", var_name="u_emb",
+                                embedding_dim=8)
+        d = str(tmp_path / "srv")
+        serving.export_for_serving(d, {"u_emb": t}, md)
+        tables, _ = serving.load_for_serving(d, quantize=True)
+        qt = tables["u_emb"]
+        assert isinstance(qt, quant.QuantKvTable)
+        full = np.asarray(kv.lookup_or_zeros(t, q), np.float32)
+        deq = np.asarray(quant.lookup_or_zeros(qt, q))
+        bound = np.abs(full).max(axis=1, keepdims=True) / 250.0 + 1e-7
+        assert (np.abs(deq - full) <= bound).all()

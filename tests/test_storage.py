@@ -439,3 +439,55 @@ class TestNpIndexVectorized:
         np.testing.assert_array_equal(m2, meta)
         assert tier.size == 0
         assert dt < 5.0, f"bulk tier moves too slow: {dt:.2f}s for {n} rows"
+
+
+class TestQuantizedServing:
+    """Int8 row-quantized serving tables (kv/quant.py) — beyond-reference
+    memory capability: 4x less HBM per vocabulary at serving time."""
+
+    def _trained(self, dim=16, n=200):
+        from tfplus_tpu import train as tft
+        t = kv.create(dim, 1024, seed=0)
+        opt = tft.AdagradOptimizer()
+        t = opt.init(t)
+        ids = np.arange(1, n + 1, dtype=np.int64) * 3
+        q = kv.encode_ids_np_to_device(ids)
+        res = kv.lookup_or_insert(t, q)
+        rng = np.random.RandomState(0)
+        t = opt.apply(res.table, res.slot,
+                      jnp.asarray(rng.randn(n, dim).astype(np.float32)),
+                      lr=0.5, step=1)
+        return t, q
+
+    def test_dequantized_lookup_close_and_4x_smaller(self):
+        from tfplus_tpu.kv import quant
+        t, q = self._trained()
+        qt = quant.quantize_table(t)
+        full = np.asarray(kv.lookup_or_zeros(t, q), np.float32)
+        deq = np.asarray(quant.lookup_or_zeros(qt, q))
+        # symmetric int8: |err| <= max|row|/254 per element
+        bound = np.abs(full).max(axis=1, keepdims=True) / 254.0 + 1e-7
+        assert (np.abs(deq - full) <= bound).all()
+        values_bytes = t.capacity * t.dim * 4
+        assert qt.payload.nbytes <= values_bytes // 4
+        assert quant.max_quant_error(t) <= np.abs(full).max() / 200
+
+    def test_unknown_and_blacklisted_read_zero(self):
+        from tfplus_tpu.kv import quant
+        t, q = self._trained()
+        bl = kv.encode_ids_np_to_device(np.array([3], np.int64))
+        t = kv.insert(t, bl, jnp.ones((1, 16)), blacklist=jnp.array([True]))
+        qt = quant.quantize_table(t)
+        probe = kv.encode_ids_np_to_device(
+            np.array([3, 999_999], np.int64))   # blacklisted, absent
+        out = np.asarray(quant.lookup_or_zeros(qt, probe))
+        np.testing.assert_array_equal(out, 0.0)
+
+    def test_jits_and_shards_like_a_table(self):
+        """Quantized lookup works under jit (static shapes, pure gather)."""
+        from tfplus_tpu.kv import quant
+        t, q = self._trained()
+        qt = quant.quantize_table(t)
+        f = jax.jit(lambda qt, q: quant.lookup_or_zeros(qt, q))
+        np.testing.assert_allclose(np.asarray(f(qt, q)),
+                                   np.asarray(quant.lookup_or_zeros(qt, q)))

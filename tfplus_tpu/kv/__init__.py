@@ -1,5 +1,5 @@
 """KV embedding table engine (TPU-native KvVariable equivalent)."""
-from . import hashing, unique, table, storage
+from . import hashing, unique, table, storage, quant
 from .hashing import encode_ids, encode_ids_np_to_device, decode_ids_np, shard_of
 from .table import (KvConfig, KvTable, LookupResult, FindResult, create, find,
                     lookup_or_insert, lookup_or_zeros, lookup_with_init,

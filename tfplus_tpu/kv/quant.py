@@ -1,0 +1,101 @@
+"""Int8 row-quantized serving tables — 4× less HBM per vocabulary.
+
+Beyond reference parity (the reference serves float/half at best,
+kernels/kv_variable_ops.cc type constraints): an inference-only KvTable
+whose payload is symmetric per-row int8 (scale = max|row|/127). Lookups
+gather int8 rows + their f32 scales and dequantize on the VPU — the
+gather is issue-bound per ROW on TPU (PERF.md), so int8 serving lookups
+cost the same time as f32 while the table holds 4× the rows per chip.
+
+Training stays full-precision (optimizer state needs it; the engine's
+payload fusion shares one dtype) — quantize AFTER training:
+
+    qt = quant.quantize_table(table)         # or from a serving export
+    rows = quant.lookup_or_zeros(qt, ids)    # dequantized f32
+
+The header (keys + packed meta) is shared with KvTable, so `find`,
+blacklist-reads-as-zero, and shard routing behave identically.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import hashing
+from . import table as kvt
+from ..ops import rowops
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class QuantKvTable:
+    header: jnp.ndarray          # int32[C // 16, 64] — same planar header
+    payload: jnp.ndarray         # int8[C, D]
+    scale: jnp.ndarray           # f32[C] per-row dequant scale
+    config: kvt.KvConfig = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def capacity(self) -> int:
+        return self.header.shape[0] * hashing.BUCKET_SIZE
+
+    @property
+    def dim(self) -> int:
+        return self.config.dim
+
+    @property
+    def nbytes(self) -> int:
+        return int(self.payload.nbytes + self.scale.nbytes
+                   + self.header.nbytes)
+
+
+def quantize_rows(rows: jnp.ndarray):
+    """Symmetric per-row int8: ``(q, scale)`` with q = round(v/scale)."""
+    absmax = jnp.max(jnp.abs(rows.astype(jnp.float32)), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(rows.astype(jnp.float32) / scale[:, None]),
+                 -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def quantize_table(table: kvt.KvTable) -> QuantKvTable:
+    """Quantize a trained table for serving (drops optimizer slots)."""
+    values = table.payload[:, :table.config.dim]
+    q, scale = quantize_rows(values)
+    return QuantKvTable(header=table.header, payload=q, scale=scale,
+                        config=table.config)
+
+
+def lookup_or_zeros(table: QuantKvTable, q: jnp.ndarray,
+                    valid: Optional[jnp.ndarray] = None,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Inference gather with on-the-fly dequantization; unknown /
+    blacklisted keys read as zeros (same contract as kv.lookup_or_zeros)."""
+    # reuse the KvTable probe — it only touches the (shared) header
+    view = kvt.KvTable(header=table.header, payload=table.payload,
+                       init_pool=table.payload[:1],
+                       deleted_keys=jnp.zeros((1, 2), jnp.int32),
+                       deleted_count=jnp.zeros((), jnp.int32),
+                       deleted_overflow=jnp.zeros((), bool),
+                       config=table.config)
+    fr = kvt.find(view, q, valid)
+    ok = fr.found & ((fr.meta & kvt.FLAG_BLACKLIST) == 0)
+    rows_q = rowops.gather_rows(table.payload, jnp.where(ok, fr.slot, -1))
+    scale = table.scale[jnp.where(ok, fr.slot, 0)]
+    rows = rows_q.astype(dtype) * scale[:, None].astype(dtype)
+    return jnp.where(ok[:, None], rows, jnp.zeros((), dtype))
+
+
+def max_quant_error(table: kvt.KvTable) -> float:
+    """Worst-case absolute dequantization error over live rows (host-side
+    diagnostic): ≤ max|row|/254 per element by construction."""
+    qt = quantize_table(table)
+    occ = kvt.occupied_mask(table)
+    deq = qt.payload.astype(jnp.float32) * qt.scale[:, None]
+    err = jnp.max(jnp.where(occ[:, None],
+                            jnp.abs(deq - table.payload[:, :table.dim]
+                                    .astype(jnp.float32)), 0.0))
+    return float(jax.device_get(err))

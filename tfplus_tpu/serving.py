@@ -125,11 +125,16 @@ def export_for_serving(directory: str, tables, metadata: RankingMetadata, *,
     return prefix
 
 
-def load_for_serving(directory: str, *, load_factor: float = 0.6):
+def load_for_serving(directory: str, *, load_factor: float = 0.6,
+                     quantize: bool = False):
     """Load an :func:`export_for_serving` directory with NO templates:
     table shapes are discovered from the metadata + bundle. Returns
     ``(tables, metadata)`` where tables is {var_name: KvTable or [shards]}
     ready for ``kv.lookup_or_zeros`` / ``embedding_lookup(train=False)``.
+
+    ``quantize=True`` loads each table as an int8 row-quantized
+    :class:`~tfplus_tpu.kv.quant.QuantKvTable` (4× less HBM; lookups via
+    ``kv.quant.lookup_or_zeros``).
     """
     from .checkpoint import bundle, saver
     from .kv import table as kvt
@@ -150,7 +155,11 @@ def load_for_serving(directory: str, *, load_factor: float = 0.6):
             while cap * load_factor < max(rows, 1):
                 cap *= 2
             tmpl = kvt.create(dim, cap)
-            shards.append(saver.restore_table(reader, n, tmpl))
+            t = saver.restore_table(reader, n, tmpl)
+            if quantize:
+                from .kv import quant
+                t = quant.quantize_table(t)
+            shards.append(t)
         var = names[0].split("/part_")[0]
         tables[var] = shards if len(shards) > 1 else shards[0]
     return tables, metadata
