@@ -152,6 +152,41 @@ def bench_inference_lookup():
     return n / dt
 
 
+def bench_inference_lookup_int8():
+    """Serving path, int8 row-quantized table: lookups dequantize on the
+    VPU; gathers are issue-bound per row so this should match the f32
+    number at a quarter of the HBM (kv/quant.py)."""
+    import jax
+    import jax.numpy as jnp
+    from tfplus_tpu import kv
+    from tfplus_tpu.kv import quant
+
+    dim, capacity, n, reps = 128, 1 << 20, 1 << 15, 30
+    t = kv.create(dim, capacity, max_probes=16, seed=0)
+    rng = np.random.RandomState(0)
+    ids = kv.encode_ids_np_to_device(
+        rng.choice(capacity * 4, n, replace=False).astype(np.int64))
+    t = kv.lookup_or_insert(t, ids).table
+    qt = quant.quantize_table(t)
+    ids_flip = jnp.flip(ids, axis=0)
+
+    @jax.jit
+    def run(qt, ids, ids_flip):
+        def body(i, acc):
+            idsi = jnp.where((i % 2) == 0, ids, ids_flip)
+            rows = quant.lookup_or_zeros(qt, idsi)
+            return acc + rows[0, 0]
+        return jax.lax.fori_loop(0, reps, body, jnp.zeros(()))
+
+    o = run(qt, ids, ids_flip)
+    np.asarray(jax.device_get(o))
+    t0 = time.perf_counter()
+    o = run(qt, ids, ids_flip)
+    np.asarray(jax.device_get(o))
+    dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / reps
+    return n / dt
+
+
 def bench_group_adam_calibration():
     """GroupAdam (k=3 wide payload — the scan kernel's target case) step
     time: scatter path vs the streaming scan kernel, via the calibration
@@ -341,6 +376,10 @@ def main():
         ga_cal = bench_group_adam_calibration()
     except Exception:
         ga_cal = None
+    try:
+        infer_int8 = round(bench_inference_lookup_int8(), 0)
+    except Exception:
+        infer_int8 = None
 
     print(json.dumps({
         "metric": "fused_lookup_update_bandwidth",
@@ -366,6 +405,7 @@ def main():
             "flash_attention_grad_tflops_bf16": fa_bwd_tflops,
             "dcn_train_examples_per_s_per_chip": dcn_eps,
             "inference_lookup_ids_per_s": infer_ips,
+            "inference_lookup_int8_ids_per_s": infer_int8,
             "group_adam_calibration": ga_cal,
         },
     }))
