@@ -270,3 +270,50 @@ class TestServingTFPlusFormat:
             assert name in shapes, name
         keys = reader.get_tensor("item_emb-keys")
         assert sorted(keys.tolist()) == list(range(1, 20))
+
+
+class TestMigrationFuzz:
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    def test_random_tables_roundtrip(self, tmp_path, seed):
+        """Random tables (random shard counts, freqs, days, blacklists)
+        through tf_export -> TF bundle -> tf_import: exact state recovery."""
+        from tfplus_tpu.checkpoint import tf_export, tf_import
+        rng = np.random.RandomState(seed)
+        n_shards = int(rng.randint(1, 4))
+        dim = int(rng.choice([4, 8, 16]))
+        shards, all_ids = [], []
+        for s in range(n_shards):
+            t = kv.create(dim, 512, seed=seed * 10 + s)
+            ids = np.unique(rng.randint(1, 10**6, rng.randint(5, 80))
+                            .astype(np.int64))
+            ids = ids[ids % n_shards == s]
+            if len(ids):
+                black = rng.rand(len(ids)) < 0.2
+                t = kv.insert(
+                    t, kv.encode_ids_np_to_device(ids),
+                    jnp.asarray(rng.randn(len(ids), dim).astype(np.float32)),
+                    freq=jnp.asarray(rng.randint(1, 60000, len(ids))
+                                     .astype(np.uint32)),
+                    blacklist=jnp.asarray(black), day=20000 + seed)
+            shards.append(t)
+            all_ids.append(ids)
+        prefix = str(tmp_path / f"fz{seed}.ckpt")
+        tf_export.export_checkpoint(
+            prefix, {"emb": shards if n_shards > 1 else shards[0]},
+            freq_use_uint32=bool(seed % 2), as_of_unix_day=20010 + seed)
+        # import to a DIFFERENT shard count (elastic)
+        n_want = int(rng.randint(1, 5))
+        out = tf_import.import_kv_variable(prefix, "emb", num_shards=n_want,
+                                           capacity=512)
+        for s, ids in enumerate(all_ids):
+            if not len(ids):
+                continue
+            for key in ids:
+                q = kv.encode_ids_np_to_device(np.array([key], np.int64))
+                got = np.asarray(kv.lookup_or_zeros(out[int(key) % n_want], q))
+                want = np.asarray(kv.lookup_or_zeros(shards[s], q))
+                np.testing.assert_allclose(got[0], want[0], rtol=1e-6,
+                                           err_msg=f"id {key}")
+                assert (int(np.asarray(kv.get_count(out[int(key) % n_want],
+                                                    q))[0])
+                        == int(np.asarray(kv.get_count(shards[s], q))[0]))
