@@ -308,3 +308,51 @@ class TestShardedFuzz:
                 got[m] = np.asarray(kv.lookup_or_zeros(
                     shard, kv.encode_ids(probe[m])))
         np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+class TestCompressedExchange:
+    """exchange_dtype=bf16 halves the all_to_all wire bytes (lossy DLRM
+    comm compression, arXiv:2407.04272 pattern); results stay within bf16
+    rounding of the exact exchange and table state stays f32."""
+
+    def test_bf16_exchange_close_to_exact(self):
+        import functools
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        mesh = par.make_mesh(NDEV)
+        opt = tft.AdagradOptimizer()
+        rng = np.random.RandomState(0)
+        idn = rng.randint(1, 500, 16 * NDEV).astype(np.int32)
+        y = (idn % 5).astype(np.float32)
+
+        def build():
+            t = par.create_sharded(8, 256, NDEV, seed=3)
+            t = par.init_optimizer_sharded(opt, t)
+            t = jax.device_put(t, par.table_sharding(mesh))
+            return t
+
+        def make_step(xdtype):
+            tspec = jax.tree_util.tree_map(lambda _: P("mp"), build())
+
+            @functools.partial(shard_map, mesh=mesh,
+                               in_specs=(tspec, P("mp"), P("mp")),
+                               out_specs=(tspec, P()), check_vma=False)
+            def step(tab, ids, y):
+                rows, st, tab = par.sharded_lookup(
+                    tab, ids, exchange_dtype=xdtype)
+                loss, g = jax.value_and_grad(
+                    lambda r: jnp.mean((r.sum(-1) - y) ** 2))(rows)
+                tab = par.sharded_apply_grads(opt, tab, st, g, lr=0.05,
+                                              step=1, exchange_dtype=xdtype)
+                return tab, jax.lax.pmean(loss, "mp")
+            return jax.jit(step)
+
+        ids = jnp.asarray(idn)
+        yj = jnp.asarray(y)
+        t_exact, l_exact = make_step(None)(build(), ids, yj)
+        t_bf16, l_bf16 = make_step(jnp.bfloat16)(build(), ids, yj)
+        assert t_bf16.payload.dtype == jnp.float32   # state stays f32
+        assert abs(float(l_exact) - float(l_bf16)) < 2e-2
+        np.testing.assert_allclose(
+            np.asarray(t_bf16.payload, np.float32),
+            np.asarray(t_exact.payload, np.float32), atol=2e-2)

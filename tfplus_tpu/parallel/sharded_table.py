@@ -134,6 +134,7 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
                    day: int | Arr = 0,
                    bucket_capacity: Optional[int] = None,
                    defer_meta: bool = False,
+                   exchange_dtype=None,
                    ) -> Tuple[Arr, ExchangeState, kvt.KvTable]:
     """Per-device body (call inside ``shard_map``; sharded arrays arrive with
     leading axis 1). ``ids`` is this device's batch slice, rank-1 raw int32
@@ -145,6 +146,13 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
     ``sharded_apply_grads`` over the returned state — the lookup defers its
     metadata write into the apply (one meta write per step, as in the
     single-table fused train path).
+
+    ``exchange_dtype`` (e.g. ``jnp.bfloat16``): lossy-compress the row
+    payload of the owner→source all_to_all — halves the ICI bytes of the
+    exchange (lossy-compressed DLRM communication is an established
+    technique, cf. arXiv:2407.04272); table state stays full precision,
+    only the wire format narrows. Pass the same dtype to
+    ``sharded_apply_grads`` for the gradient direction.
     """
     table = _squeeze(sharded_local)
     S = jax.lax.psum(1, axis_name)
@@ -194,9 +202,14 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
     # rows back to sources (mirror exchange)
     back_rows = own_rows[ou.inverse]                    # [S*cap, D]
     back_rows = jnp.where(rvalid[:, None], back_rows, 0.0)
+    wire_dtype = back_rows.dtype
+    if exchange_dtype is not None:
+        back_rows = back_rows.astype(exchange_dtype)   # narrow the wire only
     got_rows = jax.lax.all_to_all(
         back_rows.reshape(S, cap, -1), axis_name, 0, 0, tiled=False
     ).reshape(S * cap, -1)
+    if exchange_dtype is not None:
+        got_rows = got_rows.astype(wire_dtype)
 
     # unbucket: source-unique i's row sits at flat slot dest[i]
     pad_row = jnp.zeros((1, got_rows.shape[-1]), got_rows.dtype)
@@ -217,10 +230,16 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
 def sharded_apply_grads(opt: SparseOptimizer, sharded_local: kvt.KvTable,
                         state: ExchangeState, batch_grads: Arr, *,
                         axis_name: str = "mp", lr, step,
+                        exchange_dtype=None,
                         ) -> kvt.KvTable:
     """Mirror path: per-batch-position grads → segment-sum to source uniques →
     all_to_all to owners → owner-side segment-sum across sources → fused
-    sparse optimizer update on the owner shard."""
+    sparse optimizer update on the owner shard.
+
+    ``exchange_dtype``: lossy-compress the gradient all_to_all (see
+    sharded_lookup) — grads are pre-summed per source BEFORE the wire and
+    re-summed in full precision on the owner, so the rounding applies once
+    per (source, key) contribution."""
     table = _squeeze(sharded_local)
     S = jax.lax.psum(1, axis_name)
     bl = batch_grads.shape[0]
@@ -231,9 +250,14 @@ def sharded_apply_grads(opt: SparseOptimizer, sharded_local: kvt.KvTable,
     send = jnp.zeros((total, g.shape[-1]), g.dtype).at[state.dest].add(
         src_g, mode="drop")
     cap = total // S
+    acc_dtype = send.dtype
+    if exchange_dtype is not None:
+        send = send.astype(exchange_dtype)
     recv = jax.lax.all_to_all(
         send.reshape(S, cap, -1), axis_name, 0, 0, tiled=False
     ).reshape(total, -1)
+    if exchange_dtype is not None:
+        recv = recv.astype(acc_dtype)
     own_g = jax.ops.segment_sum(
         jnp.where(state.own_valid[:, None], recv, 0.0),
         state.own_inverse, num_segments=total)
