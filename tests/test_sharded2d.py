@@ -217,3 +217,51 @@ def test_fuzz_multi_step_zipf():
             got[m] = np.asarray(kv.lookup_or_zeros(
                 combined[r], kv.encode_ids(probe[m])))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+def test_2d_compressed_exchange_close_to_exact():
+    """exchange_dtype threads through both the row and col wires of the 2D
+    path; results stay within bf16 rounding of the exact exchange."""
+    import functools
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from tfplus_tpu import train as tft
+    from tfplus_tpu.parallel import sharded2d as s2
+
+    R, C, dim, bl = 4, 2, 8, 8
+    mesh = s2.make_mesh_2d(R, C)
+    opt = s2.for_col_axis(tft.GroupAdamOptimizer())
+
+    def build():
+        t = s2.create_sharded_2d(dim, 256, R, C, seed=0)
+        t = s2.init_optimizer_sharded_2d(opt, t)
+        return jax.device_put(t, s2.table_sharding_2d(mesh))
+
+    def make_step(xdtype):
+        tspec = jax.tree_util.tree_map(lambda _: P("row", "col"), build())
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(tspec, P(("row", "col")),
+                                     P(("row", "col"))),
+                           out_specs=(tspec, P()), check_vma=False)
+        def step(tab, ids, y):
+            rows, state, tab = s2.sharded_lookup_2d(
+                tab, ids, exchange_dtype=xdtype)
+            loss, g = jax.value_and_grad(
+                lambda r: jnp.mean((r.sum(-1) - y) ** 2))(rows)
+            tab = s2.sharded_apply_grads_2d(opt, tab, state, g, lr=0.05,
+                                            step=1, exchange_dtype=xdtype)
+            return tab, jax.lax.pmean(loss, ("row", "col"))
+        return jax.jit(step)
+
+    rng = np.random.RandomState(0)
+    idn = rng.randint(1, 200, bl * R * C).astype(np.int64)
+    ids = kv.encode_ids_np_to_device(idn)
+    y = jnp.asarray((idn % 5).astype(np.float32))
+    t_exact, l_exact = make_step(None)(build(), ids, y)
+    t_bf16, l_bf16 = make_step(jnp.bfloat16)(build(), ids, y)
+    assert t_bf16.payload.dtype == jnp.float32
+    assert abs(float(l_exact) - float(l_bf16)) < 5e-2
+    np.testing.assert_allclose(np.asarray(t_bf16.payload, np.float32),
+                               np.asarray(t_exact.payload, np.float32),
+                               atol=5e-2)

@@ -116,6 +116,7 @@ def sharded_lookup_2d(sharded_local: kvt.KvTable, ids, *,
                       valid: Optional[jnp.ndarray] = None,
                       day=0, bucket_capacity: Optional[int] = None,
                       defer_meta: bool = False,
+                      exchange_dtype=None,
                       ) -> Tuple[jnp.ndarray, st.ExchangeState, kvt.KvTable]:
     """Per-device body (inside ``shard_map`` over a ("row","col") mesh;
     table arrays arrive with leading [1, 1]). ``ids``: this device's batch
@@ -131,11 +132,17 @@ def sharded_lookup_2d(sharded_local: kvt.KvTable, ids, *,
     rows_u, state, table1 = st.sharded_lookup(
         jax.tree_util.tree_map(lambda x: x[None], table), union_ids,
         axis_name=row_axis, train=train, valid=union_valid, day=day,
-        bucket_capacity=bucket_capacity, defer_meta=defer_meta)
+        bucket_capacity=bucket_capacity, defer_meta=defer_meta,
+        exchange_dtype=exchange_dtype)
     d_l = rows_u.shape[-1]
     # 3. col transpose: (rank-j batch, my slice) -> (my batch, rank-j slice)
     r = rows_u.reshape(C, b, d_l)
+    acc_dtype = r.dtype
+    if exchange_dtype is not None:
+        r = r.astype(exchange_dtype)        # narrow the col wire too
     r = jax.lax.all_to_all(r, col_axis, 0, 0, tiled=False)         # [C, b, d_l]
+    if exchange_dtype is not None:
+        r = r.astype(acc_dtype)
     rows = jnp.moveaxis(r, 0, 1).reshape(b, C * d_l)               # [b, D]
     return rows, state, jax.tree_util.tree_map(
         lambda x: x[None], table1)                                  # [1,1,...]
@@ -145,7 +152,7 @@ def sharded_apply_grads_2d(opt: SparseOptimizer, sharded_local: kvt.KvTable,
                            state: st.ExchangeState, batch_grads, *,
                            row_axis: str = ROW_AXIS,
                            col_axis: str = COL_AXIS,
-                           lr, step) -> kvt.KvTable:
+                           lr, step, exchange_dtype=None) -> kvt.KvTable:
     """Mirror path: grads [b, D] → col all_to_all to (union batch, my slice)
     → row exchange → fused owner update. ``opt`` must come from
     :func:`for_col_axis` when the rule is group-lasso."""
@@ -154,12 +161,18 @@ def sharded_apply_grads_2d(opt: SparseOptimizer, sharded_local: kvt.KvTable,
     d_l = batch_grads.shape[-1] // C
     g = batch_grads.reshape(b, C, d_l)
     g = jnp.moveaxis(g, 1, 0)                                      # [C, b, d_l]
+    acc_dtype = g.dtype
+    if exchange_dtype is not None:
+        g = g.astype(exchange_dtype)
     g = jax.lax.all_to_all(g, col_axis, 0, 0, tiled=False)
+    if exchange_dtype is not None:
+        g = g.astype(acc_dtype)
     union_g = g.reshape(C * b, d_l)           # union batch order = all_gather
     table = _squeeze2(sharded_local)
     new_local = st.sharded_apply_grads(
         opt, jax.tree_util.tree_map(lambda x: x[None], table), state,
-        union_g, axis_name=row_axis, lr=lr, step=step)
+        union_g, axis_name=row_axis, lr=lr, step=step,
+        exchange_dtype=exchange_dtype)
     return jax.tree_util.tree_map(lambda x: x[None], new_local)
 
 
