@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--lr", type=float, default=0.002)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bf16-exchange", action="store_true",
+                    help="halve the all_to_all wire bytes (lossy; "
+                         "table state stays f32)")
     args = ap.parse_args()
 
     if args.cpu:
@@ -88,8 +91,9 @@ def main():
     def step(tabs, dense, tx_state, ids, feats, labels, s):
         rows, states = {}, {}
         for name in sorted(tabs):
-            r, st, tabs[name] = par.sharded_lookup(tabs[name], ids[name],
-                                                   defer_meta=True)
+            r, st, tabs[name] = par.sharded_lookup(
+                tabs[name], ids[name], defer_meta=True,
+                exchange_dtype=jnp.bfloat16 if args.bf16_exchange else None)
             rows[name], states[name] = r, st
 
         def loss_fn(dense, rows):
@@ -105,7 +109,8 @@ def main():
         for name in sorted(tabs):
             tabs[name] = par.sharded_apply_grads(
                 opt, tabs[name], states[name], g_rows[name],
-                lr=args.lr, step=s)
+                lr=args.lr, step=s,
+                exchange_dtype=jnp.bfloat16 if args.bf16_exchange else None)
         return tabs, dense, tx_state, jax.lax.pmean(loss, "mp")
 
     jstep = jax.jit(step, donate_argnums=(0,))
