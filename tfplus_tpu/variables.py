@@ -123,5 +123,11 @@ def set_tfplus_saver_mode(mode: int):
     _DEFAULT_STORE.set_saver_mode(mode)
 
 
+def tfplus_saver_mode() -> int:
+    """Current saver mode (reference tfplus_saver_mode getter,
+    tfplus/__init__.py:26; 0 = prediction/inference, 1 = training)."""
+    return _DEFAULT_STORE.saver_mode
+
+
 def get_kv_feature_size():
     return _DEFAULT_STORE.get_kv_feature_size()
