@@ -274,7 +274,8 @@ def sharded_embedding_lookup_sparse(sharded_local: kvt.KvTable, ids: Arr,
                                     combiner: str = "mean",
                                     axis_name: str = "mp", train: bool = True,
                                     day: int | Arr = 0,
-                                    defer_meta: bool = False):
+                                    defer_meta: bool = False,
+                                    exchange_dtype=None):
     """COO sparse lookup + combine over the sharded table (per-device body;
     the distributed analogue of ``embedding.embedding_lookup_sparse``).
 
@@ -291,7 +292,7 @@ def sharded_embedding_lookup_sparse(sharded_local: kvt.KvTable, ids: Arr,
     from .. import embedding as _emb
     rows, state, table = sharded_lookup(
         sharded_local, ids, axis_name=axis_name, train=train, valid=valid,
-        day=day, defer_meta=defer_meta)
+        day=day, defer_meta=defer_meta, exchange_dtype=exchange_dtype)
     out = _emb.combine_rows(
         rows, jnp.asarray(segment_ids, jnp.int32), num_segments,
         valid=state.src_valid if valid is None else valid,
