@@ -352,34 +352,32 @@ def main():
     roofline = hbm_roofline_gbps()
     frac = gbps / roofline
 
-    try:
-        ref_gbps = round(bench_tf_cpu_reference(), 2)
-    except Exception:
-        ref_gbps = TF_CPU_REFERENCE_GBPS
-    try:
-        fa_tflops = round(bench_flash_attention(), 1)
-    except Exception:
-        fa_tflops = None
-    try:
-        fa_bwd_tflops = round(bench_flash_attention(grad=True), 1)
-    except Exception:
-        fa_bwd_tflops = None
-    try:
-        dcn_eps = round(bench_dcn_examples_per_s(), 0)
-    except Exception:
-        dcn_eps = None
-    try:
-        infer_ips = round(bench_inference_lookup(), 0)
-    except Exception:
-        infer_ips = None
-    try:
-        ga_cal = bench_group_adam_calibration()
-    except Exception:
-        ga_cal = None
-    try:
-        infer_int8 = round(bench_inference_lookup_int8(), 0)
-    except Exception:
-        infer_int8 = None
+    # Secondary benches run under a soft deadline: the primary metric above
+    # is already measured, and a driver-side timeout that kills this process
+    # mid-RPC would lose the WHOLE record (and wedge the tunnel — round-1
+    # lesson). Skip remaining secondaries once the budget is spent.
+    bench_start = time.perf_counter()
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", "1500"))
+
+    def within_budget():
+        return (time.perf_counter() - bench_start) < deadline_s
+
+    def maybe(fn, *a, **kw):
+        if not within_budget():
+            return None
+        try:
+            return fn(*a, **kw)
+        except Exception:
+            return None
+
+    ref_gbps = maybe(lambda: round(bench_tf_cpu_reference(), 2)) \
+        or TF_CPU_REFERENCE_GBPS
+    fa_tflops = maybe(lambda: round(bench_flash_attention(), 1))
+    fa_bwd_tflops = maybe(lambda: round(bench_flash_attention(grad=True), 1))
+    dcn_eps = maybe(lambda: round(bench_dcn_examples_per_s(), 0))
+    infer_ips = maybe(lambda: round(bench_inference_lookup(), 0))
+    ga_cal = maybe(bench_group_adam_calibration)
+    infer_int8 = maybe(lambda: round(bench_inference_lookup_int8(), 0))
 
     print(json.dumps({
         "metric": "fused_lookup_update_bandwidth",
