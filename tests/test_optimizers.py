@@ -683,3 +683,70 @@ class TestAdaDQHHypergrads:
                                    atol=1e-7)
         # both branches exercised: some rows kept, some dropped
         assert keep.any() and not keep.all()
+
+
+class TestGroupAdamV1:
+    """Version 1 (GroupSparseApplyAdamOp, training_ops.cc:1283-1326):
+    bias-corrected accumulator slot, m/(1−β1^t) momentum, ε/√(1−β2^t)."""
+
+    def _solve(self, linear, y, l1, l2, l21, dim):
+        adj = np.clip(linear, -l1, l1)
+        l1_linear = adj - linear
+        nrm = np.sqrt((l1_linear ** 2).sum(axis=-1))
+        l21n = l21 * np.sqrt(dim)
+        keep = nrm > l21n
+        scale = np.where(keep, 1 - l21n / np.maximum(nrm, 1e-30), 0.0)
+        return np.where(keep[:, None],
+                        l1_linear * scale[:, None] / (y + 2 * l2), 0.0)
+
+    def test_v1_golden(self):
+        init, grads = make_data()
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
+        l1, l2, l21 = 0.001, 0.0005, 0.0
+        got = run_sparse(tft.GroupAdamOptimizer(
+            l1_regularization_strength=l1, l2_regularization_strength=l2,
+            version=1), grads, lr, init)
+        var = init.copy()
+        m = np.zeros_like(var); v = np.zeros_like(var)
+        accum = np.zeros_like(var); linear = np.zeros_like(var)
+        for t, g in enumerate(grads, 1):
+            b1p, b2p = b1 ** t, b2 ** t
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * g * g
+            new_accum = v / (1 - b2p)
+            eps_adj = eps / np.sqrt(1 - b2p)
+            delta = np.sqrt(new_accum) - np.sqrt(accum)
+            if t == 1:
+                delta = delta + eps_adj
+            linear += m / (1 - b1p) - delta / lr * var
+            y = (np.sqrt(new_accum) + eps_adj) / lr
+            var = self._solve(linear, y, l1, l2, l21, DIM)
+            accum = new_accum
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_v1_vs_v4_semantics(self):
+        """λ=0: both reduce to Adam-family updates and nearly coincide
+        (the /lr linear scaling cancels against v4's lr-prescaled regs).
+        l1>0: the trajectories measurably diverge — v1 bias-corrects the
+        accumulator (v/(1−β2^t)) and adjusts ε by √(1−β2^t)
+        (training_ops.cc:1287-1290), v4 uses raw v (:7166-7196)."""
+        rng = np.random.RandomState(7)            # deterministic data (the
+        init = rng.randn(N, DIM).astype(np.float32) * 0.5   # shared RNG is
+        grads = [rng.randn(N, DIM).astype(np.float32)       # order-dependent)
+                 for _ in range(STEPS)]
+        v1 = run_sparse(tft.GroupAdamOptimizer(version=1), grads, 0.01, init)
+        v4 = run_sparse(tft.GroupAdamOptimizer(version=4), grads, 0.01, init)
+        np.testing.assert_allclose(v1, v4, atol=1e-4)   # λ=0 ⇒ same family
+        v1r = run_sparse(tft.GroupAdamOptimizer(
+            version=1, l1_regularization_strength=0.01), grads, 0.01, init)
+        v4r = run_sparse(tft.GroupAdamOptimizer(
+            version=4, l1_regularization_strength=0.01), grads, 0.01, init)
+        assert np.abs(v1r - v4r).max() > 1e-3    # measurably different forms
+
+    def test_v2_v3_alias_v4(self):
+        init, grads = make_data()
+        v4 = run_sparse(tft.GroupAdamOptimizer(version=4), grads, 0.01, init)
+        for ver in (2, 3):
+            got = run_sparse(tft.GroupAdamOptimizer(version=ver), grads,
+                             0.01, init)
+            np.testing.assert_array_equal(got, v4)

@@ -178,6 +178,45 @@ class GroupAdam(Rule):
 
 
 @dataclasses.dataclass(frozen=True)
+class GroupAdamV1(Rule):
+    """GroupAdam VERSION 1 (GroupSparseApplyAdamOp, training_ops.cc:1065,
+    COMPUTE_ADAM :1283-1326): the legacy form with BIAS-CORRECTED second
+    moment kept in its own ``accum`` slot (new_accum = v/(1−β2^t)),
+    ``m/(1−β1^t)`` momentum, ε/√(1−β2^t) epsilon adjust, and UNSCALED
+    l1/l2/l21. Slot layout m|v|accum|linear. Versions 2/3/4 share the
+    lr-prescaled single-pass math (rules.GroupAdam); version 1 follows a
+    genuinely different trajectory."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-8
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    norm_axis: Optional[str] = None
+    slot_width = 4
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, v, accum, linear = _split(state, 4)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        m = self.beta1 * m + (1.0 - self.beta1) * grad
+        v = self.beta2 * v + (1.0 - self.beta2) * grad * grad
+        new_accum = v / (1.0 - b2p)
+        eps_adj = self.epsilon / jnp.sqrt(1.0 - b2p)
+        first = jnp.asarray(step, jnp.int32) <= 1
+        delta = jnp.sqrt(new_accum) - jnp.sqrt(accum)
+        delta = jnp.where(first, delta + eps_adj, delta)
+        linear = linear + m / (1.0 - b1p) - delta / lr * var
+        y = (jnp.sqrt(new_accum) + eps_adj) / lr
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1],
+                                            norm_axis=self.norm_axis)
+        state = jnp.concatenate([m, v, new_accum, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
 class GroupFtrl(Rule):
     """SparseGroupFtrl (+l2_shrinkage variant) — training_ops.cc:533-805.
 
@@ -678,6 +717,7 @@ ALL_RULES = {
     "adagrad": Adagrad,
     "adam": Adam,
     "group_adam": GroupAdam,
+    "group_adam_v1": GroupAdamV1,
     "group_ftrl": GroupFtrl,
     "ftrl": GroupFtrl,
     "group_momentum": GroupMomentum,

@@ -37,7 +37,20 @@ def GroupAdamOptimizer(learning_rate=0.001, initial_accumulator_value=0.0,
                        l1_regularization_strength=0.0,
                        l2_regularization_strength=0.0,
                        l21_regularization_strength=0.0, version=4, **_):
-    """group_adam.py:28-272 — version 4 single m_v_linear slot kernel."""
+    """group_adam.py:28-272. ``version`` routes like the reference:
+    1 → the legacy bias-corrected-accumulator kernel (GroupSparseApplyAdam,
+    training_ops.cc:1065 — genuinely different trajectory, own rule);
+    2/3/4 → the m|v|linear form (V2/V3/V4 kernels are algebraically
+    identical for a constant lr — V4 just pre-scales l1/l2/l21 by lr and
+    drops the /lr from the linear accumulation; V2→V3 only re-packs the
+    slots into one concat table)."""
+    if version == 1:
+        return SparseOptimizer(
+            _r.GroupAdamV1(beta1=beta1, beta2=beta2, epsilon=epsilon,
+                           l1=l1_regularization_strength,
+                           l2=l2_regularization_strength,
+                           l21=l21_regularization_strength),
+            slot_name="m_v_accum_linear")
     return SparseOptimizer(
         _r.GroupAdam(beta1=beta1, beta2=beta2, epsilon=epsilon,
                      l1=l1_regularization_strength,
