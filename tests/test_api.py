@@ -209,3 +209,64 @@ class TestQuantizedServingLoad:
         deq = np.asarray(quant.lookup_or_zeros(qt, q))
         bound = np.abs(full).max(axis=1, keepdims=True) / 250.0 + 1e-7
         assert (np.abs(deq - full) <= bound).all()
+
+
+class TestServingDeltaRefresh:
+    def test_refresh_from_delta(self, tmp_path):
+        """Online serving refresh: full load once, then apply deltas in
+        place of full reloads (the delta-lineage machinery consumed on the
+        serving side)."""
+        from tfplus_tpu import serving, checkpoint as ckpt
+        t = kv.create(8, 512, seed=0)
+        q1 = kv.encode_ids_np_to_device(np.arange(1, 50, dtype=np.int64))
+        t = kv.insert(t, q1, jnp.ones((49, 8)))
+        d = str(tmp_path / "srv")
+        md = serving.RankingMetadata()
+        md.add_embedding_column(column_name="u", var_name="emb",
+                                embedding_dim=8)
+        serving.export_for_serving(d, {"emb": t}, md)
+        tables, _ = serving.load_for_serving(d)
+
+        # trainer continues: update some rows + add new ones, delta-export
+        t = kv.clear_deltalist(t)
+        q2 = kv.encode_ids_np_to_device(np.arange(40, 80, dtype=np.int64))
+        t = kv.insert(t, q2, jnp.full((40, 8), 2.0))
+        delta_p = str(tmp_path / "delta-1")
+        t = ckpt.save(delta_p, {"emb": t}, delta=True,
+                      first_n=ckpt.FIRST_N_DELTA)["emb"]
+
+        tables = serving.refresh_from_delta(tables, delta_p)
+        got = np.asarray(kv.lookup_or_zeros(
+            tables["emb"], kv.encode_ids_np_to_device(
+                np.array([1, 45, 79], np.int64))))
+        np.testing.assert_allclose(got[0], 1.0)   # untouched row kept
+        np.testing.assert_allclose(got[1], 2.0)   # updated row refreshed
+        np.testing.assert_allclose(got[2], 2.0)   # new row appeared
+
+    def test_refresh_quantized(self, tmp_path):
+        from tfplus_tpu import serving, checkpoint as ckpt
+        from tfplus_tpu.kv import quant
+        t = kv.create(4, 256, seed=0)
+        q1 = kv.encode_ids_np_to_device(np.arange(1, 20, dtype=np.int64))
+        t = kv.insert(t, q1, jnp.ones((19, 4)) * 3.0)
+        d = str(tmp_path / "srvq")
+        md = serving.RankingMetadata()
+        md.add_embedding_column(column_name="u", var_name="emb",
+                                embedding_dim=4)
+        serving.export_for_serving(d, {"emb": t}, md)
+        tables, _ = serving.load_for_serving(d, quantize=True)
+
+        t = kv.clear_deltalist(t)
+        q2 = kv.encode_ids_np_to_device(np.array([5, 99], np.int64))
+        t = kv.insert(t, q2, jnp.full((2, 4), 7.0))
+        delta_p = str(tmp_path / "deltaq-1")
+        ckpt.save(delta_p, {"emb": t}, delta=True, first_n=ckpt.FIRST_N_DELTA)
+
+        tables = serving.refresh_from_delta(tables, delta_p, quantize=True)
+        qt = tables["emb"]
+        assert isinstance(qt, quant.QuantKvTable)
+        got = np.asarray(quant.lookup_or_zeros(
+            qt, kv.encode_ids_np_to_device(np.array([1, 5, 99], np.int64))))
+        np.testing.assert_allclose(got[0], 3.0, atol=0.05)
+        np.testing.assert_allclose(got[1], 7.0, atol=0.1)
+        np.testing.assert_allclose(got[2], 7.0, atol=0.1)

@@ -163,3 +163,64 @@ def load_for_serving(directory: str, *, load_factor: float = 0.6,
         var = names[0].split("/part_")[0]
         tables[var] = shards if len(shards) > 1 else shards[0]
     return tables, metadata
+
+
+def refresh_from_delta(tables, delta_prefix: str, *, quantize: bool = False):
+    """Apply a DELTA checkpoint to loaded serving tables in place of a full
+    reload — online model refresh (the reference's delta-export machinery
+    exists exactly for cheap frequent snapshots; serving consumes them the
+    same way, checkpoint_manager.py lineage).
+
+    ``tables``: the dict from :func:`load_for_serving` (full-precision
+    KvTables, or int8 QuantKvTables when loaded with ``quantize=True`` —
+    pass ``quantize=True`` here too and each refreshed table re-quantizes
+    after the upsert). Returns the refreshed dict.
+    """
+    from .checkpoint import bundle, saver
+    from .kv import table as kvt
+
+    reader = bundle.BundleReader(delta_prefix)
+    out = {}
+    for name, t in tables.items():
+        shards = list(t) if isinstance(t, (list, tuple)) else [t]
+        n = len(shards)
+        new = []
+        for i, s in enumerate(shards):
+            base = name if n == 1 else f"{name}/part_{i}"
+            if base + "-keys" not in reader:
+                new.append(s)
+                continue
+            if quantize:
+                from .kv import quant as _q
+                # upsert into a full-precision reconstruction, re-quantize
+                full = kvt.KvTable(
+                    header=s.header,
+                    payload=(s.payload.astype("float32")
+                             * s.scale[:, None]),
+                    init_pool=s.payload[:1].astype("float32"),
+                    deleted_keys=_empty_deleted_log(),
+                    deleted_count=_i32_zero(),
+                    deleted_overflow=_bool_false(),
+                    config=s.config)
+                full = saver.restore_table(reader, base, full, delta=True)
+                new.append(_q.quantize_table(full))
+            else:
+                new.append(saver.restore_table(reader, base, s, delta=True))
+        out[name] = new if isinstance(t, (list, tuple)) else new[0]
+    return out
+
+
+def _empty_deleted_log():
+    import jax.numpy as jnp
+    from .kv import table as kvt
+    return jnp.full((kvt.DELETED_LOG_CAPACITY, 2), -1, jnp.int32)
+
+
+def _i32_zero():
+    import jax.numpy as jnp
+    return jnp.zeros((), jnp.int32)
+
+
+def _bool_false():
+    import jax.numpy as jnp
+    return jnp.zeros((), bool)
