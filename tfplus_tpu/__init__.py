@@ -14,6 +14,7 @@ translation table (§7.0).
 from . import checkpoint, config, data, embedding, io, kv, models, nn, optim
 from . import parallel, serving, train, variables
 from .variables import (get_kv_variable, get_kv_feature_size,
+                        fixed_size_partitioner,
                         set_tfplus_saver_mode, tfplus_saver_mode,
                         KvVariableStore, default_store)
 from .version import __version__

@@ -38,11 +38,30 @@ class KvVariableStore:
                         initializer=None,
                         enter_threshold: int = 0,
                         num_shards: int = 1,
+                        partitioner=None,
                         value_dtype=jnp.float32,
                         seed: int = 0):
         """Create or fetch a table (reference get_kv_variable signature,
-        variable_scope.py:745-777; ``partitioner`` becomes ``num_shards``)."""
+        variable_scope.py:745-777). ``partitioner`` accepts the reference's
+        ``fixed_size_partitioner(N)`` object (or any callable carrying
+        ``num_shards``) and overrides ``num_shards`` — verbatim ports of
+        ``get_kv_variable(..., partitioner=tf.fixed_size_partitioner(8))``
+        work unchanged."""
         del key_dtype  # all keys are 64-bit here
+        if partitioner is not None:
+            n = getattr(partitioner, "num_shards", None)
+            if n is None and callable(partitioner):
+                # TF's fixed_size_partitioner returns a closure over
+                # num_shards; probe it the way TF's variable_scope does
+                try:
+                    n = len(partitioner(shape=(1,), dtype=None))
+                except Exception:
+                    n = None
+            if n is None:
+                raise ValueError(
+                    "partitioner must expose num_shards (use "
+                    "tfplus_tpu.fixed_size_partitioner(N))")
+            num_shards = int(n)
         with self._lock:
             if name in self._tables:
                 existing = self._tables[name]
@@ -121,6 +140,19 @@ def get_kv_variable(name: str, embedding_dim: int, **kwargs):
 
 def set_tfplus_saver_mode(mode: int):
     _DEFAULT_STORE.set_saver_mode(mode)
+
+
+class fixed_size_partitioner:
+    """Reference-compatible partitioner object
+    (``tf.fixed_size_partitioner`` stand-in): carries ``num_shards`` for
+    ``get_kv_variable(partitioner=...)``."""
+
+    def __init__(self, num_shards: int, axis: int = 0):
+        del axis
+        self.num_shards = int(num_shards)
+
+    def __call__(self, shape=None, dtype=None):
+        return [1] * self.num_shards
 
 
 def tfplus_saver_mode() -> int:
