@@ -370,8 +370,8 @@ def main():
         except Exception:
             return None
 
-    ref_gbps = maybe(lambda: round(bench_tf_cpu_reference(), 2)) \
-        or TF_CPU_REFERENCE_GBPS
+    ref_meas = maybe(lambda: round(bench_tf_cpu_reference(), 2))
+    ref_gbps = ref_meas if ref_meas else TF_CPU_REFERENCE_GBPS
     fa_tflops = maybe(lambda: round(bench_flash_attention(), 1))
     fa_bwd_tflops = maybe(lambda: round(bench_flash_attention(grad=True), 1))
     dcn_eps = maybe(lambda: round(bench_dcn_examples_per_s(), 0))
@@ -389,6 +389,9 @@ def main():
         "vs_baseline": round(gbps / ref_gbps, 4),
         "detail": {
             "tf_cpu_reference_gbps": ref_gbps,
+            # False = the pinned constant was used (deadline-skipped or
+            # measurement failed), not a fresh measurement on this host
+            "tf_cpu_reference_measured": bool(ref_meas),
             "roofline_gbps": roofline,
             "roofline_frac": round(frac, 4),
             "step_ms": round(dt * 1e3, 3),

@@ -62,9 +62,21 @@ class EmbeddingServer:
         var = col["embedding_var_keys"][0][:-len("-keys")].split("/part_")[0]
         t = self.tables[var]
         if self.quantize:
-            # int8 tables: 4x less HBM, lookups dequantize on the fly
+            # int8 tables: 4x less HBM, lookups dequantize on the fly;
+            # shard lists route by key % N like the f32 path
             from tfplus_tpu.kv import quant
-            q = kv.encode_ids_np_to_device(np.asarray(ids, np.int64))
+            ids64 = np.asarray(ids, np.int64)
+            if isinstance(t, list):
+                out = np.zeros((len(ids64), t[0].dim), np.float32)
+                for s_i, shard in enumerate(t):
+                    sel = (ids64.astype(np.uint64)
+                           % np.uint64(len(t))) == s_i
+                    if sel.any():
+                        q = kv.encode_ids_np_to_device(ids64[sel])
+                        out[sel] = np.asarray(
+                            quant.lookup_or_zeros(shard, q))
+                return out
+            q = kv.encode_ids_np_to_device(ids64)
             return np.asarray(quant.lookup_or_zeros(t, q))
         # partitioned_lookup handles single tables AND shard lists (key % N
         # routing, the reference's PartitionedVariable read path)

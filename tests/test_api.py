@@ -270,3 +270,103 @@ class TestServingDeltaRefresh:
         np.testing.assert_allclose(got[0], 3.0, atol=0.05)
         np.testing.assert_allclose(got[1], 7.0, atol=0.1)
         np.testing.assert_allclose(got[2], 7.0, atol=0.1)
+
+
+class TestPartitionerCompat:
+    def test_local_fixed_size_partitioner(self):
+        import tfplus_tpu
+        shards = tfplus_tpu.get_kv_variable(
+            "pshim_a", 8, capacity=256,
+            partitioner=tfplus_tpu.fixed_size_partitioner(4))
+        assert isinstance(shards, list) and len(shards) == 4
+
+    def test_tf_style_closure(self):
+        """A real tf.fixed_size_partitioner-shaped closure: does
+        ``[1]*shape.ndims`` with ``min(N, shape.dims[axis].value)`` on the
+        partitioned axis — the probe must recover N, not 1."""
+        import tfplus_tpu
+
+        def tf_like_partitioner(shape=None, dtype=None, num_shards=6, axis=0):
+            parts = [1] * shape.ndims
+            parts[axis] = min(num_shards, shape.dims[axis].value)
+            return parts
+
+        shards = tfplus_tpu.get_kv_variable(
+            "pshim_b", 8, capacity=256, partitioner=tf_like_partitioner)
+        assert isinstance(shards, list) and len(shards) == 6
+
+    def test_bad_partitioner_raises(self):
+        import tfplus_tpu
+        import pytest as _pytest
+        with _pytest.raises(ValueError, match="num_shards"):
+            tfplus_tpu.get_kv_variable("pshim_c", 8, partitioner=object())
+
+
+class TestServingRefreshRegressions:
+    """Third-review findings pinned."""
+
+    def _export_load(self, tmp_path, dim=4):
+        from tfplus_tpu import serving
+        t = kv.create(dim, 256, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, 20, dtype=np.int64))
+        t = kv.insert(t, q, jnp.ones((19, dim)))
+        md = serving.RankingMetadata()
+        md.add_embedding_column(column_name="u", var_name="emb",
+                                embedding_dim=dim)
+        d = str(tmp_path / "srv")
+        serving.export_for_serving(d, {"emb": t}, md)
+        return serving.load_for_serving(d)[0], t, q
+
+    def test_trainer_delta_does_not_widen_serving_tables(self, tmp_path):
+        """A delta written by a TRAINING job carries optimizer slot
+        tensors; refreshing serving tables must NOT load them (they would
+        multiply serving HBM by 1+k)."""
+        from tfplus_tpu import serving, checkpoint as ckpt, train as tft
+        tables, t, q = self._export_load(tmp_path)
+        opt = tft.GroupAdamOptimizer()          # k=3 slots
+        t = opt.init(kv.clear_deltalist(t))
+        res = kv.lookup_or_insert(t, q)
+        t = opt.apply(res.table, res.slot, jnp.ones((19, 4)) * 0.1,
+                      lr=0.1, step=1)
+        delta_p = str(tmp_path / "train-delta")
+        ckpt.save(delta_p, {"emb": t}, delta=True,
+                  first_n=ckpt.FIRST_N_DELTA)   # includes -slot- tensors
+        before_cols = tables["emb"].payload.shape[1]
+        tables = serving.refresh_from_delta(tables, delta_p)
+        assert tables["emb"].payload.shape[1] == before_cols == 4
+        assert tables["emb"].config.slot_layout == ()
+
+    def test_quantize_flag_mismatch_raises(self, tmp_path):
+        from tfplus_tpu import serving, checkpoint as ckpt
+        from tfplus_tpu.kv import quant
+        tables, t, q = self._export_load(tmp_path)
+        t = kv.clear_deltalist(t)
+        t = kv.insert(t, q[:1], jnp.full((1, 4), 9.0))
+        delta_p = str(tmp_path / "d")
+        ckpt.save(delta_p, {"emb": t}, delta=True, first_n=ckpt.FIRST_N_DELTA)
+        qtables = {"emb": quant.quantize_table(tables["emb"])}
+        with pytest.raises(ValueError, match="quantize"):
+            serving.refresh_from_delta(qtables, delta_p)   # forgot the flag
+        with pytest.raises(ValueError, match="quantize"):
+            serving.refresh_from_delta(tables, delta_p, quantize=True)
+
+    def test_quantized_refresh_with_slotted_delta(self, tmp_path):
+        """quantize_table clears slot_layout, so refreshing a quantized
+        table with a trainer (slotted) delta works."""
+        from tfplus_tpu import serving, checkpoint as ckpt, train as tft
+        from tfplus_tpu.kv import quant
+        tables, t, q = self._export_load(tmp_path)
+        qtables = {"emb": quant.quantize_table(tables["emb"])}
+        assert qtables["emb"].config.slot_layout == ()
+        opt = tft.GroupAdamOptimizer()
+        t = opt.init(kv.clear_deltalist(t))
+        res = kv.lookup_or_insert(t, q)
+        t = opt.apply(res.table, res.slot, jnp.ones((19, 4)) * 0.1,
+                      lr=0.1, step=1)
+        delta_p = str(tmp_path / "qd")
+        ckpt.save(delta_p, {"emb": t}, delta=True, first_n=ckpt.FIRST_N_DELTA)
+        out = serving.refresh_from_delta(qtables, delta_p, quantize=True)
+        assert out["emb"].payload.shape[1] == 4
+        got = np.asarray(quant.lookup_or_zeros(out["emb"], q))
+        want = np.asarray(kv.lookup_or_zeros(t, q))
+        assert np.abs(got - want).max() < np.abs(want).max() / 100

@@ -703,12 +703,13 @@ class TestGroupAdamV1:
         init, grads = make_data()
         lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-8
         l1, l2, l21 = 0.001, 0.0005, 0.0
+        iav = 0.1          # v1's accum seeds from initial_accumulator_value
         got = run_sparse(tft.GroupAdamOptimizer(
             l1_regularization_strength=l1, l2_regularization_strength=l2,
-            version=1), grads, lr, init)
+            initial_accumulator_value=iav, version=1), grads, lr, init)
         var = init.copy()
         m = np.zeros_like(var); v = np.zeros_like(var)
-        accum = np.zeros_like(var); linear = np.zeros_like(var)
+        accum = np.full_like(var, iav); linear = np.zeros_like(var)
         for t, g in enumerate(grads, 1):
             b1p, b2p = b1 ** t, b2 ** t
             m = b1 * m + (1 - b1) * g

@@ -128,3 +128,14 @@ class TestStockTFKernels:
                 momentum=tf.constant(0.9), use_locking=False,
                 use_nesterov=False)
         np.testing.assert_allclose(ours, var.numpy(), rtol=1e-4, atol=1e-6)
+
+
+class TestRealTFPartitioner:
+    def test_verbatim_tf_fixed_size_partitioner(self):
+        """The documented verbatim port: a REAL tf.compat.v1
+        fixed_size_partitioner closure recovers its shard count."""
+        import tfplus_tpu
+        part = tf.compat.v1.fixed_size_partitioner(5)
+        shards = tfplus_tpu.get_kv_variable(
+            "tfpart_emb", 8, capacity=256, partitioner=part)
+        assert isinstance(shards, list) and len(shards) == 5

@@ -159,7 +159,8 @@ def save_table(writer: bundle.BundleWriter, name: str, table: kvt.KvTable, *,
 
 def restore_table(reader: bundle.BundleReader, name: str,
                   template: kvt.KvTable, *, delta: bool = False,
-                  chunk_rows: Optional[int] = None) -> kvt.KvTable:
+                  chunk_rows: Optional[int] = None,
+                  load_slots: bool = True) -> kvt.KvTable:
     """Load one table (shard) into a fresh copy of ``template``.
 
     Values and slot rows stream from the bundle in bounded chunks
@@ -222,9 +223,11 @@ def restore_table(reader: bundle.BundleReader, name: str,
                 sub["blacklist"] = blacklist
             table = kvt.import_arrays(table, sub, clear=False)
 
-    # restore optimizer slot rows (streamed per chunk)
+    # restore optimizer slot rows (streamed per chunk). load_slots=False
+    # drops them — serving-side delta refresh must NOT widen a slot-less
+    # inference table with trainer optimizer state (2-4x serving HBM)
     slot_names = [k[len(name) + 6:] for k in reader.keys()
-                  if k.startswith(name + "-slot-")]
+                  if k.startswith(name + "-slot-")] if load_slots else []
     if slot_names and n:
         for sname in slot_names:
             tname = f"{name}-slot-{sname}"

@@ -62,11 +62,14 @@ def quantize_rows(rows: jnp.ndarray):
 
 
 def quantize_table(table: kvt.KvTable) -> QuantKvTable:
-    """Quantize a trained table for serving (drops optimizer slots)."""
+    """Quantize a trained table for serving (drops optimizer slots — the
+    config's slot_layout is cleared so config and payload stay consistent
+    for any later reconstruction, e.g. serving delta refresh)."""
     values = table.payload[:, :table.config.dim]
     q, scale = quantize_rows(values)
+    cfg = dataclasses.replace(table.config, slot_layout=())
     return QuantKvTable(header=table.header, payload=q, scale=scale,
-                        config=table.config)
+                        config=cfg)
 
 
 def lookup_or_zeros(table: QuantKvTable, q: jnp.ndarray,
@@ -83,8 +86,13 @@ def lookup_or_zeros(table: QuantKvTable, q: jnp.ndarray,
                        config=table.config)
     fr = kvt.find(view, q, valid)
     ok = fr.found & ((fr.meta & kvt.FLAG_BLACKLIST) == 0)
-    rows_q = rowops.gather_rows(table.payload, jnp.where(ok, fr.slot, -1))
-    scale = table.scale[jnp.where(ok, fr.slot, 0)]
+    # plain XLA gather — rowops' opt-in Pallas path is specified for
+    # f32/bf16 rows and was never exercised with int8 blocks; the scale
+    # gather is one extra narrow (4 B/row) op per lookup (fusing it into
+    # the header's pad lanes is the zero-cost path — PERF.md backlog)
+    safe = jnp.where(ok, fr.slot, 0)
+    rows_q = jnp.take(table.payload, safe, axis=0)
+    scale = jnp.take(table.scale, safe)
     rows = rows_q.astype(dtype) * scale[:, None].astype(dtype)
     return jnp.where(ok[:, None], rows, jnp.zeros((), dtype))
 

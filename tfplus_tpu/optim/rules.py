@@ -192,12 +192,17 @@ class GroupAdamV1(Rule):
     l1: float = 0.0
     l2: float = 0.0
     l21: float = 0.0
+    initial_accumulator_value: float = 0.0
     norm_axis: Optional[str] = None
     slot_width = 4
     has_blacklist = True
 
     def update(self, var, state, grad, *, lr, step, extra=None):
-        m, v, accum, linear = _split(state, 4)
+        m, v, accum0, linear = _split(state, 4)
+        # v1 is the only version whose accum slot seeds from
+        # initial_accumulator_value (group_adam.py:157-170); the slot
+        # stores accum − iav so zero-initialised slots reproduce it
+        accum = accum0 + self.initial_accumulator_value
         dt = var.dtype
         b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
         m = self.beta1 * m + (1.0 - self.beta1) * grad
@@ -212,7 +217,9 @@ class GroupAdamV1(Rule):
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
                                             self.l21, var.shape[-1],
                                             norm_axis=self.norm_axis)
-        state = jnp.concatenate([m, v, new_accum, linear], axis=-1)
+        state = jnp.concatenate(
+            [m, v, new_accum - self.initial_accumulator_value, linear],
+            axis=-1)
         return new_var, state, black
 
 

@@ -174,10 +174,14 @@ def refresh_from_delta(tables, delta_prefix: str, *, quantize: bool = False):
     ``tables``: the dict from :func:`load_for_serving` (full-precision
     KvTables, or int8 QuantKvTables when loaded with ``quantize=True`` —
     pass ``quantize=True`` here too and each refreshed table re-quantizes
-    after the upsert). Returns the refreshed dict.
+    after the upsert; a flag/table-type mismatch raises instead of silently
+    int8-truncating float rows). Trainer deltas may carry optimizer slot
+    tensors — they are NOT loaded (serving tables stay slot-less).
+    Returns the refreshed dict.
     """
     from .checkpoint import bundle, saver
     from .kv import table as kvt
+    from .kv import quant as _q
 
     reader = bundle.BundleReader(delta_prefix)
     out = {}
@@ -186,12 +190,16 @@ def refresh_from_delta(tables, delta_prefix: str, *, quantize: bool = False):
         n = len(shards)
         new = []
         for i, s in enumerate(shards):
+            if isinstance(s, _q.QuantKvTable) != quantize:
+                raise ValueError(
+                    f"refresh_from_delta(quantize={quantize}) but table "
+                    f"'{name}' is {type(s).__name__} — pass quantize="
+                    f"{isinstance(s, _q.QuantKvTable)}")
             base = name if n == 1 else f"{name}/part_{i}"
             if base + "-keys" not in reader:
                 new.append(s)
                 continue
             if quantize:
-                from .kv import quant as _q
                 # upsert into a full-precision reconstruction, re-quantize
                 full = kvt.KvTable(
                     header=s.header,
@@ -202,10 +210,12 @@ def refresh_from_delta(tables, delta_prefix: str, *, quantize: bool = False):
                     deleted_count=_i32_zero(),
                     deleted_overflow=_bool_false(),
                     config=s.config)
-                full = saver.restore_table(reader, base, full, delta=True)
+                full = saver.restore_table(reader, base, full, delta=True,
+                                           load_slots=False)
                 new.append(_q.quantize_table(full))
             else:
-                new.append(saver.restore_table(reader, base, s, delta=True))
+                new.append(saver.restore_table(reader, base, s, delta=True,
+                                               load_slots=False))
         out[name] = new if isinstance(t, (list, tuple)) else new[0]
     return out
 

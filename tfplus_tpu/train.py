@@ -49,7 +49,9 @@ def GroupAdamOptimizer(learning_rate=0.001, initial_accumulator_value=0.0,
             _r.GroupAdamV1(beta1=beta1, beta2=beta2, epsilon=epsilon,
                            l1=l1_regularization_strength,
                            l2=l2_regularization_strength,
-                           l21=l21_regularization_strength),
+                           l21=l21_regularization_strength,
+                           initial_accumulator_value=
+                           initial_accumulator_value),
             slot_name="m_v_accum_linear")
     return SparseOptimizer(
         _r.GroupAdam(beta1=beta1, beta2=beta2, epsilon=epsilon,

@@ -49,19 +49,7 @@ class KvVariableStore:
         work unchanged."""
         del key_dtype  # all keys are 64-bit here
         if partitioner is not None:
-            n = getattr(partitioner, "num_shards", None)
-            if n is None and callable(partitioner):
-                # TF's fixed_size_partitioner returns a closure over
-                # num_shards; probe it the way TF's variable_scope does
-                try:
-                    n = len(partitioner(shape=(1,), dtype=None))
-                except Exception:
-                    n = None
-            if n is None:
-                raise ValueError(
-                    "partitioner must expose num_shards (use "
-                    "tfplus_tpu.fixed_size_partitioner(N))")
-            num_shards = int(n)
+            num_shards = _partitioner_shards(partitioner)
         with self._lock:
             if name in self._tables:
                 existing = self._tables[name]
@@ -140,6 +128,68 @@ def get_kv_variable(name: str, embedding_dim: int, **kwargs):
 
 def set_tfplus_saver_mode(mode: int):
     _DEFAULT_STORE.set_saver_mode(mode)
+
+
+class _ProbeDim:
+    """Quacks like tf.compat.v1.Dimension for partitioner probing."""
+
+    def __init__(self, value):
+        self.value = value
+
+    def __index__(self):
+        return self.value
+
+    def __int__(self):
+        return self.value
+
+
+class _ProbeShape:
+    """Quacks like tf.TensorShape: TF's fixed_size_partitioner closure does
+    ``[1]*shape.ndims`` then ``min(num_shards, shape.dims[axis].value)`` —
+    feeding a huge leading dim makes the returned partition count on the
+    partitioned axis equal num_shards exactly."""
+
+    def __init__(self, dims):
+        self.dims = [_ProbeDim(d) for d in dims]
+        self.ndims = len(dims)
+        self.rank = len(dims)
+
+    def __len__(self):
+        return self.ndims
+
+    def __getitem__(self, i):
+        return self.dims[i]
+
+    def num_elements(self):
+        out = 1
+        for d in self.dims:
+            out *= d.value
+        return out
+
+
+def _partitioner_shards(partitioner) -> int:
+    """Recover num_shards from a partitioner: this package's
+    fixed_size_partitioner (``num_shards`` attribute) or a real
+    ``tf.fixed_size_partitioner``-style closure (probed with a huge fake
+    shape so ``min(num_shards, dim)`` returns num_shards)."""
+    n = getattr(partitioner, "num_shards", None)
+    if n is None and callable(partitioner):
+        try:
+            parts = partitioner(shape=_ProbeShape((1 << 60, 1)),
+                                dtype=None)
+            n = max(int(p) for p in parts)
+        except Exception:
+            try:  # keyword-less closures
+                parts = partitioner(_ProbeShape((1 << 60, 1)), None)
+                n = max(int(p) for p in parts)
+            except Exception:
+                n = None
+    if n is None:
+        raise ValueError(
+            "partitioner must expose num_shards or be a "
+            "tf.fixed_size_partitioner-style callable (use "
+            "tfplus_tpu.fixed_size_partitioner(N))")
+    return int(n)
 
 
 class fixed_size_partitioner:
