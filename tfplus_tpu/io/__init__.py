@@ -2,3 +2,4 @@ from . import filesystem, native
 from .filesystem import (FileSystem, LocalFileSystem, MemFileSystem,
                          get_filesystem, parse_oss_uri, register_filesystem)
 from .object_store import (ObjectStoreClient, OSSFileSystem, register_oss)
+from .dfs import (DfsClient, DfsFileSystem, register_dfs)

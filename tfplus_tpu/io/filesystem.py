@@ -6,8 +6,9 @@ credentials embedded in the URI as ``oss://bucket\\x01id=..\\x02key=..\\x02
 host=..`` or taken from env), DFS (``dfs://``) and Pangu (``pangu://``).
 Here: a scheme registry that checkpoint/bundle IO resolves paths through, a
 local filesystem default, an in-memory filesystem for tests, and the OSS URI
-credential parser so reference-style URIs round-trip. Cloud backends register
-themselves when their SDK is importable (none are baked into this image).
+credential parser so reference-style URIs round-trip. Real remote backends:
+``oss://`` (:mod:`.object_store`, signed OSS REST) and ``dfs://``
+(:mod:`.dfs`, WebHDFS REST — also registrable as ``pangu://``).
 """
 from __future__ import annotations
 
