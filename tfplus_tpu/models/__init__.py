@@ -1,7 +1,8 @@
-from . import common, dcn, deepfm, dlrm, ncf
+from . import common, dcn, deepfm, dlrm, flax_adapter, ncf
 from .common import (SparseModel, TrainState, init_state, init_state_multi,
                      make_train_step, make_train_step_multi, grow_if_needed)
 from .dcn import DCN
 from .deepfm import DeepFM, WideDeep
 from .dlrm import DLRM
+from .flax_adapter import FlaxSparseModel
 from .ncf import NCF
