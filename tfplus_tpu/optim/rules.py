@@ -29,6 +29,7 @@ matching the reference's power accumulators (updated after each apply).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Optional, Tuple
 
 import jax.numpy as jnp
@@ -76,9 +77,23 @@ def _split(state: Arr, k: int) -> list:
     return [state[..., i * d:(i + 1) * d] for i in range(k)]
 
 
+def _const_base_pow(base, t):
+    """``base ** t`` for a CONCRETE scalar base and traced exponent ``t``,
+    as ``exp(t·ln base)``. Mosaic (the Pallas TPU compiler) cannot legalize
+    ``math.powf`` with a non-constant exponent, so ``beta ** step`` must not
+    reach the scan-update kernel as a power op; ``exp`` lowers fine. Betas
+    are in (0, 1) in every rule; 1 and ≤0 are handled exactly/for safety."""
+    b = float(base)
+    if b == 1.0:
+        return jnp.ones_like(t)
+    if b <= 0.0:                       # not reachable from the shipped rules
+        return jnp.asarray(b, t.dtype) ** t
+    return jnp.exp(t * t.dtype.type(math.log(b)))
+
+
 def _powers(beta1, beta2, step, dtype):
     t = step.astype(dtype) if hasattr(step, "astype") else jnp.asarray(step, dtype)
-    return jnp.asarray(beta1, dtype) ** t, jnp.asarray(beta2, dtype) ** t
+    return _const_base_pow(beta1, t), _const_base_pow(beta2, t)
 
 
 class Rule:
@@ -249,8 +264,11 @@ class GroupFtrl(Rule):
         if self.lr_power == -0.5:
             pw_new, pw_old = jnp.sqrt(new_accum), jnp.sqrt(accum)
         else:
-            pw_new = new_accum ** (-self.lr_power)
-            pw_old = accum ** (-self.lr_power)
+            # traced base, concrete exponent: exp(p·ln x) — math.powf does
+            # not legalize in Mosaic (see _const_base_pow); accum > 0 always
+            p = -float(self.lr_power)
+            pw_new = jnp.exp(p * jnp.log(new_accum))
+            pw_old = jnp.exp(p * jnp.log(accum))
         linear = linear + g - (pw_new - pw_old) / lr * var
         y = pw_new / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
@@ -656,7 +674,7 @@ def _prev_powers(beta1, beta2, step, dtype):
     (``1 − beta2_power/beta2``), i.e. they bias-correct with the PREVIOUS
     step's powers — ``step`` here is the upcoming 1-indexed step."""
     t = jnp.asarray(step, dtype) - 1.0
-    return jnp.asarray(beta1, dtype) ** t, jnp.asarray(beta2, dtype) ** t
+    return _const_base_pow(beta1, t), _const_base_pow(beta2, t)
 
 
 def adadqh_hg(m: Arr, v: Arr, *, lr, step, beta1=0.9, beta2=0.999,

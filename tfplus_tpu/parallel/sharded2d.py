@@ -184,13 +184,23 @@ def local_shard_2d(sharded: kvt.KvTable, r: int, c: int) -> kvt.KvTable:
 def combine_col_shards(sharded: kvt.KvTable) -> list:
     """Host-side: fold the col axis away → a list of R full-dim row-shard
     tables (for checkpointing with the ordinary saver; restore re-slices via
-    create_sharded_2d + import)."""
+    create_sharded_2d + import).
+
+    Implementation note: this runs on the host with ONE device_get of the
+    whole tree, then pure-numpy slicing/concatenation. Eager per-shard
+    gathers/concats on the live mesh arrays (the previous implementation)
+    produced rare XLA-CPU native aborts under load; numpy assembly has no
+    device-side failure surface and the saver device_gets anyway."""
     import dataclasses as dc
-    R = jax.tree_util.tree_leaves(sharded)[0].shape[0]
-    C = jax.tree_util.tree_leaves(sharded)[0].shape[1]
+    import numpy as np
+    host = jax.tree_util.tree_map(
+        lambda x: np.asarray(jax.device_get(x)), sharded)
+    R = jax.tree_util.tree_leaves(host)[0].shape[0]
+    C = jax.tree_util.tree_leaves(host)[0].shape[1]
     out = []
     for r in range(R):
-        parts = [local_shard_2d(sharded, r, c) for c in range(C)]
+        parts = [jax.tree_util.tree_map(lambda x: x[r, c], host)
+                 for c in range(C)]
         t0 = parts[0]
         d_l = t0.config.dim
         k = t0.payload.shape[-1] // d_l          # 1 + Σ slot widths
@@ -198,11 +208,14 @@ def combine_col_shards(sharded: kvt.KvTable) -> list:
         # keeps the [values | slot0 | slot1 ...] layout at full dim
         segs = []
         for s in range(k):
-            segs.append(jnp.concatenate(
-                [p.payload[:, s * d_l:(s + 1) * d_l] for p in parts], axis=-1))
-        payload = jnp.concatenate(segs, axis=-1)
-        pool = jnp.concatenate([p.init_pool for p in parts], axis=-1)
+            segs.append(np.concatenate(
+                [p.payload[:, s * d_l:(s + 1) * d_l] for p in parts],
+                axis=-1))
+        payload = np.concatenate(segs, axis=-1)
+        pool = np.concatenate([p.init_pool for p in parts], axis=-1)
         cfg = dc.replace(t0.config, dim=d_l * C)
+        # leaves stay host-numpy (the saver device_gets anyway; jnp ops on
+        # the returned tables promote transparently)
         out.append(dc.replace(t0, config=cfg, payload=payload,
                               init_pool=pool))
     return out
