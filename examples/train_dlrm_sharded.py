@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--batches", type=int, default=60)
     ap.add_argument("--batch-size", type=int, default=1024)
     ap.add_argument("--tables", type=int, default=8)
+    ap.add_argument("--capacity", type=int, default=1 << 13,
+                    help="initial per-shard capacity; tables GROW online "
+                         "when the load factor or an overflow flag trips")
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--lr", type=float, default=0.002)
     ap.add_argument("--cpu", action="store_true")
@@ -65,7 +68,7 @@ def main():
 
     model = DLRM(num_tables=args.tables, embedding_dim=args.dim,
                  num_numeric=13, bottom_hidden=(64, args.dim),
-                 top_hidden=(64, 32), capacity=1 << 13)
+                 top_hidden=(64, 32), capacity=args.capacity)
     opt = tft.GroupAdamOptimizer(learning_rate=args.lr)
     tx = optax.adam(args.lr)
     dense = model.init_dense(jax.random.PRNGKey(0))
@@ -86,7 +89,7 @@ def main():
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(tspecs, P(), P(), P("mp"), P("mp"), P("mp"), P()),
-        out_specs=(tspecs, P(), P(), P()),
+        out_specs=(tspecs, P(), P(), P(), P()),
         check_vma=False)
     def step(tabs, dense, tx_state, ids, feats, labels, s):
         rows, states = {}, {}
@@ -106,14 +109,18 @@ def main():
             lambda g: jax.lax.pmean(g, "mp"), g_dense)
         upd, tx_state = tx.update(g_dense, tx_state, dense)
         dense = optax.apply_updates(dense, upd)
+        ovf = jnp.zeros((), jnp.int32)
         for name in sorted(tabs):
             tabs[name] = par.sharded_apply_grads(
                 opt, tabs[name], states[name], g_rows[name],
                 lr=args.lr, step=s,
                 exchange_dtype=jnp.bfloat16 if args.bf16_exchange else None)
-        return tabs, dense, tx_state, jax.lax.pmean(loss, "mp")
+            ovf = ovf | states[name].overflow.astype(jnp.int32)
+        ovf = jax.lax.pmax(ovf, "mp")
+        return tabs, dense, tx_state, jax.lax.pmean(loss, "mp"), ovf
 
     jstep = jax.jit(step, donate_argnums=(0,))
+    tsharding = par.table_sharding(mesh)
 
     gen = synthetic.dlrm_batches(bs, args.batches, num_tables=args.tables,
                                  vocab=30_000, seed=7)
@@ -123,11 +130,24 @@ def main():
                for c in range(args.tables)}
         feats = jnp.asarray(b["numeric"])
         labels = jnp.asarray(b["label"])
-        tables, dense, tx_state, loss = jstep(tables, dense, tx_state,
-                                              ids, feats, labels,
-                                              jnp.int32(i + 1))
+        tables, dense, tx_state, loss, ovf = jstep(tables, dense, tx_state,
+                                                   ids, feats, labels,
+                                                   jnp.int32(i + 1))
         window.append(float(loss))
         seen += bs
+        # online growth (reference parity: PS tables grow without bound,
+        # kv_variable.h:287-380): an overflow flag means some id failed
+        # placement THIS step — grow now and the next lookup inserts it;
+        # the periodic load-factor sweep grows ahead of the wall.
+        if bool(ovf) or (i + 1) % 20 == 0:
+            tables, grew = par.grow_sharded_if_needed(
+                tables, incoming_per_shard=bs // n_dev,
+                overflow=ovf, sharding=tsharding)
+            if grew:
+                caps = {n: t.header.shape[-2] * 16 for n, t in tables.items()}
+                print(f"batch {i+1:4d} grew tables to per-shard capacity "
+                      f"{max(caps.values())} (step recompiles once)",
+                      flush=True)
         if (i + 1) % 10 == 0:
             dt = time.time() - t0
             print(f"batch {i+1:4d} loss {np.mean(window):.5f} "
@@ -145,7 +165,7 @@ def main():
         host_shards = {name: [par.local_shard(t, i) for i in range(n_dev)]
                        for name, t in tables.items()}
         ckpt.save(prefix, host_shards, {"dense": dense})
-        tmpl = {name: [kv.create(args.dim, 1 << 13, seed=0)
+        tmpl = {name: [kv.create(args.dim, args.capacity, seed=0)
                        for _ in range(2 * n_dev)]
                 for name in tables}
         tmpl = {name: [opt.init(s) for s in shards]

@@ -6,7 +6,7 @@ from .table import (KvConfig, KvTable, LookupResult, FindResult, create, find,
                     insert, insert_raw, scatter, delete, delete_with_timestamp,
                     size, sum_freq, get_count, get_timestamp, occupied_mask,
                     load_factor, needs_grow, ensure_slots, get_slot,
-                    set_slot_rows, grow, compact,
+                    set_slot_rows, grow, grow_to_fit, compact,
                     export_arrays, import_arrays, clear_deltalist,
                     FLAG_BLACKLIST, FLAG_TOUCH_TRAIN, FLAG_TOUCH_PRED)
 from .storage import (AsyncPrefetcher, HostStorageTier, HybridTable,

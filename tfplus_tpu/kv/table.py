@@ -910,6 +910,21 @@ def grow(table: KvTable, new_capacity: Optional[int] = None) -> KvTable:
     return _rehash_verified(table, new_capacity)
 
 
+def grow_to_fit(table: KvTable, incoming: int = 0,
+                threshold: float = GROW_LOAD_FACTOR) -> KvTable:
+    """Grow by as many doublings as needed so that current rows + ``incoming``
+    sit under the load-factor threshold (one doubling can be too little when
+    a batch brings more new keys than the current capacity). No-op when the
+    table already fits."""
+    cur = int(jax.device_get(size(table)))
+    cap = table.capacity
+    while (cur + incoming) > threshold * cap:
+        cap *= 2
+    if cap == table.capacity:
+        return table
+    return _rehash_verified(table, cap)
+
+
 def compact(table: KvTable) -> KvTable:
     """Rebuild at the same capacity to clear tombstones after heavy deletion
     (grows instead if the rebuild cannot place every row)."""

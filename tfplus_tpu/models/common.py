@@ -248,6 +248,6 @@ def grow_if_needed(state: TrainState, incoming_per_table: int) -> TrainState:
     changed = False
     for name, t in tables.items():
         if kvt.needs_grow(t, incoming_per_table):
-            tables[name] = kvt.grow(t)
+            tables[name] = kvt.grow_to_fit(t, incoming_per_table)
             changed = True
     return state._replace(tables=tables) if changed else state

@@ -1,13 +1,17 @@
-"""Pallas row gather/scatter kernels — the HBM-bandwidth hot path.
+"""Pallas row gather/scatter kernels — an OPT-IN alternative path (off by
+default; XLA is the hot path).
 
-XLA's generic gather/scatter on TPU runs at ~5-20 GB/s for random embedding
-rows; these kernels drive the DMA engine directly via the Pallas pipeline
-(scalar-prefetched row indices feeding dynamic BlockSpec index maps, one
-(1, 1, D) block per grid step, double-buffered) and reach roofline:
-measured on TPU v5e, 32k×128 f32 rows from a 1M-row table:
-
-    XLA gather   0.87 ms (19 GB/s)   →  pallas 0.020 ms (~820 GB/s)
-    XLA scatter  3.0  ms ( 6 GB/s)   →  pallas 0.028 ms (~590 GB/s)
+History and honest numbers (see PERF.md "Hard-sync primitive costs"): the
+early "at roofline" measurements of these kernels (~820 GB/s gather /
+~590 GB/s scatter) were ASYNC ARTIFACTS — `block_until_ready` returns early
+on the axon backend. Hard-synced, the Pallas dynamic-index block pipeline
+serializes its DMA queue when composed into real programs (~250 ns/row vs
+XLA's ~85 ns/row issue-bound scatter), so composed steps are SLOWER with
+these kernels than with plain XLA gather/scatter. That is why they are
+opt-in (`TFPLUS_TPU_ENABLE_PALLAS_ROWOPS=1`) and why nothing routes here by
+default. Kept as (a) the fallback row-op layer every caller goes through
+(`gather_rows`/`scatter_rows` dispatch to jnp), (b) a measured study of the
+Pallas DMA pipeline for when Mosaic gains deeper buffering.
 
 A fully-fused gather+update+scatter kernel was benchmarked and REJECTED: with
 aliased dynamically-indexed outputs the pipeline must serialize against RAW

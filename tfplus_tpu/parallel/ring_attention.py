@@ -8,10 +8,11 @@ goes beyond parity: K/V shards rotate around the mesh ring via
 device accumulates its queries' attention with online-softmax merging —
 total communication equals one all-gather but overlapped with compute.
 
-The per-step local attention is the blockwise online-softmax recipe in plain
-jnp (differentiable end-to-end, including through the ppermute rotations);
-swapping the local block compute for the Pallas flash kernel is a later
-optimization. Causal masking accounts for each block's global position.
+Two local-block implementations ship: the blockwise online-softmax recipe in
+plain jnp (differentiable end-to-end, including through the ppermute
+rotations) and the Pallas flash-block kernel path (``_ring_flash_fwd_loop``
+below, used when the flash kernel is available on the backend). Causal
+masking accounts for each block's global position.
 
 Use inside ``shard_map`` with q/k/v sharded on the sequence axis:
 

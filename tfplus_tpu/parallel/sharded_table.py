@@ -267,6 +267,96 @@ def sharded_apply_grads(opt: SparseOptimizer, sharded_local: kvt.KvTable,
     return _unsqueeze(table)
 
 
+# ---------------------------------------------------------------------------
+# online growth for mesh-sharded tables
+#
+# The reference's PS tables grow without bound during training (every miss
+# allocates — kv_variable.h:287-380 insert path; map growth inside
+# table_manager.h:167-190). The TPU equivalent keeps shard_map shapes static
+# by growing HOST-MEDIATED between steps: when any shard's overflow flag or
+# load factor trips, pull each shard, kv.grow it, and re-place with a UNIFORM
+# new per-shard capacity (shard routing is key % S and each shard rehashes
+# its own keys, so no key moves between shards).
+# ---------------------------------------------------------------------------
+
+def shard_sizes(sharded: kvt.KvTable) -> list:
+    """Live row count of every shard (one vmapped device reduction)."""
+    counts = jax.jit(jax.vmap(kvt.size))(sharded)
+    return [int(c) for c in jax.device_get(counts)]
+
+
+def sharded_needs_grow(sharded: kvt.KvTable, incoming_per_shard: int = 0, *,
+                       threshold: float = kvt.GROW_LOAD_FACTOR,
+                       overflow=None) -> bool:
+    """Host-side check between steps: does ANY shard need to grow?
+
+    ``overflow``: the (psum'd/any'd) overflow flag returned from the jitted
+    step, if the caller tracks it — a tripped flag forces growth regardless
+    of load factor (an id failed placement; after growth the next lookup of
+    that id inserts it, exactly like the single-device loop's retry)."""
+    if overflow is not None and bool(jax.device_get(overflow)):
+        return True
+    # header here is [S, C/16, 64] — per-shard capacity is the middle dim
+    per_shard_cap = sharded.header.shape[-2] * 16
+    hi = max(shard_sizes(sharded))
+    return (hi + incoming_per_shard) > threshold * per_shard_cap
+
+
+def sharded_grow(sharded: kvt.KvTable,
+                 new_capacity_per_shard: Optional[int] = None, *,
+                 incoming_per_shard: int = 0,
+                 threshold: float = kvt.GROW_LOAD_FACTOR,
+                 sharding=None) -> kvt.KvTable:
+    """Grow every shard to one UNIFORM new capacity and rehash —
+    host-mediated, call between steps. The target is 2x, or more doublings
+    when ``incoming_per_shard`` new rows would still breach the load-factor
+    threshold at 2x. Shard membership never changes (routing stays
+    ``key % S``); only each shard's internal slot placement is rebuilt.
+    Pass ``sharding`` (e.g. ``table_sharding(mesh)``) to re-place the grown
+    table on the mesh.
+    """
+    num_shards = sharded.header.shape[0]
+    old_cap = sharded.header.shape[-2] * 16
+    target = new_capacity_per_shard
+    if target is None:
+        target = old_cap * 2
+        need = max(shard_sizes(sharded)) + incoming_per_shard
+        while need > threshold * target:
+            target *= 2
+    shards = [local_shard(sharded, i) for i in range(num_shards)]
+    # _rehash_verified may exceed the target on pathological bucket collisions;
+    # capacities must stay uniform so shard_map shapes agree.
+    for _ in range(5):
+        shards = [kvt.grow(s, target) if s.capacity < target else s
+                  for s in shards]
+        caps = {s.capacity for s in shards}
+        if len(caps) == 1:
+            break
+        target = max(caps)
+    grown = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
+    if sharding is not None:
+        grown = jax.device_put(grown, sharding)
+    return grown
+
+
+def grow_sharded_if_needed(tables: dict, *, incoming_per_shard: int = 0,
+                           threshold: float = kvt.GROW_LOAD_FACTOR,
+                           overflow=None, sharding=None) -> Tuple[dict, bool]:
+    """Between-steps growth sweep over a dict of sharded tables (the
+    distributed analogue of ``models.common.grow_if_needed``). Returns
+    ``(tables, grew)``; when ``grew`` the step function recompiles once for
+    the new static capacity."""
+    trip = overflow is not None and bool(jax.device_get(overflow))
+    out, grew = dict(tables), False
+    for name, t in tables.items():
+        if trip or sharded_needs_grow(t, incoming_per_shard,
+                                      threshold=threshold):
+            out[name] = sharded_grow(t, incoming_per_shard=incoming_per_shard,
+                                     threshold=threshold, sharding=sharding)
+            grew = True
+    return out, grew
+
+
 def sharded_embedding_lookup_sparse(sharded_local: kvt.KvTable, ids: Arr,
                                     segment_ids: Arr, num_segments: int, *,
                                     weights: Optional[Arr] = None,
