@@ -375,9 +375,22 @@ def main():
     fa_tflops = maybe(lambda: round(bench_flash_attention(), 1))
     fa_bwd_tflops = maybe(lambda: round(bench_flash_attention(grad=True), 1))
     dcn_eps = maybe(lambda: round(bench_dcn_examples_per_s(), 0))
-    infer_ips = maybe(lambda: round(bench_inference_lookup(), 0))
+
+    # serving lookups: the remote compiler's schedule variance swings a
+    # single compile by ±40% (PERF.md trap #4), so take the median of 3
+    # FRESH compiles each, alternating so both paths share host conditions
+    f32_runs, int8_runs = [], []
+    for _ in range(3):
+        v = maybe(bench_inference_lookup)
+        if v:
+            f32_runs.append(v)
+        v = maybe(bench_inference_lookup_int8)
+        if v:
+            int8_runs.append(v)
+    import statistics as _st
+    infer_ips = round(_st.median(f32_runs), 0) if f32_runs else None
+    infer_int8 = round(_st.median(int8_runs), 0) if int8_runs else None
     ga_cal = maybe(bench_group_adam_calibration)
-    infer_int8 = maybe(lambda: round(bench_inference_lookup_int8(), 0))
 
     print(json.dumps({
         "metric": "fused_lookup_update_bandwidth",

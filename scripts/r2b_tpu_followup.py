@@ -84,13 +84,25 @@ def main():
 
     t2 = apply_loop(t2, slot, grads)
     np.asarray(jax.device_get(t2.payload[0, :1]))
+    # measure THIS session's tunnel RTT instead of hardcoding ~30 ms
+    # (advisor round-2 finding: a drifted RTT silently skews the result)
+    probe = jnp.zeros((1,), jnp.float32)
+    rtts = []
+    for _ in range(3):
+        r0 = time.perf_counter()
+        np.asarray(jax.device_get(probe))
+        rtts.append(time.perf_counter() - r0)
+    rtt = sorted(rtts)[1]
     t0 = time.perf_counter()
     t2 = apply_loop(t2, slot, grads)
     np.asarray(jax.device_get(t2.payload[0, :1]))
-    ms = (time.perf_counter() - t0 - 0.03) / 20 * 1e3
-    print(f"standalone apply: {ms:.2f} ms/step "
+    raw_s = time.perf_counter() - t0
+    ms = (raw_s - rtt) / 20 * 1e3
+    print(f"standalone apply: {ms:.2f} ms/step (rtt {rtt*1e3:.1f} ms) "
           f"(round-1 measured 4.54; modeled ~3.5)", flush=True)
     results["apply_standalone_ms"] = round(ms, 3)
+    results["apply_standalone_raw_s"] = round(raw_s, 4)
+    results["measured_rtt_ms"] = round(rtt * 1e3, 2)
 
     with open(os.path.join(REPO, "R2_TPU_RESULTS.json"), "w") as f:
         json.dump(results, f, indent=1)

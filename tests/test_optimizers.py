@@ -132,6 +132,32 @@ class TestFtrl:
         got = run_sparse(opt, [g * 1e-5 for g in grads], 0.1, init)
         np.testing.assert_allclose(got, 0.0)
 
+    def test_lr_power_zero_accum_zero_no_nan(self):
+        """accum**0 must be 1 even at accum==0 (initial_accumulator_value=0
+        + zero grad): the exp(p·log x) rewrite returned NaN here (round-2
+        advisor finding)."""
+        init, grads = make_data()
+        grads = [np.zeros_like(grads[0])] + grads  # a zero first grad
+        opt = tft.SparseGroupFtrlOptimizer(learning_rate_power=0.0,
+                                           initial_accumulator_value=0.0)
+        got = run_sparse(opt, grads, 0.1, init)
+        assert np.isfinite(got).all()
+        # x**0 == 1 → FTRL degenerates to sigma=0, quad=1/lr: reproduce
+        var = init.copy()
+        linear = np.zeros_like(var)
+        for g in grads:
+            linear += g
+            var = -linear * 0.1
+        np.testing.assert_allclose(got, var, rtol=1e-5, atol=1e-6)
+
+    def test_fractional_lr_power_accum_zero_no_nan(self):
+        init, grads = make_data()
+        grads = [np.zeros_like(grads[0])] + grads
+        opt = tft.SparseGroupFtrlOptimizer(learning_rate_power=-0.25,
+                                           initial_accumulator_value=0.0)
+        got = run_sparse(opt, grads, 0.1, init)
+        assert np.isfinite(got).all()
+
 
 class TestMomentum:
     def test_matches_sgd_momentum(self):
@@ -465,10 +491,37 @@ class TestGroupTemplateGoldens:
             accum = new_accum
         np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
 
-    def test_group_adadqh_golden(self):
-        init, grads = make_data()
-        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-5
-        got = run_sparse(tft.AdaDQHOptimizer(use_group=True), grads, lr, init)
+    def _np_group_adadqh_v2(self, init, grads, lr, b1, b2, eps,
+                            l1=0.0, l2=0.0, l21=0.0):
+        """Hand transliteration of GroupSparseApplyAdaDQHV2's macro
+        (training_ops.cc:5344-5385): lr-pre-scaled linear, λ·lr regs,
+        PREVIOUS-step epsilon floor on the old accumulator."""
+        var = init.copy()
+        m = np.zeros_like(var); v = np.zeros_like(var)
+        linear = np.zeros_like(var)
+        for t, g in enumerate(grads, 1):
+            b1p, b2p = b1 ** t, b2 ** t
+            alpha = lr * np.sqrt(1 - b2p) / (1 - b1p)
+            eps_adj = eps * np.sqrt(1 - b2p)
+            last_eps_adj = eps * np.sqrt(max(1 - b2p / b2, 0.0))
+            beta = 1.0 - b1p / b1 if t > 1 else 1.0
+            m_old = m / beta
+            m_new = b1 * m + (1 - b1) * g
+            hq = m_new / (1 - b1p) - m_old
+            v_new = b2 * v + (1 - b2) * hq * hq
+            accum_new = np.maximum(np.sqrt(v_new), eps_adj)
+            accum_old = np.maximum(np.sqrt(v), last_eps_adj)
+            linear += m_new * alpha - (accum_new - accum_old) * var
+            var = self._solve(linear, accum_new, l1 * lr, l2 * lr,
+                              l21 * lr, DIM)
+            m, v = m_new, v_new
+        return var
+
+    def _np_group_adadqh_v1(self, init, grads, lr, b1, b2, eps,
+                            l1=0.0, l2=0.0, l21=0.0):
+        """GroupSparseApplyAdaDQH V1 macro (training_ops.cc:5045-5095):
+        unscaled linear (/lr on the Δaccum·var term), raw λs,
+        CURRENT-step epsilon floor (0 at t=1)."""
         var = init.copy()
         m = np.zeros_like(var); v = np.zeros_like(var)
         linear = np.zeros_like(var)
@@ -486,9 +539,98 @@ class TestGroupTemplateGoldens:
                 (np.maximum(np.sqrt(v_new), eps_adj)
                  - np.maximum(np.sqrt(v), gamma)) / lr * var
             y = np.maximum(np.sqrt(v_new), eps_adj) / lr
-            var = self._solve(linear, y, 0.0, 0.0, 0.0, DIM)
+            var = self._solve(linear, y, l1, l2, l21, DIM)
             m, v = m_new, v_new
+        return var
+
+    def test_group_adadqh_golden(self):
+        init, grads = make_data()
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-5
+        got = run_sparse(tft.AdaDQHOptimizer(use_group=True), grads, lr, init)
+        var = self._np_group_adadqh_v2(init, grads, lr, b1, b2, eps)
         np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_group_adadqh_golden_with_regularizers(self):
+        """λ>0 pins V2's lr-scaled regularizer semantics (l1·lr clip,
+        l21·lr·√dim threshold, y + 2·l2·lr denominator) and the blacklist.
+        Data is locally seeded: the blacklist-occurrence asserts must not
+        depend on the shared module RNG's position."""
+        rng = np.random.RandomState(123)
+        # per-row magnitude spread: low-signal rows should blacklist,
+        # high-signal rows survive
+        row_scale = np.linspace(0.02, 2.0, N, dtype=np.float32)[:, None]
+        init = rng.randn(N, DIM).astype(np.float32) * 0.5 * row_scale
+        grads = [rng.randn(N, DIM).astype(np.float32) * row_scale
+                 for _ in range(STEPS)]
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-5
+        # V2 compares ||l1_linear|| (O(‖linear‖, lr-scaled)) against
+        # l21·lr·√dim; l21=2 blacklists the 2 low-signal rows of 5 here
+        l1, l2, l21 = 0.2, 0.01, 2.0
+        got = run_sparse(
+            tft.AdaDQHOptimizer(use_group=True, l1=l1, l2=l2, l21=l21),
+            grads, lr, init)
+        var = self._np_group_adadqh_v2(init, grads, lr, b1, b2, eps,
+                                       l1, l2, l21)
+        assert (np.abs(var).sum(-1) == 0).any(), "tune λ: no blacklisted row"
+        assert (np.abs(var).sum(-1) > 0).any(), "tune λ: all rows blacklisted"
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+
+    def test_group_adadqh_v1_golden(self):
+        """AdaDQHOptimizer(version=1) → the legacy GroupSparseApplyAdaDQH
+        trajectory (training_ops.cc:4854-5138), λ>0 included."""
+        init, grads = make_data()
+        lr, b1, b2, eps = 0.01, 0.9, 0.999, 1e-5
+        l1, l2, l21 = 0.2, 0.01, 0.4
+        got = run_sparse(
+            tft.AdaDQHOptimizer(use_group=True, version=1,
+                                l1=l1, l2=l2, l21=l21),
+            grads, lr, init)
+        var = self._np_group_adadqh_v1(init, grads, lr, b1, b2, eps,
+                                       l1, l2, l21)
+        np.testing.assert_allclose(got, var, rtol=1e-4, atol=1e-5)
+        # At CONSTANT lr, V2 is V1 with the linear kept in lr-scaled units
+        # (every comparison rescales identically), so the trajectories agree
+        # up to the tiny epsilon-floor difference. Pin the equivalence…
+        v2 = self._np_group_adadqh_v2(init, grads, lr, b1, b2, eps,
+                                      l1, l2, l21)
+        np.testing.assert_allclose(v2, var, rtol=1e-3, atol=1e-6)
+
+    def test_group_adadqh_v1_vs_v2_diverge_under_lr_schedule(self):
+        """…and the divergence: V2's linear mixes contributions scaled by
+        DIFFERENT lrs under a schedule, V1's does not — the two kernels are
+        distinct trajectories exactly when lr varies."""
+        from tfplus_tpu.optim import rules as R
+        from tfplus_tpu.optim.base import SparseOptimizer
+        init, grads = make_data()
+        l1, l2, l21 = 0.2, 0.01, 0.4
+        lrs = ([0.05] * 2 + [0.002] * max(len(grads) - 2, 0))[:len(grads)]
+
+        def run(rule):
+            opt = SparseOptimizer(rule, slot_name="adadqh")
+            t = kv.create(DIM, 256, seed=0)
+            ids = kv.encode_ids_np_to_device(np.arange(1, N + 1,
+                                                       dtype=np.int64))
+            t = kv.insert(t, ids, jnp.asarray(init))
+            t = opt.init(t)
+            for s, g in enumerate(grads):
+                res = kv.lookup_or_insert(t, ids)
+                t = opt.apply(res.table, res.slot, jnp.asarray(g),
+                              lr=lrs[s], step=s + 1)
+            return np.asarray(kv.lookup_or_zeros(t, ids))
+
+        v1 = run(R.GroupAdaDQHV1(l1=l1, l2=l2, l21=l21))
+        v2 = run(R.GroupAdaDQH(l1=l1, l2=l2, l21=l21))
+        assert np.abs(v1 - v2).max() > 1e-3
+
+    def test_adadqh_version_routing(self):
+        from tfplus_tpu.optim import rules as R
+        assert isinstance(
+            tft.AdaDQHOptimizer(use_group=True, version=1).rule,
+            R.GroupAdaDQHV1)
+        assert isinstance(
+            tft.AdaDQHOptimizer(use_group=True).rule, R.GroupAdaDQH)
+        with pytest.raises(ValueError, match="version"):
+            tft.AdaDQHOptimizer(use_group=True, version=3)
 
 
 class TestDeferredMetaWrite:

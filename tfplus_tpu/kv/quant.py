@@ -3,9 +3,16 @@
 Beyond reference parity (the reference serves float/half at best,
 kernels/kv_variable_ops.cc type constraints): an inference-only KvTable
 whose payload is symmetric per-row int8 (scale = max|row|/127). Lookups
-gather int8 rows + their f32 scales and dequantize on the VPU — the
-gather is issue-bound per ROW on TPU (PERF.md), so int8 serving lookups
-cost the same time as f32 while the table holds 4× the rows per chip.
+gather int8 rows and dequantize on the VPU — the gather is issue-bound
+per ROW on TPU (PERF.md), so int8 serving lookups cost the same time as
+f32 while the table holds 4× the rows per chip.
+
+The per-row dequant scale lives in the planar header's FREE pad lanes
+(48-63 — one 32-bit word per slot), so the probe's bucket gather delivers
+it together with keys+meta and the lookup issues exactly as many gathers
+as the f32 path (probe + one int8 row gather). The earlier design kept a
+separate f32[C] scale array whose narrow per-row gather doubled the
+issue cost (measured 54.2M vs 104.0M ids/s — BENCH_r02.json).
 
 Training stays full-precision (optimizer state needs it; the engine's
 payload fusion shares one dtype) — quantize AFTER training:
@@ -27,15 +34,16 @@ import numpy as np
 
 from . import hashing
 from . import table as kvt
-from ..ops import rowops
 
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class QuantKvTable:
-    header: jnp.ndarray          # int32[C // 16, 64] — same planar header
+    # planar header [C//16, 64]: lanes 0-47 identical to KvTable (keys +
+    # packed meta); lanes 48-63 hold the per-row f32 dequant scale
+    # (bitcast int32) of the bucket's 16 slots
+    header: jnp.ndarray
     payload: jnp.ndarray         # int8[C, D]
-    scale: jnp.ndarray           # f32[C] per-row dequant scale
     config: kvt.KvConfig = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -47,9 +55,16 @@ class QuantKvTable:
         return self.config.dim
 
     @property
+    def scale(self) -> jnp.ndarray:
+        """Per-row dequant scale f32[C] — a VIEW materialised from the
+        header pad lanes (offline/reconstruction paths only; the lookup hot
+        path reads the scale from the probe gather instead)."""
+        return jax.lax.bitcast_convert_type(
+            kvt._get_all_pad(self.header), jnp.float32)
+
+    @property
     def nbytes(self) -> int:
-        return int(self.payload.nbytes + self.scale.nbytes
-                   + self.header.nbytes)
+        return int(self.payload.nbytes + self.header.nbytes)
 
 
 def quantize_rows(rows: jnp.ndarray):
@@ -64,19 +79,26 @@ def quantize_rows(rows: jnp.ndarray):
 def quantize_table(table: kvt.KvTable) -> QuantKvTable:
     """Quantize a trained table for serving (drops optimizer slots — the
     config's slot_layout is cleared so config and payload stay consistent
-    for any later reconstruction, e.g. serving delta refresh)."""
+    for any later reconstruction, e.g. serving delta refresh). The per-row
+    scale is written into the header's pad lanes so lookups need no second
+    gather."""
     values = table.payload[:, :table.config.dim]
     q, scale = quantize_rows(values)
     cfg = dataclasses.replace(table.config, slot_layout=())
-    return QuantKvTable(header=table.header, payload=q, scale=scale,
-                        config=cfg)
+    header = kvt._set_all_pad(
+        table.header, jax.lax.bitcast_convert_type(scale, jnp.int32))
+    return QuantKvTable(header=header, payload=q, config=cfg)
 
 
 def lookup_or_zeros(table: QuantKvTable, q: jnp.ndarray,
                     valid: Optional[jnp.ndarray] = None,
                     dtype=jnp.float32) -> jnp.ndarray:
     """Inference gather with on-the-fly dequantization; unknown /
-    blacklisted keys read as zeros (same contract as kv.lookup_or_zeros)."""
+    blacklisted keys read as zeros (same contract as kv.lookup_or_zeros).
+
+    Issue-count parity with the f32 path: the probe's bucket gather brings
+    the in-header scale along (``find(want_pad=True)``), so the lookup is
+    probe + ONE int8 row gather — no per-row scale gather."""
     # reuse the KvTable probe — it only touches the (shared) header
     view = kvt.KvTable(header=table.header, payload=table.payload,
                        init_pool=table.payload[:1],
@@ -84,15 +106,11 @@ def lookup_or_zeros(table: QuantKvTable, q: jnp.ndarray,
                        deleted_count=jnp.zeros((), jnp.int32),
                        deleted_overflow=jnp.zeros((), bool),
                        config=table.config)
-    fr = kvt.find(view, q, valid)
+    fr = kvt.find(view, q, valid, want_pad=True)
     ok = fr.found & ((fr.meta & kvt.FLAG_BLACKLIST) == 0)
-    # plain XLA gather — rowops' opt-in Pallas path is specified for
-    # f32/bf16 rows and was never exercised with int8 blocks; the scale
-    # gather is one extra narrow (4 B/row) op per lookup (fusing it into
-    # the header's pad lanes is the zero-cost path — PERF.md backlog)
     safe = jnp.where(ok, fr.slot, 0)
     rows_q = jnp.take(table.payload, safe, axis=0)
-    scale = jnp.take(table.scale, safe)
+    scale = jax.lax.bitcast_convert_type(fr.pad, jnp.float32)
     rows = rows_q.astype(dtype) * scale[:, None].astype(dtype)
     return jnp.where(ok[:, None], rows, jnp.zeros((), dtype))
 

@@ -145,6 +145,23 @@ def _set_all_meta(header: jnp.ndarray, meta: jnp.ndarray) -> jnp.ndarray:
     return v.reshape(header.shape)
 
 
+def _set_all_pad(header: jnp.ndarray, words: jnp.ndarray) -> jnp.ndarray:
+    """Replace the whole pad plane (lanes 48-63; ``words`` is int32[C]).
+    The pad lanes are free per-slot 32-bit storage riding the SAME bucket
+    gather as keys+meta — the int8 serving table keeps its per-row dequant
+    scale here (quant.py), eliminating its second per-row gather."""
+    g = header.shape[0]
+    v = header.reshape(g, 4, -1)
+    v = v.at[:, 3, :].set(words.reshape(g, -1))
+    return v.reshape(header.shape)
+
+
+def _get_all_pad(header: jnp.ndarray) -> jnp.ndarray:
+    """Whole pad plane as int32[C] (view-style read)."""
+    g = header.shape[0]
+    return header.reshape(g, 4, -1)[:, 3, :].reshape(-1)
+
+
 def _empty_header(num_buckets: int) -> jnp.ndarray:
     """All-empty planar header: key lanes = EMPTY sentinel, meta/pad = 0."""
     row = jnp.concatenate([
@@ -222,6 +239,10 @@ class FindResult(NamedTuple):
     insert_slot: jnp.ndarray  # int32[N]; first free candidate (-1 if chain full)
     meta: jnp.ndarray         # uint32[N] packed meta of the found slot (0 if none)
     # — comes free from the probe's bucket gather (header co-location)
+    # raw pad-lane word of the found slot (find(want_pad=True) only) —
+    # lanes 48-63 are free 32-bit storage per slot; the int8 serving table
+    # keeps its per-row dequant scale there so NO second gather is needed
+    pad: Optional[jnp.ndarray] = None
 
 
 class LookupResult(NamedTuple):
@@ -290,14 +311,17 @@ def create(dim: int,
 _B = hashing.BUCKET_SIZE
 
 
-def _bucket_scan(g: jnp.ndarray, q: jnp.ndarray, valid: jnp.ndarray):
+def _bucket_scan(g: jnp.ndarray, q: jnp.ndarray, valid: jnp.ndarray,
+                 want_pad: bool = False):
     """Scan ONE gathered planar bucket ``g`` [N, 64] for a key match and the
     first free lane. Field extraction is free lane slicing (planar layout);
     everything else is VPU compares + min-reduces — no further gathers.
 
-    Returns ``(mj, fj, meta)``: first matching lane, first free lane (both
-    == _B when none) and the matched slot's packed meta (0 when none; at
-    most one lane matches, so a masked sum extracts it)."""
+    Returns ``(mj, fj, meta, pad)``: first matching lane, first free lane
+    (both == _B when none), the matched slot's packed meta (0 when none; at
+    most one lane matches, so a masked sum extracts it), and — only when
+    ``want_pad`` — the matched slot's raw pad-lane word (same extraction,
+    used by the int8 serving table for its in-header dequant scale)."""
     lo = g[:, :_B]
     hi = g[:, _B:2 * _B]
     match = (lo == q[:, :1]) & (hi == q[:, 1:2]) & valid[:, None]
@@ -309,17 +333,23 @@ def _bucket_scan(g: jnp.ndarray, q: jnp.ndarray, valid: jnp.ndarray):
     fj = jnp.min(jnp.where(free, j, big), axis=1)
     meta = jnp.sum(jnp.where(match, _meta_u32(g[:, 2 * _B:3 * _B]),
                              jnp.uint32(0)), axis=1, dtype=jnp.uint32)
-    return mj, fj, meta
+    pad = None
+    if want_pad:
+        pad = jnp.sum(jnp.where(match, g[:, 3 * _B:4 * _B], jnp.int32(0)),
+                      axis=1, dtype=jnp.int32)
+    return mj, fj, meta, pad
 
 
 def find(table: KvTable, q: jnp.ndarray,
-         valid: Optional[jnp.ndarray] = None) -> FindResult:
+         valid: Optional[jnp.ndarray] = None, *,
+         want_pad: bool = False) -> FindResult:
     """Probe both candidate buckets of each query key.
 
     Mirrors TableManager find semantics (table_manager.h:167-190) without
     locks. Bucketized two-choice hashing scans all 32 candidates, so
     deletions need no chain repair (tombstones == empties here). Two
-    256 B planar bucket gathers feed the whole probe, keys AND meta.
+    256 B planar bucket gathers feed the whole probe, keys AND meta
+    (AND the pad word when ``want_pad`` — no extra gather either way).
     """
     n = q.shape[0]
     if valid is None:
@@ -330,8 +360,8 @@ def find(table: KvTable, q: jnp.ndarray,
     b1, b2 = hashing.bucket_choices(q, table.capacity)
     g1 = table.header[b1]                  # [N, 64]
     g2 = table.header[b2]
-    mj1, fj1, meta1 = _bucket_scan(g1, q, valid)
-    mj2, fj2, meta2 = _bucket_scan(g2, q, valid)
+    mj1, fj1, meta1, pad1 = _bucket_scan(g1, q, valid, want_pad)
+    mj2, fj2, meta2, pad2 = _bucket_scan(g2, q, valid, want_pad)
 
     big = jnp.int32(_B)
     f1 = mj1 < big
@@ -340,12 +370,14 @@ def find(table: KvTable, q: jnp.ndarray,
     slot = jnp.where(f1, b1 * _B + mj1,
                      jnp.where(f2, b2 * _B + mj2, -1))
     meta = jnp.where(f1, meta1, meta2)
+    pad = jnp.where(f1, pad1, pad2) if want_pad else None
     hf1 = fj1 < big
     hf2 = fj2 < big
     has_free = (hf1 | hf2) & valid
     ins_pos = jnp.where(hf1, b1 * _B + fj1, b2 * _B + fj2)
     ins = jnp.where(has_free, ins_pos, -1)
-    return FindResult(slot=slot, found=found, insert_slot=ins, meta=meta)
+    return FindResult(slot=slot, found=found, insert_slot=ins, meta=meta,
+                      pad=pad)
 
 
 def _claim_insert(header: jnp.ndarray, q: jnp.ndarray, need: jnp.ndarray,

@@ -263,12 +263,20 @@ class GroupFtrl(Rule):
         new_accum = accum + g * g
         if self.lr_power == -0.5:
             pw_new, pw_old = jnp.sqrt(new_accum), jnp.sqrt(accum)
+        elif self.lr_power == 0.0:
+            # x**0 == 1 exactly (exp(0·log 0) would be NaN at accum==0,
+            # reachable with initial_accumulator_value=0 and a zero grad)
+            pw_new = jnp.ones_like(new_accum)
+            pw_old = jnp.ones_like(accum)
         else:
             # traced base, concrete exponent: exp(p·ln x) — math.powf does
-            # not legalize in Mosaic (see _const_base_pow); accum > 0 always
+            # not legalize in Mosaic (see _const_base_pow). accum==0 is
+            # possible at initial_accumulator_value=0: clamp to _TINY so
+            # log stays finite (0**p for p>0 then rounds to ~0, matching
+            # the reference's Eigen pow)
             p = -float(self.lr_power)
-            pw_new = jnp.exp(p * jnp.log(new_accum))
-            pw_old = jnp.exp(p * jnp.log(accum))
+            pw_new = jnp.exp(p * jnp.log(jnp.maximum(new_accum, _TINY)))
+            pw_old = jnp.exp(p * jnp.log(jnp.maximum(accum, _TINY)))
         linear = linear + g - (pw_new - pw_old) / lr * var
         y = pw_new / lr
         new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
@@ -566,8 +574,63 @@ class AdaDQH(Rule):
 
 @dataclasses.dataclass(frozen=True)
 class GroupAdaDQH(Rule):
-    """GroupSparseApplyAdaDQHV2 (training_ops.cc:5139, group COMPUTE_ADADQH
-    :5040-5080). Slot layout m|v|linear."""
+    """GroupSparseApplyAdaDQH**V2** (training_ops.cc:5139; COMPUTE_ADADQH
+    macro :5344-5385). Slot layout m|v|linear.
+
+    V2's distinguishing features vs V1 (:4854, rules.GroupAdaDQHV1):
+    the linear accumulator is kept in lr-PRE-SCALED units (alpha carries
+    lr, the Δaccum·var term has no /lr, l1/l2/l21 are multiplied by lr —
+    :5295-5300), and the OLD accumulator's epsilon floor uses the PREVIOUS
+    step's adjust ``ε·√(1−β2^(t−1))`` (``last_epsilon_adjust`` :5302-5304),
+    which is exactly the floor that was applied to it as ``accum_new`` last
+    step — self-consistent across steps."""
+    beta1: float = 0.9
+    beta2: float = 0.999
+    epsilon: float = 1e-5
+    l1: float = 0.0
+    l2: float = 0.0
+    l21: float = 0.0
+    norm_axis: Optional[str] = None
+    slot_width = 3
+    has_blacklist = True
+
+    def update(self, var, state, grad, *, lr, step, extra=None):
+        m, v, linear = _split(state, 3)
+        dt = var.dtype
+        b1p, b2p = _powers(self.beta1, self.beta2, step, dt)
+        alpha = lr * jnp.sqrt(1.0 - b2p) / (1.0 - b1p)
+        eps_adj = self.epsilon * jnp.sqrt(1.0 - b2p)
+        # ε·√(1 − β2^(t−1)): zero at t=1 (β2^0 = 1), matching the kernel's
+        # beta2_power/beta2 division
+        last_eps_adj = self.epsilon * jnp.sqrt(
+            jnp.maximum(1.0 - b2p / self.beta2, 0.0))
+        first = jnp.asarray(step, jnp.int32) <= 1
+        beta = jnp.where(first, 1.0, 1.0 - b1p / self.beta1).astype(dt)
+        m_old = m / beta
+        m_new = self.beta1 * m + (1.0 - self.beta1) * grad
+        h = m_new / (1.0 - b1p) - m_old
+        v_new = self.beta2 * v + (1.0 - self.beta2) * h * h
+        accum_new = jnp.maximum(jnp.sqrt(v_new), eps_adj)
+        accum_old = jnp.maximum(jnp.sqrt(v), last_eps_adj)
+        linear = linear + m_new * alpha - (accum_new - accum_old) * var
+        y = accum_new
+        new_var, black = _group_lasso_solve(linear, y, self.l1 * lr,
+                                            self.l2 * lr, self.l21 * lr,
+                                            var.shape[-1],
+                                            norm_axis=self.norm_axis)
+        state = jnp.concatenate([m_new, v_new, linear], axis=-1)
+        return new_var, state, black
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupAdaDQHV1(Rule):
+    """GroupSparseApplyAdaDQH VERSION 1 (training_ops.cc:4854-5138;
+    COMPUTE_ADADQH macro :5045-5095) — the legacy trajectory. Differences
+    vs V2 (rules.GroupAdaDQH): the linear accumulator is in UNSCALED units
+    (alpha has no lr, the Δaccum·var term divides by lr, l1/l2/l21 enter
+    the solve raw, y = accum_new/lr + 2·l2), and the old accumulator's
+    epsilon floor ``gamma`` uses the CURRENT step's ε·√(1−β2^t) (0 at the
+    first step — :5053-5061). Slot layout m|v|linear."""
     beta1: float = 0.9
     beta2: float = 0.999
     epsilon: float = 1e-5
@@ -595,9 +658,8 @@ class GroupAdaDQH(Rule):
                   - (jnp.maximum(jnp.sqrt(v_new), eps_adj)
                      - jnp.maximum(jnp.sqrt(v), gamma)) / lr * var)
         y = jnp.maximum(jnp.sqrt(v_new), eps_adj) / lr
-        new_var, black = _group_lasso_solve(linear, y, self.l1 * lr,
-                                            self.l2 * lr, self.l21 * lr,
-                                            var.shape[-1],
+        new_var, black = _group_lasso_solve(linear, y, self.l1, self.l2,
+                                            self.l21, var.shape[-1],
                                             norm_axis=self.norm_axis)
         state = jnp.concatenate([m_new, v_new, linear], axis=-1)
         return new_var, state, black

@@ -139,11 +139,24 @@ def LambHessianOptimizer(learning_rate=0.001, beta1=0.9, beta2=0.999,
 
 def AdaDQHOptimizer(learning_rate=0.001, beta1=0.9, beta2=0.999,
                     epsilon=1e-5, l1=0.0, l2=0.0, l21=0.0,
-                    use_group=False, **_):
-    """AdaDQH (training_ops.cc:4348+) — in-house quasi-hyperbolic Adam."""
+                    use_group=False, version=2, **_):
+    """AdaDQH (training_ops.cc:4348+) — in-house quasi-hyperbolic Adam.
+
+    ``version`` routes the group form like GroupAdamOptimizer's version
+    param: 2 (default) → GroupSparseApplyAdaDQHV2 (training_ops.cc:5139),
+    1 → the legacy GroupSparseApplyAdaDQH trajectory (:4854, unscaled
+    linear + current-step epsilon floor). Non-group AdaDQH has one kernel
+    in the reference; ``version`` is ignored without use_group/λ."""
     if use_group or l1 or l2 or l21:
-        rule = _r.GroupAdaDQH(beta1=beta1, beta2=beta2, epsilon=epsilon,
-                              l1=l1, l2=l2, l21=l21)
+        if version == 1:
+            rule = _r.GroupAdaDQHV1(beta1=beta1, beta2=beta2,
+                                    epsilon=epsilon, l1=l1, l2=l2, l21=l21)
+        elif version == 2:
+            rule = _r.GroupAdaDQH(beta1=beta1, beta2=beta2, epsilon=epsilon,
+                                  l1=l1, l2=l2, l21=l21)
+        else:
+            raise ValueError(f"AdaDQH group version must be 1 or 2, "
+                             f"got {version}")
     else:
         rule = _r.AdaDQH(beta1=beta1, beta2=beta2, epsilon=epsilon)
     return SparseOptimizer(rule, slot_name="adadqh")
