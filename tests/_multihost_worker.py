@@ -103,7 +103,83 @@ saver.save_multihost(os.path.join(out_dir, "mh"), {"emb": local},
 if pid == 0:
     np.save(os.path.join(out_dir, "ids.npy"), idn)
     np.save(os.path.join(out_dir, "rows.npy"), rows)
+
+# ---- delta phase (round-2 verdict #6): full save above, now clear the
+# deltalists ON THE MESH, train more steps, delete keys, and take a
+# delta=True multihost save — lineage across real process boundaries ------
+
+@functools.partial(shard_map, mesh=mesh, in_specs=(tspec,), out_specs=tspec,
+                   check_vma=False)
+def clear_delta(tab):
+    from tfplus_tpu.kv import table as kvt
+    from tfplus_tpu.parallel import sharded_table as _sh
+    return _sh._unsqueeze(kvt.clear_deltalist(_sh._squeeze(tab)))
+
+t = jax.jit(clear_delta)(t)
+
+# steps 3-4: NEW ids (401..800) plus a revisit slice of the old ids
+rng2 = np.random.RandomState(1)
+idn2 = np.concatenate([rng2.randint(401, 800, BL * N_GLOBAL - 32),
+                       idn[:32]]).astype(np.int64)
+ids2 = kv.encode_ids_np_to_device(idn2)
+y2 = jnp.asarray((idn2 % 5).astype(np.float32))
+t, loss3 = jstep(t, ids2, y2, jnp.int32(3))
+t, loss4 = jstep(t, ids2, y2, jnp.int32(4))
+
+rows2 = np.asarray(jax.device_get(read(t, ids2)))
+rows_old = np.asarray(jax.device_get(read(t, ids)))
+
+# host-side deletions on extracted locals: each process deletes trained
+# keys OWNED by its global shards (owner = key % 8); includes keys trained
+# only in steps 1-2 (deleting full-checkpoint rows via the delta)
+local2 = [local_table(t, pid * N_LOCAL + i) for i in range(N_LOCAL)]
+del_keys = np.unique(np.concatenate([idn[:10], idn2[:10]]))
+deleted_here = []
+for i in range(N_LOCAL):
+    g = pid * N_LOCAL + i
+    mine = del_keys[del_keys % N_GLOBAL == g]
+    if mine.size:
+        local2[i], mask = kv.delete(
+            local2[i], kv.encode_ids_np_to_device(mine))
+        deleted_here.extend(int(k) for k, m in zip(mine, np.asarray(mask))
+                            if m)
+
+# a REAL deletion-log-overflow on process 1's last shard (global 7) of a
+# second table: >4096 deletions force deleted_overflow → the delta bundle
+# records need_full_import=1, which the restoring process must honour
+ovf_shards = [kv.create(4, 64, seed=9) for _ in range(N_LOCAL)]
+if pid == nproc - 1:
+    big = kv.grow(kv.create(4, 64, seed=9), 16384)
+    okeys = (np.arange(4200, dtype=np.int64) * N_GLOBAL
+             + (N_GLOBAL - 1))            # all owned by global shard 7
+    q = kv.encode_ids_np_to_device(okeys)
+    big = kv.lookup_or_insert(big, q).table
+    big = kv.clear_deltalist(big)         # fresh lineage window
+    big, _ = kv.delete(big, q)            # 4200 > DELETED_LOG_CAPACITY
+    assert bool(jax.device_get(big.deleted_overflow))
+    ovf_shards[-1] = big
+
+saver.save_multihost(os.path.join(out_dir, "mhd"),
+                     {"emb": local2, "ovf": ovf_shards},
+                     dense={"w": jnp.arange(6.0).reshape(2, 3) * 2,
+                            "step": jnp.int32(4)},
+                     process_id=pid, num_processes=nproc, delta=True)
+# the full lineage root for "ovf" (so the full+delta pair exists on disk)
+saver.save_multihost(os.path.join(out_dir, "mh_ovf_full"),
+                     {"ovf": [kv.create(4, 64, seed=9)
+                              for _ in range(N_LOCAL)]},
+                     process_id=pid, num_processes=nproc)
+
+if pid == 0:
+    np.save(os.path.join(out_dir, "ids2.npy"), idn2)
+    np.save(os.path.join(out_dir, "rows2.npy"), rows2)
+    np.save(os.path.join(out_dir, "rows_old.npy"), rows_old)
+    np.save(os.path.join(out_dir, "del_keys.npy"), del_keys)
+
 with open(os.path.join(out_dir, f"result-{pid}.json"), "w") as f:
     json.dump({"loss1": float(loss1), "loss2": float(loss2),
+               "loss3": float(loss3), "loss4": float(loss4),
+               "deleted": sorted(deleted_here),
                "devices": N_GLOBAL}, f)
-print(f"worker {pid}: ok loss {float(loss1):.5f} -> {float(loss2):.5f}")
+print(f"worker {pid}: ok loss {float(loss1):.5f} -> {float(loss2):.5f} "
+      f"-> {float(loss4):.5f}, deleted {len(deleted_here)}")

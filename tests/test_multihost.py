@@ -43,7 +43,7 @@ def run_dir(tmp_path_factory):
         for p in range(2)]
     outs = []
     for p in procs:
-        stdout, _ = p.communicate(timeout=420)
+        stdout, _ = p.communicate(timeout=600)
         outs.append(stdout.decode())
     for p, o in zip(procs, outs):
         assert p.returncode == 0, f"worker failed:\n{o[-3000:]}"
@@ -118,3 +118,73 @@ class TestTwoProcessCluster:
                     np.array([key], np.int64))))[0]
             np.testing.assert_allclose(got, rows[i], rtol=1e-5,
                                        err_msg=f"id {key}")
+
+
+class TestMultihostDelta:
+    """Round-2 verdict #6: the full → delta lineage across REAL process
+    boundaries — delta=True multihost save (touched rows + per-shard
+    deletion logs), union restore of full+delta in a fresh process, and
+    the need_full_import escalation when one shard's deletion log
+    overflowed on the OTHER process."""
+
+    def _restore_full_plus_delta(self, run_dir):
+        tables, dense = saver.restore_multihost(
+            os.path.join(run_dir, "mh"),
+            {"emb": [kv.create(8, 1024) for _ in range(8)]},
+            {"w": jnp.zeros((2, 3)), "step": jnp.int32(0)})
+        return saver.restore_multihost(
+            os.path.join(run_dir, "mhd"), {"emb": tables["emb"]},
+            {"w": jnp.zeros((2, 3)), "step": jnp.int32(0)}, delta=True)
+
+    def test_full_plus_delta_exact_match(self, run_dir):
+        """Every id's row after restore == the mesh state after step 4,
+        with deleted keys reading as zeros."""
+        tables, dense = self._restore_full_plus_delta(run_dir)
+        shards = tables["emb"]
+        ids2 = np.load(os.path.join(run_dir, "ids2.npy"))
+        rows2 = np.load(os.path.join(run_dir, "rows2.npy"))
+        ids = np.load(os.path.join(run_dir, "ids.npy"))
+        rows_old = np.load(os.path.join(run_dir, "rows_old.npy"))
+        deleted = set(np.load(os.path.join(run_dir,
+                                           "del_keys.npy")).tolist())
+
+        def lookup(key):
+            return np.asarray(kv.lookup_or_zeros(
+                shards[key % 8], kv.encode_ids_np_to_device(
+                    np.array([key], np.int64))))[0]
+
+        for arr, want in ((ids2, rows2), (ids, rows_old)):
+            for i in np.random.RandomState(3).choice(len(arr), 50,
+                                                     replace=False):
+                key = int(arr[i])
+                got = lookup(key)
+                if key in deleted:
+                    np.testing.assert_array_equal(
+                        got, 0.0, err_msg=f"deleted id {key} resurrected")
+                else:
+                    np.testing.assert_allclose(got, want[i], rtol=1e-5,
+                                               err_msg=f"id {key}")
+        # dense came from the delta save (process 0)
+        np.testing.assert_array_equal(np.asarray(dense["w"]),
+                                      np.arange(6.0).reshape(2, 3) * 2)
+        assert int(dense["step"]) == 4
+
+    def test_deletions_crossed_processes(self, run_dir):
+        """Both processes logged real deletions (the delete list in each
+        process's own bundle)."""
+        r0 = json.load(open(os.path.join(run_dir, "result-0.json")))
+        r1 = json.load(open(os.path.join(run_dir, "result-1.json")))
+        assert r0["deleted"] and r1["deleted"]
+        for p, r in ((0, r0), (1, r1)):
+            for k in r["deleted"]:
+                assert (k % 8) // 4 == p       # owned by that process
+
+    def test_need_full_import_escalation_crosses_processes(self, run_dir):
+        """Process 1's 'ovf' shard overflowed its deletion log (>4096 real
+        deletes); restoring that delta in THIS process must refuse."""
+        tables, _ = saver.restore_multihost(
+            os.path.join(run_dir, "mh_ovf_full"),
+            {"ovf": [kv.create(4, 64) for _ in range(8)]})
+        with pytest.raises(ValueError, match="need_full_import"):
+            saver.restore_multihost(os.path.join(run_dir, "mhd"),
+                                    {"ovf": tables["ovf"]}, delta=True)
