@@ -321,3 +321,72 @@ class TestLineageFuzzOverOSS:
         state file, bundles, GC and restores all over signed HTTP."""
         from tests.test_fuzz_table import test_checkpoint_lineage_fuzz
         test_checkpoint_lineage_fuzz(10, tmp_path, ckpt_dir=uri(oss, "fz"))
+
+
+class TestMultipartUpload:
+    """Single-PUT size cap + the OSS multipart-upload protocol
+    (Initiate/UploadPart/Complete/Abort — reference: oss_file_system.cc
+    WritableFile delegates to the SDK's multipart client). The emulator
+    enforces the cap: any plain PUT above max_put_size is 413'd, so the
+    multipart path is the code that actually runs."""
+
+    def test_oversized_single_put_rejected(self):
+        with OSSEmulator(CREDS, max_put_size=1 << 16) as host:
+            c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
+            with pytest.raises(IOError, match="413"):
+                c.put("big", b"\x00" * ((1 << 16) + 1))
+            c.put("small", b"\x00" * (1 << 16))   # at the cap is fine
+
+    def test_multipart_roundtrip_over_put_cap(self, monkeypatch):
+        """A 1 MB object through the fs write path with a 200 KB PUT cap:
+        must arrive via multipart (part size a non-divisor so the last
+        part is short) and read back byte-identical over ranged GETs."""
+        from tfplus_tpu.io import object_store as osmod
+        from tfplus_tpu.io.filesystem import get_filesystem
+        monkeypatch.setattr(osmod, "_MULTIPART_THRESHOLD", 200_000)
+        monkeypatch.setattr(osmod, "_PART_SIZE", 77_000)
+        with OSSEmulator(CREDS, max_put_size=200_000) as host:
+            register_oss()
+            rng = np.random.default_rng(0)
+            data = rng.integers(0, 256, 1_000_000, dtype=np.uint8).tobytes()
+            fs, p = get_filesystem(uri(host, "blob.bin"))
+            with fs.open(p, "wb") as f:
+                for i in range(0, len(data), 123_457):
+                    f.write(data[i:i + 123_457])
+            c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
+            assert c.head("blob.bin") == len(data)
+            with fs.open(p, "rb") as f:
+                assert f.read() == data
+
+    def test_checkpoint_shard_over_put_cap(self, monkeypatch):
+        """A bundle data shard bigger than the PUT cap round-trips: save
+        (multipart upload), restore, exact table contents."""
+        from tfplus_tpu.io import object_store as osmod
+        monkeypatch.setattr(osmod, "_MULTIPART_THRESHOLD", 128_000)
+        monkeypatch.setattr(osmod, "_PART_SIZE", 64_000)
+        with OSSEmulator(CREDS, max_put_size=128_000) as host:
+            register_oss()
+            t = kv.create(128, 4096, seed=0)
+            ids = np.arange(1, 2001, dtype=np.int64)     # 2000*128*4 = 1 MB
+            vals = jnp.asarray(np.random.default_rng(1).normal(
+                size=(2000, 128)).astype(np.float32))
+            t = kv.insert(t, enc_ids(ids), vals)
+            base = uri(host, "mpckpt")
+            saver.save_multihost(base, {"emb": [t]}, process_id=0,
+                                 num_processes=1)
+            tables, _ = saver.restore_multihost(
+                base, {"emb": [kv.create(128, 4096)]})
+            got = np.asarray(kv.lookup_or_zeros(tables["emb"][0],
+                                                enc_ids(ids)))
+            np.testing.assert_allclose(got, np.asarray(vals))
+
+    def test_abort_drops_server_state(self, oss):
+        """Abort (the client's exception path) removes the in-flight
+        upload: completing afterwards is a 404, nothing is published."""
+        c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], oss)
+        uid = c.initiate_multipart("obj")
+        etag = c.upload_part("obj", uid, 1, b"part-one")
+        c.abort_multipart("obj", uid)
+        with pytest.raises(IOError, match="404"):
+            c.complete_multipart("obj", uid, [(1, etag)])
+        assert c.head("obj") is None

@@ -17,10 +17,15 @@ Credentials follow the reference's URI embedding
 the OSS_ACCESS_ID / OSS_ACCESS_KEY / OSS_HOST environment variables —
 :func:`tfplus_tpu.io.filesystem.parse_oss_uri`.
 
-Known limits vs a full SDK: listings read the first response page only
-(no continuation-marker paging — fine for checkpoint directories, not for
-million-object buckets) and multipart upload is not used (single PUT per
-object, spooled).
+Listings follow GetBucket pagination (IsTruncated/NextMarker — real OSS
+serves at most 1000 keys per page), and writes above
+``_MULTIPART_THRESHOLD`` go through the OSS multipart-upload protocol
+(InitiateMultipartUpload / UploadPart / CompleteMultipartUpload, the
+same three-verb dance the reference's OSSWritableFile delegates to the
+SDK for, oss_file_system.cc) — single-PUT size limits on real OSS make
+multipart mandatory for multi-GB bundle shards. The test emulator
+enforces the PUT cap (413 EntityTooLarge) so the multipart path is the
+one actually exercised.
 
 Capabilities the checkpoint layer needs and gets here:
   * streaming writes — spooled to a temp file, single PUT on close
@@ -49,6 +54,27 @@ from .filesystem import FileSystem, parse_oss_uri, register_filesystem
 
 _READAHEAD = 4 << 20          # ranged-GET readahead
 _SPOOL_MAX = 64 << 20         # writes spill to disk beyond this
+_MULTIPART_THRESHOLD = 32 << 20   # objects above this upload in parts
+_PART_SIZE = 16 << 20             # multipart part size
+# Query subresources that are part of the OSS CanonicalizedResource (the
+# signing spec's list; prefix/marker/max-keys are deliberately NOT in it).
+_SIGNED_SUBRESOURCES = ("partNumber", "uploadId", "uploads")
+
+
+def _canonical_subresources(query: str) -> str:
+    """``?``-suffix of the CanonicalizedResource: the signed subresources
+    present in ``query``, sorted, ``k=v`` (or bare ``k``) joined by ``&``."""
+    if not query:
+        return ""
+    picked = []
+    for kv_pair in query.split("&"):
+        k, sep, v = kv_pair.partition("=")
+        if k in _SIGNED_SUBRESOURCES:
+            picked.append((k, v if sep else None))
+    if not picked:
+        return ""
+    picked.sort()
+    return "?" + "&".join(k if v is None else f"{k}={v}" for k, v in picked)
 
 
 def _sign(key: str, verb: str, date: str, resource: str,
@@ -111,7 +137,7 @@ class ObjectStoreClient:
                  headers: Optional[Dict[str, str]] = None,
                  query: str = "") -> Tuple[int, dict, bytes]:
         date = email.utils.formatdate(usegmt=True)
-        resource = f"/{self.bucket}/{key}"
+        resource = f"/{self.bucket}/{key}" + _canonical_subresources(query)
         sig = _sign(self._key, verb, date, resource, oss_headers=headers)
         h = {"Date": date, "Authorization": f"OSS {self._id}:{sig}"}
         if headers:
@@ -206,6 +232,67 @@ class ObjectStoreClient:
                 out.extend(k for k in text.splitlines() if k)
                 return out       # plaintext emulators return everything
 
+    # -- multipart upload (InitiateMultipartUpload / UploadPart /
+    #    CompleteMultipartUpload — the protocol the reference's
+    #    OSSWritableFile gets from the SDK, oss_file_system.cc) ------------
+    def initiate_multipart(self, key: str) -> str:
+        st, _, data = self._request("POST", key, query="uploads")
+        if st != 200:
+            raise IOError(f"InitiateMultipartUpload {key}: {st}")
+        import re
+        m = re.search(r"<UploadId>([^<]+)</UploadId>", data.decode())
+        if not m:
+            raise IOError(f"InitiateMultipartUpload {key}: no UploadId")
+        return m.group(1)
+
+    def upload_part(self, key: str, upload_id: str, part_number: int,
+                    data: bytes) -> str:
+        """Returns the part's ETag (echoed back in the complete call)."""
+        st, headers, body = self._request(
+            "PUT", key, body=data,
+            query=f"partNumber={part_number}&uploadId={upload_id}")
+        if st != 200:
+            raise IOError(f"UploadPart {key}#{part_number}: {st} "
+                          f"{body[:200]}")
+        return headers.get("ETag", "").strip('"')
+
+    def complete_multipart(self, key: str, upload_id: str,
+                           parts: List[Tuple[int, str]]):
+        body = "".join(
+            f"<Part><PartNumber>{n}</PartNumber><ETag>\"{etag}\"</ETag>"
+            "</Part>" for n, etag in parts)
+        xml = f"<CompleteMultipartUpload>{body}</CompleteMultipartUpload>"
+        st, _, resp = self._request("POST", key, body=xml.encode(),
+                                    query=f"uploadId={upload_id}")
+        if st != 200:
+            raise IOError(f"CompleteMultipartUpload {key}: {st} "
+                          f"{resp[:200]}")
+
+    def abort_multipart(self, key: str, upload_id: str):
+        self._request("DELETE", key, query=f"uploadId={upload_id}")
+
+    def put_stream(self, key: str, fileobj, size: int):
+        """Upload from a seekable file object: one PUT when small, the
+        multipart protocol above ``_MULTIPART_THRESHOLD`` (real OSS caps
+        single PUTs; a multi-GB bundle shard MUST go up in parts)."""
+        if size <= _MULTIPART_THRESHOLD:
+            self.put(key, fileobj.read())
+            return
+        upload_id = self.initiate_multipart(key)
+        try:
+            parts: List[Tuple[int, str]] = []
+            n = 1
+            while True:
+                chunk = fileobj.read(_PART_SIZE)
+                if not chunk:
+                    break
+                parts.append((n, self.upload_part(key, upload_id, n, chunk)))
+                n += 1
+            self.complete_multipart(key, upload_id, parts)
+        except BaseException:
+            self.abort_multipart(key, upload_id)   # don't leak server state
+            raise
+
 
 class _OSSReadFile(io.RawIOBase):
     """Random-access reader over ranged GETs with readahead buffering."""
@@ -272,7 +359,8 @@ class _OSSReadFile(io.RawIOBase):
 
 
 class _OSSWriteFile(io.RawIOBase):
-    """Spooled writer: bytes buffer in a temp file, ONE PUT on close."""
+    """Spooled writer: bytes buffer in a temp file, one PUT (or a
+    multipart upload beyond ``_MULTIPART_THRESHOLD``) on close."""
 
     def __init__(self, client: ObjectStoreClient, key: str,
                  initial: bytes = b""):
@@ -299,8 +387,9 @@ class _OSSWriteFile(io.RawIOBase):
     def close(self):
         if self._closed:
             return
+        size = self._spool.seek(0, io.SEEK_END)
         self._spool.seek(0)
-        self._c.put(self._key, self._spool.read())
+        self._c.put_stream(self._key, self._spool, size)
         self._spool.close()
         self._closed = True
         super().close()

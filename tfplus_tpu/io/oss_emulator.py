@@ -3,8 +3,12 @@
 Stands in for the real OSS service in this zero-egress image so the
 ``oss://`` client (:mod:`tfplus_tpu.io.object_store`) is exercised over a
 genuine HTTP wire: PUT/GET/HEAD/DELETE, ranged GET (206), server-side copy
-(``x-oss-copy-source``), prefix listing, and verification of the OSS
-``Authorization: OSS <id>:<hmac-sha1>`` signature — requests signed with a
+(``x-oss-copy-source``), paginated prefix listing, the multipart-upload
+protocol (Initiate/UploadPart/Complete/Abort, with per-part ETag checks
+and an enforceable single-PUT size cap — ``max_put_size`` rejects
+oversized plain PUTs 413 EntityTooLarge the way the real service does),
+and verification of the OSS ``Authorization: OSS <id>:<hmac-sha1>``
+signature including multipart query subresources — requests signed with a
 wrong key are rejected 403, like the service.
 
 Usage::
@@ -14,12 +18,14 @@ Usage::
 """
 from __future__ import annotations
 
+import hashlib
+import secrets
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 from urllib.parse import parse_qs, unquote, urlparse
 
-from .object_store import _sign
+from .object_store import _canonical_subresources, _sign
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -30,13 +36,18 @@ class _Handler(BaseHTTPRequestHandler):
     creds: Dict[str, str]
     lock: threading.Lock
     page_size: int = 1000      # listing keys per page (tests shrink this)
+    max_put_size: Optional[int] = None   # single-PUT cap (None = unlimited)
+    # in-flight multipart uploads: upload_id -> (target key, {n: bytes})
+    uploads: Dict[str, Tuple[str, Dict[int, bytes]]]
 
     def log_message(self, *a):       # silence
         pass
 
     def _key(self):
         u = urlparse(self.path)
-        return unquote(u.path.lstrip("/")), parse_qs(u.query)
+        # keep_blank_values: "?uploads" is a bare subresource key
+        return (unquote(u.path.lstrip("/")),
+                parse_qs(u.query, keep_blank_values=True))
 
     def _authorized(self, verb: str) -> bool:
         auth = self.headers.get("Authorization", "")
@@ -51,9 +62,13 @@ class _Handler(BaseHTTPRequestHandler):
             return False
         date = self.headers.get("Date", "")
         path, _ = self._key()
+        # signed subresources (uploads/uploadId/partNumber) are part of the
+        # CanonicalizedResource — same rule as the client's _request
+        raw_query = urlparse(self.path).query
         oss_headers = {k: v for k, v in self.headers.items()
                        if k.lower().startswith("x-oss-")}
-        want = _sign(secret, verb, date, "/" + path,
+        want = _sign(secret, verb, date,
+                     "/" + path + _canonical_subresources(raw_query),
                      oss_headers=oss_headers)
         return signature == want
 
@@ -85,8 +100,27 @@ class _Handler(BaseHTTPRequestHandler):
     def do_PUT(self):
         if not self._authorized("PUT"):
             return self._deny()
-        key, _ = self._key()
+        key, q = self._key()
         src = self.headers.get("x-oss-copy-source")
+        n = int(self.headers.get("Content-Length", "0"))
+        if src is None and self.max_put_size is not None \
+                and n > self.max_put_size:
+            # the real service's single-PUT cap: oversized objects MUST
+            # arrive via the multipart protocol
+            self._drain()
+            return self._reply(
+                413, b"<Error><Code>EntityTooLarge</Code></Error>")
+        if "uploadId" in q and "partNumber" in q:      # UploadPart
+            upload_id = q["uploadId"][0]
+            part_no = int(q["partNumber"][0])
+            body = self.rfile.read(n)
+            with self.lock:
+                up = self.uploads.get(upload_id)
+                if up is None or up[0] != key:
+                    return self._reply(404)
+                up[1][part_no] = body
+            etag = hashlib.md5(body).hexdigest()
+            return self._reply(200, headers={"ETag": f'"{etag}"'})
         with self.lock:
             if src is not None:
                 skey = src.lstrip("/")
@@ -94,9 +128,50 @@ class _Handler(BaseHTTPRequestHandler):
                     return self._reply(404)
                 self.store[key] = self.store[skey]
             else:
-                n = int(self.headers.get("Content-Length", "0"))
                 self.store[key] = self.rfile.read(n)
         self._reply(200)
+
+    def do_POST(self):
+        if not self._authorized("POST"):
+            return self._deny()
+        key, q = self._key()
+        if "uploads" in q:                 # InitiateMultipartUpload
+            self._drain()
+            upload_id = secrets.token_hex(12)
+            with self.lock:
+                self.uploads[upload_id] = (key, {})
+            return self._reply(
+                200, ("<InitiateMultipartUploadResult><UploadId>"
+                      f"{upload_id}</UploadId>"
+                      "</InitiateMultipartUploadResult>").encode())
+        if "uploadId" in q:                # CompleteMultipartUpload
+            import re
+            n = int(self.headers.get("Content-Length", "0"))
+            xml = self.rfile.read(n).decode()
+            upload_id = q["uploadId"][0]
+            declared = [(int(pn), et) for pn, et in re.findall(
+                r"<PartNumber>(\d+)</PartNumber>\s*<ETag>\"?([^\"<]+)\"?"
+                r"</ETag>", xml)]
+            with self.lock:
+                up = self.uploads.pop(upload_id, None)
+            if up is None or up[0] != key:
+                return self._reply(404)
+            if declared != sorted(declared):   # parts must be ascending
+                return self._reply(
+                    400, b"<Error><Code>InvalidPartOrder</Code></Error>")
+            blobs = []
+            for pn, etag in declared:
+                body = up[1].get(pn)
+                if body is None or hashlib.md5(body).hexdigest() != etag:
+                    return self._reply(
+                        400, b"<Error><Code>InvalidPart</Code></Error>")
+                blobs.append(body)
+            with self.lock:
+                self.store[key] = b"".join(blobs)
+            return self._reply(
+                200, b"<CompleteMultipartUploadResult/>")
+        self._drain()
+        self._reply(400)
 
     def do_GET(self):
         if not self._authorized("GET"):
@@ -148,19 +223,24 @@ class _Handler(BaseHTTPRequestHandler):
     def do_DELETE(self):
         if not self._authorized("DELETE"):
             return self._deny()
-        key, _ = self._key()
+        key, q = self._key()
         with self.lock:
-            self.store.pop(key, None)
+            if "uploadId" in q:            # AbortMultipartUpload
+                self.uploads.pop(q["uploadId"][0], None)
+            else:
+                self.store.pop(key, None)
         self._reply(204)
 
 
 class OSSEmulator:
     """Threaded object-store server; context manager yields ``host:port``."""
 
-    def __init__(self, creds: Dict[str, str], page_size: int = 1000):
+    def __init__(self, creds: Dict[str, str], page_size: int = 1000,
+                 max_put_size: Optional[int] = None):
         handler = type("Handler", (_Handler,), {
             "store": {}, "creds": dict(creds), "lock": threading.Lock(),
-            "page_size": page_size})
+            "page_size": page_size, "max_put_size": max_put_size,
+            "uploads": {}})
         self._handler = handler
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         self._thread = threading.Thread(target=self._srv.serve_forever,
