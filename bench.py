@@ -187,14 +187,15 @@ def bench_inference_lookup_int8():
     return n / dt
 
 
-def bench_group_adam_calibration():
-    """GroupAdam (k=3 wide payload — the scan kernel's target case) step
-    time: scatter path vs the streaming scan kernel, via the calibration
-    that also opens/closes the auto-route gate (scan_update.calibrate).
-    TPU-only: the scan kernel has no CPU lowering outside interpret mode."""
+def bench_group_adam_apply():
+    """GroupAdam apply (k=3 wide payload — the widest shipped slot state,
+    3x row bytes per scatter) step time on the gather/update/scatter path.
+    This was the target case for the deleted streaming scan kernel — the
+    post-mortem comparison record lives in R3_SCAN_SWEEP.json / PERF.md."""
+    import statistics
     import jax
+    import jax.numpy as jnp
     from tfplus_tpu import kv, train as tft
-    from tfplus_tpu.ops import scan_update
     if jax.default_backend() != "tpu":
         return None
     dim, capacity, n = 128, 1 << 20, 1 << 15
@@ -205,10 +206,19 @@ def bench_group_adam_calibration():
     ids = kv.encode_ids_np_to_device(
         rng.choice(capacity * 4, n, replace=False).astype(np.int64))
     t = kv.lookup_or_insert(t, ids).table
-    res = scan_update.calibrate(t, n, opt, reps=5)
-    return {"group_adam_scatter_step_ms": round(res["scatter_s"] * 1e3, 3),
-            "group_adam_scan_step_ms": round(res["scan_s"] * 1e3, 3),
-            "scan_route_enabled": res["use_scan"]}
+    slot_idx = jnp.arange(n, dtype=jnp.int32) % t.capacity
+    grads = jnp.ones((n, dim), jnp.float32) * 1e-3
+    fn = jax.jit(lambda tb, s, g: opt.apply(tb, s, g, lr=0.01, step=1))
+    out = fn(t, slot_idx, grads)
+    jax.device_get(out.payload[0, :1])
+    ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = fn(t, slot_idx, grads)
+        jax.device_get(out.payload[0, :1])
+        ts.append(time.perf_counter() - t0)
+    return {"group_adam_apply_step_ms": round(
+        statistics.median(ts) * 1e3, 3)}
 
 
 def bench_tf_cpu_reference(steps: int = 20) -> float:
@@ -390,7 +400,7 @@ def main():
     import statistics as _st
     infer_ips = round(_st.median(f32_runs), 0) if f32_runs else None
     infer_int8 = round(_st.median(int8_runs), 0) if int8_runs else None
-    ga_cal = maybe(bench_group_adam_calibration)
+    ga_apply = maybe(bench_group_adam_apply)
 
     print(json.dumps({
         "metric": "fused_lookup_update_bandwidth",
@@ -420,7 +430,7 @@ def main():
             "dcn_train_examples_per_s_per_chip": dcn_eps,
             "inference_lookup_ids_per_s": infer_ips,
             "inference_lookup_int8_ids_per_s": infer_int8,
-            "group_adam_calibration": ga_cal,
+            "group_adam_apply": ga_apply,
         },
     }))
 

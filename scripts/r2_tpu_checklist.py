@@ -85,23 +85,13 @@ def main():
           f"(bf16 vs f32 reference)", flush=True)
     results["fa_dropout_max_err_bf16"] = err
 
-    step("3. GroupAdam scan-vs-scatter calibration")
+    # (step 3 used to calibrate the scan-update kernel; deleted round 3 —
+    # PERF.md post-mortem, R3_SCAN_SWEEP.json)
+    step("4. standalone apply ablation (flat meta gather)")
     from tfplus_tpu import kv, train as tft
-    from tfplus_tpu.ops import scan_update
     dim, capacity, n = 128, 1 << 20, 1 << 15
-    t = kv.create(dim, capacity, max_probes=16, seed=0)
-    opt = tft.GroupAdamOptimizer()
-    t = opt.init(t)
     ids = kv.encode_ids_np_to_device(
         rng.choice(capacity * 4, n, replace=False).astype(np.int64))
-    t = kv.lookup_or_insert(t, ids).table
-    cal = scan_update.calibrate(t, n, opt, reps=5)
-    print(cal, flush=True)
-    results["group_adam_calibration"] = {k2: (v2 if not isinstance(v2, tuple)
-                                              else list(v2))
-                                         for k2, v2 in cal.items()}
-
-    step("4. standalone apply ablation (flat meta gather)")
     import functools
     opt2 = tft.AdagradOptimizer()
     t2 = opt2.init(kv.create(dim, capacity, max_probes=16, seed=0))

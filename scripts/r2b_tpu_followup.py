@@ -51,23 +51,14 @@ def main():
     print(f"max|kernel - dense| = {err:.4f} (bf16 vs f32 ref)", flush=True)
     results["fa_dropout_max_err_bf16"] = err
 
-    step("2. GroupAdam scan-vs-scatter calibration (post powf fix)")
+    # (step 2 used to calibrate the scan-update kernel; the kernel was
+    # deleted in round 3 after losing every hardware measurement — see
+    # PERF.md post-mortem and R3_SCAN_SWEEP.json)
+    step("3. standalone apply ablation (flat meta gather)")
     from tfplus_tpu import kv, train as tft
-    from tfplus_tpu.ops import scan_update
     dim, capacity, n = 128, 1 << 20, 1 << 15
-    t = kv.create(dim, capacity, max_probes=16, seed=0)
-    opt = tft.GroupAdamOptimizer()
-    t = opt.init(t)
     ids = kv.encode_ids_np_to_device(
         rng.choice(capacity * 4, n, replace=False).astype(np.int64))
-    t = kv.lookup_or_insert(t, ids).table
-    cal = scan_update.calibrate(t, n, opt, reps=5)
-    print(cal, flush=True)
-    results["group_adam_calibration"] = {
-        kk: (list(vv) if isinstance(vv, tuple) else vv)
-        for kk, vv in cal.items()}
-
-    step("3. standalone apply ablation (flat meta gather)")
     opt2 = tft.AdagradOptimizer()
     t2 = opt2.init(kv.create(dim, capacity, max_probes=16, seed=0))
     t2 = kv.lookup_or_insert(t2, ids).table

@@ -50,45 +50,21 @@ class SparseOptimizer:
               grads: jnp.ndarray, *, lr, step,
               extra: Optional[jnp.ndarray] = None,
               mark_delta: bool = True,
-              use_scan: Optional[bool] = None,
-              day: int | jnp.ndarray = 0,
               payload_rows: Optional[jnp.ndarray] = None,
               meta_rows: Optional[jnp.ndarray] = None) -> kvt.KvTable:
         """Update rows at ``slot_idx`` (from ``LookupResult.slot``; -1 entries
         are skipped) with per-unique-row ``grads``.
 
         ``step`` is the 1-indexed global step (drives bias-correction powers);
-        ``lr`` may be a python float or traced scalar. ``use_scan=True``
-        routes through the streaming scan-update Pallas kernel
-        (ops/scan_update.py) instead of gather/scatter — opt-in; see PERF.md.
+        ``lr`` may be a python float or traced scalar. The update is one
+        fused XLA gather → rule → scatter region; a streaming full-table
+        Pallas alternative was built, measured, and deleted — it never beat
+        this path on hardware (PERF.md scan-update post-mortem).
 
         ``payload_rows``/``meta_rows``: pass ``LookupResult.payload_rows`` /
         ``.meta_rows`` from the SAME step's lookup to skip both gathers here
         (valid because only metadata changed between lookup and apply).
         """
-        if use_scan is None:
-            # auto-route: scan only when a calibration run for this table
-            # shape measured it robustly faster on the real device
-            # (scan_update.calibrate; remote-compile variance hysteresis)
-            from ..ops import scan_update
-            use_scan = scan_update.routed(table, slot_idx.shape[0], self.rule)
-        if use_scan:
-            from ..ops import scan_update
-            if table.payload.dtype != jnp.float32:
-                raise ValueError(
-                    "use_scan=True requires a float32 table (the scan kernel "
-                    f"updates the payload in place); got {table.payload.dtype}"
-                    " — drop use_scan for bfloat16 tables")
-            # table.meta is a header-column view; the scan kernel streams
-            # the whole table anyway, so materialising it is in-budget
-            vo, meta = scan_update.scan_apply(
-                table.payload, table.meta, slot_idx,
-                grads, None, self.rule, dim=table.config.dim,
-                lr=lr, step=step, day=day,
-                enter_threshold=table.config.enter_threshold,
-                interpret=jax.default_backend() != "tpu")
-            header = kvt._set_all_meta(table.header, meta)
-            return dataclasses.replace(table, payload=vo, header=header)
         n = slot_idx.shape[0]
         cap = table.capacity
         dim = table.config.dim
