@@ -3,16 +3,20 @@
 Beyond reference parity (the reference serves float/half at best,
 kernels/kv_variable_ops.cc type constraints): an inference-only KvTable
 whose payload is symmetric per-row int8 (scale = max|row|/127). Lookups
-gather int8 rows and dequantize on the VPU — the gather is issue-bound
-per ROW on TPU (PERF.md), so int8 serving lookups cost the same time as
-f32 while the table holds 4× the rows per chip.
+gather int8 rows and dequantize on the VPU while the table holds 4× the
+rows per chip.
 
 The per-row dequant scale lives in the planar header's FREE pad lanes
 (48-63 — one 32-bit word per slot), so the probe's bucket gather delivers
 it together with keys+meta and the lookup issues exactly as many gathers
 as the f32 path (probe + one int8 row gather). The earlier design kept a
 separate f32[C] scale array whose narrow per-row gather doubled the
-issue cost (measured 54.2M vs 104.0M ids/s — BENCH_r02.json).
+issue cost (54.2M vs 104.0M ids/s — BENCH_r02.json); with the in-header
+scale plus miss/blacklist zeroing folded into the scale (one [N] where
+instead of a second [N, D] pass) the measured cost is ~0.8× the f32
+throughput (paired medians 100.1M int8 vs 124.2M f32 ids/s, v5e) — the
+residual gap is the int8→f32 convert+scale pass over the gathered rows,
+which the f32 path does not pay.
 
 Training stays full-precision (optimizer state needs it; the engine's
 payload fusion shares one dtype) — quantize AFTER training:
@@ -111,8 +115,10 @@ def lookup_or_zeros(table: QuantKvTable, q: jnp.ndarray,
     safe = jnp.where(ok, fr.slot, 0)
     rows_q = jnp.take(table.payload, safe, axis=0)
     scale = jax.lax.bitcast_convert_type(fr.pad, jnp.float32)
-    rows = rows_q.astype(dtype) * scale[:, None].astype(dtype)
-    return jnp.where(ok[:, None], rows, jnp.zeros((), dtype))
+    # fold the miss/blacklist zeroing into the per-row scale ([N] work)
+    # instead of a second [N, D] where over the dequantized rows
+    scale = jnp.where(ok, scale, 0.0)
+    return rows_q.astype(dtype) * scale[:, None].astype(dtype)
 
 
 def max_quant_error(table: kvt.KvTable) -> float:
