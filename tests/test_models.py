@@ -255,3 +255,53 @@ class TestFlaxAdapter:
         for a, b_ in zip(got, want):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        rtol=1e-6)
+
+
+class TestDIN:
+    def _run(self, train_steps=300):
+        from tfplus_tpu.models.din import DIN
+        gen = synthetic.BehaviorSequence(seed=0, n_items=800, n_clusters=12,
+                                         seq_len=12)
+        model = DIN(embedding_dim=16, seq_len=12, num_numeric=4,
+                    att_hidden=(32, 16), dnn_hidden=(64, 32),
+                    capacity=1 << 12)
+        opt = tft.AdamOptimizer()
+        tx = optax.adam(5e-3)
+        state = init_state(model, opt, tx, seed=0)
+        step = make_train_step(model, opt, tx, sparse_lr=5e-3)
+
+        def to_batch(b):
+            return {
+                "ids": {
+                    "item": kv.encode_ids_np_to_device(
+                        model.pack_item_ids(b["cand"], b["seq"])),
+                    "user": kv.encode_ids_np_to_device(
+                        b["user"].astype(np.int64)),
+                },
+                "features": {"numeric": jnp.asarray(b["numeric"]),
+                             "mask": jnp.asarray(b["mask"])},
+                "labels": jnp.asarray(b["label"]),
+            }
+
+        losses = []
+        for b in gen.batches(512, train_steps):
+            state, loss, _ = step(state, to_batch(b))
+            losses.append(float(loss))
+        estep = make_train_step(model, opt, tx, sparse_lr=5e-3, train=False,
+                                donate=False)
+        labels, scores = [], []
+        for b in gen.batches(512, 6):
+            _, _, preds = estep(state, to_batch(b))
+            labels.append(b["label"])
+            scores.append(np.asarray(preds))
+        return losses, auc_score(np.concatenate(labels),
+                                 np.concatenate(scores))
+
+    def test_attention_learns_planted_interest(self):
+        """The BehaviorSequence signal is only recoverable through the
+        history (latent per-example interest): a healthy DIN separates it
+        well above chance, through the shared-item-table dual-stream
+        lookup (candidate + flattened sequence in one dedup/probe)."""
+        losses, auc = self._run()
+        assert losses[-1] < losses[0] - 0.05
+        assert auc > 0.75, f"AUC {auc}"

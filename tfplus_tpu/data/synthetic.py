@@ -75,3 +75,70 @@ def dlrm_batches(batch_size: int, num_batches: int, num_tables: int = 8,
                      num_categorical=num_tables,
                      vocab_sizes=[vocab] * num_tables)
     yield from gen.batches(batch_size, num_batches)
+
+
+class BehaviorSequence:
+    """Planted-interest sequence data for DIN-style models.
+
+    Items live in ``n_clusters`` latent clusters. Each example has a
+    LATENT interest cluster: the click history is drawn from it (variable
+    length, zero-padded to ``seq_len``) and the candidate item is
+    positive-biased when its cluster matches. The interest is per-example
+    — not a function of the user id — so only sequence attention over the
+    history can recover it; user-embedding memorization cannot.
+    """
+
+    def __init__(self, n_items: int = 2000, n_users: int = 500,
+                 n_clusters: int = 20, seq_len: int = 16,
+                 num_numeric: int = 4, seed: int = 0):
+        self.rng = np.random.RandomState(seed)
+        self.n_items, self.n_users = n_items, n_users
+        self.n_clusters, self.seq_len = n_clusters, seq_len
+        self.num_numeric = num_numeric
+        # item -> cluster (ids are 1-based; 0 is the pad id)
+        self.item_cluster = self.rng.randint(0, n_clusters, size=n_items + 1)
+        self.w_num = self.rng.randn(num_numeric).astype(np.float32) * 0.3
+        # per-cluster item lists, padded square for vectorized sampling
+        members = [np.where(self.item_cluster[1:] == c)[0] + 1
+                   for c in range(n_clusters)]
+        self.cluster_count = np.array([max(len(m), 1) for m in members])
+        width = int(self.cluster_count.max())
+        self.cluster_table = np.zeros((n_clusters, width), np.int64)
+        for c, m in enumerate(members):
+            if len(m) == 0:          # degenerate tiny-vocab case
+                m = np.array([1 + c % self.n_items])
+            self.cluster_table[c] = np.resize(m, width)
+
+    def batches(self, batch_size: int, num_batches: int
+                ) -> Iterator[Dict[str, np.ndarray]]:
+        for _ in range(num_batches):
+            b, L = batch_size, self.seq_len
+            user = self.rng.randint(1, self.n_users + 1, b)
+            # the interest is LATENT and per-example (not a user-id
+            # function): the model can only infer it from the history,
+            # so user-embedding memorization cannot shortcut attention
+            pref = self.rng.randint(0, self.n_clusters, b)
+            # history: 80% items from the latent interest cluster, 20%
+            # noise clusters; variable length (>=4), zero-padded tail
+            lengths = self.rng.randint(min(4, L), L + 1, b)
+            pos = np.arange(L)[None, :] < lengths[:, None]     # [b, L]
+            cl = np.where(self.rng.rand(b, L) < 0.8, pref[:, None],
+                          self.rng.randint(0, self.n_clusters, (b, L)))
+            idx = (self.rng.rand(b, L)
+                   * self.cluster_count[cl]).astype(np.int64)
+            seq = np.where(pos, self.cluster_table[cl, idx], 0)
+            mask = pos.astype(np.float32)
+            # half the candidates come from the interest cluster (balanced
+            # match rate — a rare match would cap the achievable AUC)
+            idxc = (self.rng.rand(b) * self.cluster_count[pref]).astype(
+                np.int64)
+            cand = np.where(self.rng.rand(b) < 0.5,
+                            self.cluster_table[pref, idxc],
+                            self.rng.randint(1, self.n_items + 1, b))
+            hist_match = (self.item_cluster[cand] == pref).astype(np.float32)
+            numeric = self.rng.randn(b, self.num_numeric).astype(np.float32)
+            logit = 2.5 * hist_match - 1.2 + numeric @ self.w_num
+            label = (self.rng.rand(b) < 1.0 / (1.0 + np.exp(-logit))
+                     ).astype(np.float32)
+            yield {"user": user, "cand": cand, "seq": seq, "mask": mask,
+                   "numeric": numeric, "label": label}
