@@ -1,13 +1,15 @@
-"""Train DIN (Deep Interest Network) on planted behavior-sequence data.
+"""Train DIN or BST on planted behavior-sequence data.
 
-Beyond the reference's example zoo (NCF + DCN): DIN (arXiv:1706.06978) is
-the canonical sequence CTR model — a learned activation unit attends the
-candidate item over the user's click history. Framework pieces on display:
-one shared item KV table fed by TWO id streams (candidate + flattened
-history, deduped into a single probe/gather/apply pass), variable-length
-sequences via a padding mask, and growth-managed tables.
+Beyond the reference's example zoo (NCF + DCN): DIN (arXiv:1706.06978)
+attends the candidate over the click history with a learned activation
+unit; BST (arXiv:1905.06874) runs transformer blocks over
+[history..., candidate] through the Pallas flash-attention layer.
+Framework pieces on display: one shared item KV table fed by TWO id
+streams (candidate + flattened history, deduped into a single
+probe/gather/apply pass) and variable-length sequences via padding masks.
 
 Usage: python examples/train_din.py --cpu
+       python examples/train_din.py --model bst --cpu
        python examples/train_din.py --optimizer group_adam
 """
 import argparse
@@ -20,6 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="din", choices=["din", "bst"])
     ap.add_argument("--optimizer", default="adam",
                     choices=["adam", "adagrad", "group_adam",
                              "sparse_group_ftrl"])
@@ -39,7 +42,7 @@ def main():
     import optax
     from tfplus_tpu import kv, train as tft
     from tfplus_tpu.data import synthetic
-    from tfplus_tpu.models import init_state, make_train_step
+    from tfplus_tpu.models import BST, init_state, make_train_step
     from tfplus_tpu.models.din import DIN
 
     opts = {
@@ -52,8 +55,13 @@ def main():
     }
     gen = synthetic.BehaviorSequence(n_items=5000, n_clusters=25,
                                      seq_len=args.seq_len, seed=0)
-    model = DIN(embedding_dim=32, seq_len=args.seq_len, num_numeric=4,
-                capacity=1 << 14)
+    if args.model == "bst":
+        model = BST(embedding_dim=32, seq_len=args.seq_len, num_numeric=4,
+                    num_heads=2, head_dim=32, num_blocks=2,
+                    capacity=1 << 14)
+    else:
+        model = DIN(embedding_dim=32, seq_len=args.seq_len, num_numeric=4,
+                    capacity=1 << 14)
     opt = opts[args.optimizer]()
     tx = optax.adam(args.lr)
     state = init_state(model, opt, tx, seed=0)

@@ -90,11 +90,16 @@ class BehaviorSequence:
 
     def __init__(self, n_items: int = 2000, n_users: int = 500,
                  n_clusters: int = 20, seq_len: int = 16,
-                 num_numeric: int = 4, seed: int = 0):
+                 num_numeric: int = 4, seed: int = 0,
+                 pref_strength: float = 0.8, logit_scale: float = 2.5,
+                 logit_bias: float = -1.2):
         self.rng = np.random.RandomState(seed)
         self.n_items, self.n_users = n_items, n_users
         self.n_clusters, self.seq_len = n_clusters, seq_len
         self.num_numeric = num_numeric
+        self.pref_strength = pref_strength
+        self.logit_scale = logit_scale
+        self.logit_bias = logit_bias
         # item -> cluster (ids are 1-based; 0 is the pad id)
         self.item_cluster = self.rng.randint(0, n_clusters, size=n_items + 1)
         self.w_num = self.rng.randn(num_numeric).astype(np.float32) * 0.3
@@ -118,11 +123,12 @@ class BehaviorSequence:
             # function): the model can only infer it from the history,
             # so user-embedding memorization cannot shortcut attention
             pref = self.rng.randint(0, self.n_clusters, b)
-            # history: 80% items from the latent interest cluster, 20%
-            # noise clusters; variable length (>=4), zero-padded tail
+            # history: pref_strength of the items from the latent interest
+            # cluster, rest noise; variable length (>=4), zero-padded tail
             lengths = self.rng.randint(min(4, L), L + 1, b)
             pos = np.arange(L)[None, :] < lengths[:, None]     # [b, L]
-            cl = np.where(self.rng.rand(b, L) < 0.8, pref[:, None],
+            cl = np.where(self.rng.rand(b, L) < self.pref_strength,
+                          pref[:, None],
                           self.rng.randint(0, self.n_clusters, (b, L)))
             idx = (self.rng.rand(b, L)
                    * self.cluster_count[cl]).astype(np.int64)
@@ -137,7 +143,8 @@ class BehaviorSequence:
                             self.rng.randint(1, self.n_items + 1, b))
             hist_match = (self.item_cluster[cand] == pref).astype(np.float32)
             numeric = self.rng.randn(b, self.num_numeric).astype(np.float32)
-            logit = 2.5 * hist_match - 1.2 + numeric @ self.w_num
+            logit = (self.logit_scale * hist_match + self.logit_bias
+                     + numeric @ self.w_num)
             label = (self.rng.rand(b) < 1.0 / (1.0 + np.exp(-logit))
                      ).astype(np.float32)
             yield {"user": user, "cand": cand, "seq": seq, "mask": mask,
