@@ -207,7 +207,7 @@ def main_2d(args, n_dev, bs, s2):
 
     tables = {}
     for name in sorted(model.table_specs):
-        t = s2.create_sharded_2d(args.dim, 1 << 13, R, C,
+        t = s2.create_sharded_2d(args.dim, args.capacity, R, C,
                                  seed=hash(name) % 1000)
         t = s2.init_optimizer_sharded_2d(opt, t)
         tables[name] = jax.device_put(t, s2.table_sharding_2d(mesh))
@@ -221,7 +221,7 @@ def main_2d(args, n_dev, bs, s2):
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(tspecs, P(), P(), P(both), P(both), P(both), P()),
-        out_specs=(tspecs, P(), P(), P()),
+        out_specs=(tspecs, P(), P(), P(), P()),
         check_vma=False)
     def step(tabs, dense, tx_state, ids, feats, labels, s):
         rows, states = {}, {}
@@ -244,20 +244,33 @@ def main_2d(args, n_dev, bs, s2):
             tabs[name] = s2.sharded_apply_grads_2d(
                 opt, tabs[name], states[name], g_rows[name],
                 lr=args.lr, step=s)
-        return tabs, dense, tx_state, jax.lax.pmean(loss, both)
+        ovf = jnp.stack([states[n].overflow for n in sorted(states)]).any()
+        ovf = jax.lax.pmax(jax.lax.pmax(ovf.astype(jnp.int32), "row"), "col")
+        return tabs, dense, tx_state, jax.lax.pmean(loss, both), ovf
 
     jstep = jax.jit(step, donate_argnums=(0,))
+    t2dsharding = s2.table_sharding_2d(mesh)
     gen = synthetic.dlrm_batches(bs, args.batches, num_tables=args.tables,
                                  vocab=30_000, seed=7)
     t0, seen, window = time.time(), 0, []
     for i, b in enumerate(gen):
         ids = {f"T{c}": kv.encode_ids(b["categorical"][:, c])
                for c in range(args.tables)}
-        tables, dense, tx_state, loss = jstep(
+        tables, dense, tx_state, loss, ovf = jstep(
             tables, dense, tx_state, ids, jnp.asarray(b["numeric"]),
             jnp.asarray(b["label"]), jnp.int32(i + 1))
         window.append(float(loss))
         seen += bs
+        # online growth, 2D analogue of the row-sharded loop above
+        if bool(ovf) or (i + 1) % 20 == 0:
+            tables, grew = s2.grow_sharded_2d_if_needed(
+                tables, incoming_per_shard=bs // R,
+                overflow=ovf, sharding=t2dsharding)
+            if grew:
+                caps = {n: t.header.shape[-2] * 16 for n, t in tables.items()}
+                print(f"batch {i+1:4d} grew tables to per-row-shard capacity "
+                      f"{max(caps.values())} (step recompiles once)",
+                      flush=True)
         if (i + 1) % 10 == 0:
             print(f"batch {i+1:4d} loss {np.mean(window):.5f} "
                   f"({seen/(time.time()-t0):.0f} examples/s)", flush=True)

@@ -265,3 +265,99 @@ def test_2d_compressed_exchange_close_to_exact():
     np.testing.assert_allclose(np.asarray(t_bf16.payload, np.float32),
                                np.asarray(t_exact.payload, np.float32),
                                atol=5e-2)
+
+
+class TestSharded2DGrowth:
+    """Online growth for row x col sharded tables: the 2D analogue of
+    TestShardedGrowth (reference parity: PS tables grow without bound,
+    kv_variable.h:287-380). Col lockstep must survive the rehash — grow's
+    placement is a pure function of (keys, capacity), so col ranks of a
+    row stay bitwise-identical with no cross-col sync."""
+
+    def test_grow_past_wall_matches_single_grown_table(self):
+        R, C = 4, 2
+        cap0 = 64                       # wall at ~44 rows/row-shard
+        bs = 128                        # fresh ids per step
+        opt = train.AdagradOptimizer()
+        mesh = s2.make_mesh_2d(R, C)
+        opt2 = s2.for_col_axis(opt)
+        t = s2.create_sharded_2d(DIM, cap0, R, C, initializer=full_pool(),
+                                 seed=0)
+        t = s2.init_optimizer_sharded_2d(opt, t)
+        tshard = s2.table_sharding_2d(mesh)
+        t = jax.device_put(t, tshard)
+        tspec = jax.tree_util.tree_map(lambda _: P("row", "col"), t)
+        single = opt.init(kv.create(DIM, cap0,
+                                    initializer=jnp.asarray(full_pool()),
+                                    seed=0))
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(tspec, P(("row", "col")), P()),
+                           out_specs=(P(("row", "col")), tspec, P()),
+                           check_vma=False)
+        def step(tab, ids, s):
+            rows, state, tab = s2.sharded_lookup_2d(tab, ids,
+                                                    defer_meta=True)
+            g = rows * 0.25 + 0.5
+            tab = s2.sharded_apply_grads_2d(opt2, tab, state, g,
+                                            lr=0.1, step=s)
+            over = jax.lax.pmax(jax.lax.pmax(
+                state.overflow.astype(jnp.int32), "row"), "col")
+            return rows, tab, over
+
+        jstep = jax.jit(step)
+        inc = 2 * bs // R
+        for s in range(1, 6):
+            fresh = np.arange((s - 1) * bs, s * bs - 32, dtype=np.int64)
+            revisit = np.arange(0, 32, dtype=np.int64)
+            ids_np = np.concatenate([fresh, revisit])
+
+            if s2.sharded_needs_grow_2d(t, incoming_per_shard=inc):
+                t = s2.sharded_grow_2d(t, incoming_per_shard=inc,
+                                       sharding=tshard)
+            single = kv.grow_to_fit(single, incoming=bs)
+
+            rows_2d, t, overflow = jstep(
+                t, kv.encode_ids_np_to_device(ids_np), jnp.int32(s))
+            assert int(overflow) == 0, f"overflow at step {s} despite growth"
+
+            u = kv.unique_with_counts(kv.encode_ids(ids_np))
+            res = kv.lookup_or_insert(single, u.unique_keys, counts=u.counts)
+            if bool(res.overflow):
+                single = kv.grow(single)
+                res = kv.lookup_or_insert(single, u.unique_keys,
+                                          counts=u.counts)
+                assert not bool(res.overflow)
+            rows_single = res.rows[u.inverse]
+            np.testing.assert_allclose(np.asarray(rows_2d),
+                                       np.asarray(rows_single), rtol=1e-5,
+                                       err_msg=f"step {s}")
+            g = np.asarray(rows_single) * 0.25 + 0.5
+            ug = jax.ops.segment_sum(jnp.asarray(g), u.inverse,
+                                     num_segments=ids_np.shape[0])
+            single = opt.apply(res.table, res.slot, ug, lr=0.1, step=s)
+
+        # the wall was actually hit
+        per_shard_cap = t.header.shape[-2] * 16
+        assert per_shard_cap > cap0, "test never grew — raise the id volume"
+
+        # col lockstep survived the rehash: headers bitwise-equal across c
+        hdr = np.asarray(jax.device_get(t.header))
+        for r in range(R):
+            for c in range(1, C):
+                np.testing.assert_array_equal(hdr[r, c], hdr[r, 0])
+
+        # final values match the single grown table row-for-row
+        all_ids = np.arange(0, 5 * bs - 32, dtype=np.int64)
+        q = kv.encode_ids_np_to_device(all_ids)
+        want = np.asarray(kv.lookup_or_zeros(single, q))
+        got = []
+        for r in range(R):
+            full = s2.combine_col_shards(
+                jax.tree_util.tree_map(lambda x: x[r:r+1], t))[0]
+            got.append(np.asarray(kv.lookup_or_zeros(full, q)))
+        got_merged = np.zeros_like(want)
+        for r, rows in enumerate(got):
+            sel = (all_ids % R) == r
+            got_merged[sel] = rows[sel]
+        np.testing.assert_allclose(got_merged, want, rtol=1e-5)

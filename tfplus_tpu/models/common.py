@@ -81,7 +81,11 @@ def init_state_multi(model: SparseModel, sparse_opt: SparseOptimizer,
     """Multi-table variant of :func:`init_state`: ALL logical tables of the
     same embedding dim share ONE physical KvTable (the reference's
     MultiLevelHashMap idea, kv/multi.py) — a 26-table DCN step becomes 2
-    probe/gather/apply passes instead of 26, amortizing every per-op cost."""
+    probe/gather/apply passes instead of 26. NOTE measured v5e throughput
+    is LOWER than the per-table step (0.61-0.73x — the fused sort over the
+    tag-concat id space costs more than the per-op savings; PERF.md
+    multi-table section): choose this path for its shared-physical-table
+    semantics, not for speed."""
     from ..kv import multi as kvm
     dense = model.init_dense(jax.random.PRNGKey(seed))
     tables = {}

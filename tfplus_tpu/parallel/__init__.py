@@ -8,6 +8,9 @@ from .sharded_table import (ExchangeState, create_sharded,
                             sharded_lookup, sharded_needs_grow)
 from .sharded2d import (COL_AXIS, ROW_AXIS, combine_col_shards,
                         create_sharded_2d, for_col_axis,
+                        grow_sharded_2d_if_needed,
                         init_optimizer_sharded_2d, local_shard_2d,
-                        make_mesh_2d, sharded_apply_grads_2d,
-                        sharded_lookup_2d, table_sharding_2d)
+                        make_mesh_2d, shard_sizes_2d,
+                        sharded_apply_grads_2d, sharded_grow_2d,
+                        sharded_lookup_2d, sharded_needs_grow_2d,
+                        table_sharding_2d)

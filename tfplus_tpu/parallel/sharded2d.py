@@ -219,3 +219,90 @@ def combine_col_shards(sharded: kvt.KvTable) -> list:
         out.append(dc.replace(t0, config=cfg, payload=payload,
                               init_pool=pool))
     return out
+
+
+# ---------------------------------------------------------------------------
+# online growth for row x col sharded tables
+#
+# Same host-mediated design as sharded_table.sharded_grow (the 1D case —
+# reference parity anchor kv_variable.h:287-380): between steps, grow every
+# (r, c) shard's ROW capacity to one uniform target and rehash. Column
+# lockstep survives growth for free: all col ranks of a row hold identical
+# keys, and kvt.grow's placement is a pure function of (keys, capacity), so
+# the rehashed headers are bitwise-identical across the col axis without any
+# cross-col synchronisation.
+# ---------------------------------------------------------------------------
+
+def shard_sizes_2d(sharded: kvt.KvTable) -> list:
+    """Host-side [R][C] occupied-row counts."""
+    R, C = sharded.header.shape[:2]
+    return [[int(jax.device_get(kvt.size(local_shard_2d(sharded, r, c))))
+             for c in range(C)] for r in range(R)]
+
+
+def sharded_needs_grow_2d(sharded: kvt.KvTable, incoming_per_shard: int = 0,
+                          *, threshold: float = kvt.GROW_LOAD_FACTOR,
+                          overflow=None) -> bool:
+    """Between-steps check: does ANY (r, c) shard need to grow? A tripped
+    ``overflow`` flag (pmax'd out of the jitted step) forces growth."""
+    if overflow is not None and bool(jax.device_get(overflow)):
+        return True
+    per_shard_cap = sharded.header.shape[-2] * 16
+    hi = max(max(row) for row in shard_sizes_2d(sharded))
+    return (hi + incoming_per_shard) > threshold * per_shard_cap
+
+
+def sharded_grow_2d(sharded: kvt.KvTable,
+                    new_capacity_per_shard: Optional[int] = None, *,
+                    incoming_per_shard: int = 0,
+                    threshold: float = kvt.GROW_LOAD_FACTOR,
+                    sharding=None) -> kvt.KvTable:
+    """Grow every (r, c) shard to one UNIFORM row capacity and rehash —
+    host-mediated, call between steps (the step recompiles once for the new
+    static capacity). Row routing stays ``key % R``; col slices and header
+    lockstep are preserved (see module note above). Pass ``sharding``
+    (``table_sharding_2d(mesh)``) to re-place the grown tree on the mesh."""
+    R, C = sharded.header.shape[:2]
+    old_cap = sharded.header.shape[-2] * 16
+    target = new_capacity_per_shard
+    if target is None:
+        target = old_cap * 2
+        need = max(max(row) for row in shard_sizes_2d(sharded)) \
+            + incoming_per_shard
+        while need > threshold * target:
+            target *= 2
+    shards = [[local_shard_2d(sharded, r, c) for c in range(C)]
+              for r in range(R)]
+    # _rehash_verified may exceed the target on pathological collisions;
+    # retry until all R*C capacities agree (col ranks of a row always agree
+    # already — identical keys — so this loop converges like the 1D one)
+    for _ in range(5):
+        shards = [[kvt.grow(s, target) if s.capacity < target else s
+                   for s in row] for row in shards]
+        caps = {s.capacity for row in shards for s in row}
+        if len(caps) == 1:
+            break
+        target = max(caps)
+    rows = [jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *row)
+            for row in shards]
+    grown = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rows)
+    if sharding is not None:
+        grown = jax.device_put(grown, sharding)
+    return grown
+
+
+def grow_sharded_2d_if_needed(tables: dict, *, incoming_per_shard: int = 0,
+                              threshold: float = kvt.GROW_LOAD_FACTOR,
+                              overflow=None, sharding=None):
+    """Between-steps growth sweep over a dict of 2D-sharded tables.
+    Returns ``(tables, grew)``."""
+    trip = overflow is not None and bool(jax.device_get(overflow))
+    out, grew = dict(tables), False
+    for name, t in tables.items():
+        if trip or sharded_needs_grow_2d(t, incoming_per_shard,
+                                         threshold=threshold):
+            out[name] = sharded_grow_2d(
+                t, incoming_per_shard=incoming_per_shard,
+                threshold=threshold, sharding=sharding)
+            grew = True
+    return out, grew
