@@ -234,3 +234,65 @@ class TestServingOverDfs:
         tables, meta = serving.load_for_serving(d)
         got = np.asarray(kv.lookup_or_zeros(tables["emb"], q))
         np.testing.assert_allclose(got, 3.0)
+
+
+class TestTransientFailureRetry:
+    """Idempotent-op retry (reads, CREATE overwrite, MKDIRS, DELETE,
+    namenode redirect legs) — APPEND deliberately never retries (a lost
+    response after a partial apply would duplicate bytes)."""
+
+    def test_read_retries_past_503_and_drop(self):
+        srv = DfsEmulator(users=USERS)
+        with srv as host:
+            c = DfsClient(host, "alice")
+            c.mkdirs("/d")
+            c.create("/d/f", b"payload")
+            srv.fail_next(3)
+            assert c.open("/d/f") == b"payload"
+            srv.fail_next(2, mode="drop")
+            assert c.status("/d/f")["length"] == 7
+            srv.fail_next(2)
+            assert [e["pathSuffix"] for e in c.list("/d")] == ["f"]
+
+    def test_create_retries_namenode_leg(self):
+        """The two-step write's namenode leg carries no body — always
+        replayable; CREATE(overwrite) itself replays safely too."""
+        srv = DfsEmulator(users=USERS)
+        with srv as host:
+            c = DfsClient(host, "alice")
+            c.mkdirs("/d")
+            srv.fail_next(2)
+            c.create("/d/g", b"abc")
+            assert c.open("/d/g") == b"abc"
+
+    def test_append_does_not_retry(self):
+        """A 503 on APPEND surfaces immediately — blind replay could
+        duplicate bytes after a server-side partial apply."""
+        srv = DfsEmulator(users=USERS)
+        with srv as host:
+            c = DfsClient(host, "alice")
+            c.mkdirs("/d")
+            c.create("/d/h", b"base")
+            # aim the fault at the DATANODE (payload) leg — the namenode
+            # redirect leg is legitimately retryable
+            srv.fail_next(1, only_step2=True)
+            with pytest.raises(DfsError, match="503|injected"):
+                c.append("/d/h", b"-more")
+            assert c.open("/d/h") == b"base"     # nothing duplicated
+
+    def test_checkpoint_survives_flaky_namenode(self):
+        srv = DfsEmulator(users=USERS)
+        with srv as host:
+            register_dfs()
+            t = kv.create(8, 256, seed=0)
+            ids = kv.encode_ids_np_to_device(np.arange(1, 50, dtype=np.int64))
+            t = kv.insert(t, ids, jnp.full((49, 8), 1.5))
+            base = f"dfs://alice@{host}/flaky/ck"
+            srv.fail_next(2)
+            saver.save_multihost(base, {"emb": [t]}, process_id=0,
+                                 num_processes=1)
+            srv.fail_next(2, mode="drop")
+            tables, _ = saver.restore_multihost(
+                base, {"emb": [kv.create(8, 256)]})
+            got = np.asarray(kv.lookup_or_zeros(tables["emb"][0], ids))
+            np.testing.assert_allclose(got, 1.5)

@@ -390,3 +390,69 @@ class TestMultipartUpload:
         with pytest.raises(IOError, match="404"):
             c.complete_multipart("obj", uid, [(1, etag)])
         assert c.head("obj") is None
+
+
+class TestTransientFailureRetry:
+    """Bounded retry with per-attempt re-signing (the reference SDK's
+    behavior): transient 503s and mid-response connection drops must be
+    survived; persistent failure must surface, not loop forever."""
+
+    def test_retries_past_503s(self):
+        srv = OSSEmulator(CREDS)
+        with srv as host:
+            c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
+            srv.fail_next(3)                     # attempts 1-3 get 503
+            c.put("k", b"v")                     # 4th succeeds
+            assert c.get("k") == b"v"
+
+    def test_persistent_503_surfaces(self):
+        srv = OSSEmulator(CREDS)
+        with srv as host:
+            c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
+            srv.fail_next(50)
+            # the LAST attempt's 503 surfaces as the error (no infinite loop)
+            with pytest.raises(IOError, match="503"):
+                c.put("k", b"v")
+
+    def test_retries_past_connection_drops(self):
+        srv = OSSEmulator(CREDS)
+        with srv as host:
+            c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
+            c.put("k", b"payload")
+            srv.fail_next(2, mode="drop")        # broken mid-response twice
+            assert c.get("k") == b"payload"
+
+    def test_complete_multipart_retry_after_hidden_success(self):
+        """The one non-idempotent ambiguity: a complete whose response was
+        lost. A second complete sees 404 (the upload is gone) but the
+        object exists — the client must report success, not raise."""
+        srv = OSSEmulator(CREDS)
+        with srv as host:
+            c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
+            uid = c.initiate_multipart("obj")
+            etag = c.upload_part("obj", uid, 1, b"part-one")
+            c.complete_multipart("obj", uid, [(1, etag)])
+            # replay the SAME complete (what a retry after a lost response
+            # does): upload id is gone -> 404 -> HEAD confirms publication
+            c.complete_multipart("obj", uid, [(1, etag)])
+            assert c.get("obj") == b"part-one"
+
+    def test_checkpoint_survives_flaky_service(self, tmp_path):
+        """Full save/restore with a fault injected before every few
+        requests — the retry layer makes the checkpoint stack oblivious."""
+        srv = OSSEmulator(CREDS)
+        with srv as host:
+            register_oss()
+            t = kv.create(8, 256, seed=0)
+            ids = enc_ids(np.arange(1, 60))
+            t = kv.insert(t, ids, jnp.full((59, 8), 3.25))
+            base = (f"oss://bkt\x01id=test-id\x02key={CREDS['test-id']}"
+                    f"\x02host={host}/flaky")
+            srv.fail_next(2)
+            saver.save_multihost(base, {"emb": [t]}, process_id=0,
+                                 num_processes=1)
+            srv.fail_next(2, mode="drop")
+            tables, _ = saver.restore_multihost(
+                base, {"emb": [kv.create(8, 256)]})
+            got = np.asarray(kv.lookup_or_zeros(tables["emb"][0], ids))
+            np.testing.assert_allclose(got, 3.25)

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import http.client
 import io
+import time
 import json
 import os
 import threading
@@ -45,6 +46,9 @@ from .filesystem import FileSystem, register_filesystem
 _READAHEAD = 4 << 20          # ranged-OPEN readahead
 _CHUNK = 1 << 20              # append chunk (reference buffer_size, :260)
 _API = "/webhdfs/v1"
+_RETRY_ATTEMPTS = 4     # transient-failure retries (idempotent ops only)
+_RETRY_BASE_S = 0.05
+_RETRY_STATUS = (500, 502, 503, 504)
 
 
 def parse_dfs_path(path: str) -> Tuple[str, str, str]:
@@ -117,23 +121,54 @@ class DfsClient:
         self._pool.release(conn)
         return status, data, location
 
+    def _do_retry(self, verb: str, url: str, body: Optional[bytes], *,
+                  idempotent: bool) -> Tuple[int, bytes, Optional[str]]:
+        """Bounded retry around :meth:`_do` for IDEMPOTENT legs only:
+        connection-level errors and transient 5xx back off and re-send.
+        APPEND is never retried here — a lost response after a partial
+        server-side apply would duplicate bytes (the writer layer owns
+        that recovery, if any); CREATE(overwrite) / reads / MKDIRS /
+        DELETE / namenode redirect legs are all safe to replay."""
+        if not idempotent:
+            return self._do(verb, url, body)
+        last: Optional[Exception] = None
+        for attempt in range(_RETRY_ATTEMPTS):
+            if attempt:
+                time.sleep(min(_RETRY_BASE_S * (2 ** (attempt - 1)), 1.0))
+            try:
+                st, data, loc = self._do(verb, url, body)
+            except (http.client.HTTPException, OSError) as e:
+                last = e
+                continue
+            if st in _RETRY_STATUS and attempt + 1 < _RETRY_ATTEMPTS:
+                last = DfsError(f"HTTP {st}")
+                continue
+            return st, data, loc
+        raise DfsError(f"{verb} {url}: {_RETRY_ATTEMPTS} attempts failed: "
+                       f"{last!r}")
+
     def _request(self, verb: str, path: str, op: str, *, body=None,
                  **params) -> Tuple[int, bytes]:
         q = [f"op={op}", f"user.name={quote(self.user, safe='')}"]
         q += [f"{k}={quote(str(v), safe='')}" for k, v in params.items()
               if v is not None]
         url = _API + quote(path, safe="/") + "?" + "&".join(q)
+        # APPEND is the only non-idempotent leg (partial-apply ambiguity);
+        # everything else replays safely, incl. CREATE with overwrite=true
+        idem = op != "APPEND"
         two_step = body is not None and verb in ("PUT", "POST")
         if not two_step:
-            st, data, loc = self._do(verb, url, body)
+            st, data, loc = self._do_retry(verb, url, body, idempotent=idem)
             if st == 307 and loc:          # gateways may redirect reads too
                 u = urlparse(loc)
-                st, data, _ = self._do(
-                    verb, u.path + ("?" + u.query if u.query else ""), body)
+                st, data, _ = self._do_retry(
+                    verb, u.path + ("?" + u.query if u.query else ""), body,
+                    idempotent=idem)
             return st, data
         # WebHDFS two-step write: the namenode answers 307 with the
         # datanode Location; only the second request carries the payload.
-        st, data, loc = self._do(verb, url, None)
+        # The namenode leg carries no body — always safe to retry.
+        st, data, loc = self._do_retry(verb, url, None, idempotent=True)
         if st != 307 or not loc:
             if 200 <= st < 300:
                 # a non-redirecting server just created an EMPTY file —
@@ -143,8 +178,9 @@ class DfsClient:
                     f"the datanode redirect; payload not transferred")
             return st, data
         u = urlparse(loc)
-        st, data, _ = self._do(
-            verb, u.path + ("?" + u.query if u.query else ""), body)
+        st, data, _ = self._do_retry(
+            verb, u.path + ("?" + u.query if u.query else ""), body,
+            idempotent=idem)
         return st, data
 
     @staticmethod

@@ -38,9 +38,35 @@ class _Handler(BaseHTTPRequestHandler):
     users: Optional[Set[str]]
     lock: threading.Lock
     host: str
+    faults: Dict[str, object]
 
     def log_message(self, *a):       # silence
         pass
+
+    def _maybe_fault(self) -> bool:
+        """Fault injection (DfsEmulator.fail_next): 503 or a broken
+        connection for the next n requests — the client's idempotent-op
+        retry must survive both."""
+        only_step2 = False
+        with self.lock:
+            if int(self.faults.get("n", 0)) <= 0:
+                return False
+            only_step2 = bool(self.faults.get("only_step2", False))
+            if only_step2 and "step2=" not in urlparse(self.path).query:
+                return False              # aimed at datanode legs only
+            self.faults["n"] = int(self.faults["n"]) - 1
+            mode = self.faults.get("mode", "status")
+        self._body()                  # drain so keep-alive stays in sync
+        if mode == "drop":
+            self.wfile.write(b"garbage\r\n")
+            self.close_connection = True
+            return True
+        body = b'{"RemoteException":{"message":"injected 503"}}'
+        self.send_response(503)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+        return True
 
     # -- helpers ------------------------------------------------------------
     def _parse(self):
@@ -105,6 +131,8 @@ class _Handler(BaseHTTPRequestHandler):
 
     # -- verbs ----------------------------------------------------------
     def do_GET(self):
+        if self._maybe_fault():
+            return
         path, q = self._parse()
         if not self._auth(q):
             return
@@ -149,6 +177,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._exc(400, "UnsupportedOperationException", op)
 
     def do_PUT(self):
+        if self._maybe_fault():
+            return
         path, q = self._parse()
         if not self._auth(q):
             return
@@ -196,6 +226,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._exc(400, "UnsupportedOperationException", op)
 
     def do_POST(self):
+        if self._maybe_fault():
+            return
         path, q = self._parse()
         if not self._auth(q):
             return
@@ -215,6 +247,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._exc(400, "UnsupportedOperationException", op)
 
     def do_DELETE(self):
+        if self._maybe_fault():
+            return
         path, q = self._parse()
         if not self._auth(q):
             return
@@ -247,7 +281,7 @@ class DfsEmulator:
         handler = type("Handler", (_Handler,), {
             "files": {}, "dirs": set(),
             "users": set(users) if users is not None else None,
-            "lock": threading.Lock(), "host": ""})
+            "lock": threading.Lock(), "host": "", "faults": {"n": 0}})
         self._handler = handler
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         handler.host = f"127.0.0.1:{self._srv.server_address[1]}"
@@ -261,6 +295,15 @@ class DfsEmulator:
     @property
     def files(self) -> Dict[str, bytes]:
         return self._handler.files
+
+    def fail_next(self, n: int, mode: str = "status",
+                  only_step2: bool = False):
+        """Fail the next ``n`` requests (503, or ``mode="drop"`` for a
+        broken connection). ``only_step2`` aims the fault at datanode
+        (payload-carrying) legs only, leaving namenode legs healthy."""
+        with self._handler.lock:
+            self._handler.faults.update(n=n, mode=mode,
+                                        only_step2=only_step2)
 
     def __enter__(self) -> str:
         self._thread.start()

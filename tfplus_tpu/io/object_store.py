@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import base64
 import email.utils
+import time
 import hashlib
 import hmac
 import http.client
@@ -56,6 +57,9 @@ _READAHEAD = 4 << 20          # ranged-GET readahead
 _SPOOL_MAX = 64 << 20         # writes spill to disk beyond this
 _MULTIPART_THRESHOLD = 32 << 20   # objects above this upload in parts
 _PART_SIZE = 16 << 20             # multipart part size
+_RETRY_ATTEMPTS = 4               # transient-failure retries per request
+_RETRY_BASE_S = 0.05              # exponential backoff base
+_RETRY_STATUS = (500, 502, 503, 504)
 # Query subresources that are part of the OSS CanonicalizedResource (the
 # signing spec's list; prefix/marker/max-keys are deliberately NOT in it).
 _SIGNED_SUBRESOURCES = ("partNumber", "uploadId", "uploads")
@@ -136,27 +140,43 @@ class ObjectStoreClient:
     def _request(self, verb: str, key: str, *, body=None,
                  headers: Optional[Dict[str, str]] = None,
                  query: str = "") -> Tuple[int, dict, bytes]:
-        date = email.utils.formatdate(usegmt=True)
-        resource = f"/{self.bucket}/{key}" + _canonical_subresources(query)
-        sig = _sign(self._key, verb, date, resource, oss_headers=headers)
-        h = {"Date": date, "Authorization": f"OSS {self._id}:{sig}"}
-        if headers:
-            h.update(headers)
+        """One signed request with bounded retry — connection-level errors
+        and transient 5xx (500/502/503/504) back off and re-sign (the Date
+        header changes per attempt), like the reference's SDK clients.
+        Every body here is bytes, so re-sending is always safe; the one
+        non-idempotent ambiguity (CompleteMultipartUpload succeeding just
+        before a dropped response) is resolved by its caller via HEAD."""
         path = "/" + quote(f"{self.bucket}/{key}", safe="/")
         if query:
             path += "?" + query
-        conn = self._pool.acquire()
-        try:
-            conn.request(verb, path, body=body, headers=h)
-            resp = conn.getresponse()
-            data = resp.read()
-            out_headers = dict(resp.getheaders())
-            status = resp.status
-        except (http.client.HTTPException, OSError):
-            conn.close()
-            raise
-        self._pool.release(conn)
-        return status, out_headers, data
+        resource = f"/{self.bucket}/{key}" + _canonical_subresources(query)
+        last_exc: Optional[Exception] = None
+        for attempt in range(_RETRY_ATTEMPTS):
+            if attempt:
+                time.sleep(min(_RETRY_BASE_S * (2 ** (attempt - 1)), 1.0))
+            date = email.utils.formatdate(usegmt=True)
+            sig = _sign(self._key, verb, date, resource, oss_headers=headers)
+            h = {"Date": date, "Authorization": f"OSS {self._id}:{sig}"}
+            if headers:
+                h.update(headers)
+            conn = self._pool.acquire()
+            try:
+                conn.request(verb, path, body=body, headers=h)
+                resp = conn.getresponse()
+                data = resp.read()
+                out_headers = dict(resp.getheaders())
+                status = resp.status
+            except (http.client.HTTPException, OSError) as e:
+                conn.close()
+                last_exc = e
+                continue
+            self._pool.release(conn)
+            if status in _RETRY_STATUS and attempt + 1 < _RETRY_ATTEMPTS:
+                last_exc = IOError(f"HTTP {status}")
+                continue
+            return status, out_headers, data
+        raise IOError(f"{verb} oss://{self.bucket}/{key}: "
+                      f"{_RETRY_ATTEMPTS} attempts failed: {last_exc!r}")
 
     # -- object verbs -------------------------------------------------------
     def put(self, key: str, data: bytes):
@@ -264,6 +284,11 @@ class ObjectStoreClient:
         xml = f"<CompleteMultipartUpload>{body}</CompleteMultipartUpload>"
         st, _, resp = self._request("POST", key, body=xml.encode(),
                                     query=f"uploadId={upload_id}")
+        if st == 404 and self.head(key) is not None:
+            # a retried complete whose FIRST attempt succeeded just before
+            # the response was lost: the upload is gone but the object is
+            # published — that IS success
+            return
         if st != 200:
             raise IOError(f"CompleteMultipartUpload {key}: {st} "
                           f"{resp[:200]}")

@@ -39,6 +39,26 @@ class _Handler(BaseHTTPRequestHandler):
     max_put_size: Optional[int] = None   # single-PUT cap (None = unlimited)
     # in-flight multipart uploads: upload_id -> (target key, {n: bytes})
     uploads: Dict[str, Tuple[str, Dict[int, bytes]]]
+    # fault injection (see OSSEmulator.fail_next): {"n", "mode", "status"}
+    faults: Dict[str, object]
+
+    def _maybe_fault(self) -> bool:
+        with self.lock:
+            if int(self.faults.get("n", 0)) <= 0:
+                return False
+            self.faults["n"] = int(self.faults["n"]) - 1
+            mode = self.faults.get("mode", "status")
+            status = int(self.faults.get("status", 503))
+        self._drain()
+        if mode == "drop":
+            # malformed status line: the client sees BadStatusLine (a
+            # connection-level failure), exercising its reconnect+retry
+            self.wfile.write(b"garbage\r\n")
+            self.close_connection = True
+            return True
+        self._reply(status,
+                    b"<Error><Code>ServiceUnavailable</Code></Error>")
+        return True
 
     def log_message(self, *a):       # silence
         pass
@@ -98,6 +118,8 @@ class _Handler(BaseHTTPRequestHandler):
             self.wfile.write(body)
 
     def do_PUT(self):
+        if self._maybe_fault():
+            return
         if not self._authorized("PUT"):
             return self._deny()
         key, q = self._key()
@@ -132,6 +154,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(200)
 
     def do_POST(self):
+        if self._maybe_fault():
+            return
         if not self._authorized("POST"):
             return self._deny()
         key, q = self._key()
@@ -174,6 +198,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(400)
 
     def do_GET(self):
+        if self._maybe_fault():
+            return
         if not self._authorized("GET"):
             return self._deny()
         key, q = self._key()
@@ -210,6 +236,8 @@ class _Handler(BaseHTTPRequestHandler):
         self._reply(200, data)
 
     def do_HEAD(self):
+        if self._maybe_fault():
+            return
         if not self._authorized("HEAD"):
             return self._deny()
         key, _ = self._key()
@@ -221,6 +249,8 @@ class _Handler(BaseHTTPRequestHandler):
         # body suppressed for HEAD by _reply writing b"" only
 
     def do_DELETE(self):
+        if self._maybe_fault():
+            return
         if not self._authorized("DELETE"):
             return self._deny()
         key, q = self._key()
@@ -240,7 +270,7 @@ class OSSEmulator:
         handler = type("Handler", (_Handler,), {
             "store": {}, "creds": dict(creds), "lock": threading.Lock(),
             "page_size": page_size, "max_put_size": max_put_size,
-            "uploads": {}})
+            "uploads": {}, "faults": {"n": 0}})
         self._handler = handler
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         self._thread = threading.Thread(target=self._srv.serve_forever,
@@ -253,6 +283,13 @@ class OSSEmulator:
     @property
     def objects(self) -> Dict[str, bytes]:
         return self._handler.store
+
+    def fail_next(self, n: int, mode: str = "status", status: int = 503):
+        """Make the next ``n`` requests fail: ``mode="status"`` answers
+        ``status`` (default 503), ``mode="drop"`` breaks the connection
+        mid-response — both must be survived by the client's retry."""
+        with self._handler.lock:
+            self._handler.faults.update(n=n, mode=mode, status=status)
 
     def __enter__(self) -> str:
         self._thread.start()
