@@ -296,3 +296,30 @@ class TestTransientFailureRetry:
                 base, {"emb": [kv.create(8, 256)]})
             got = np.asarray(kv.lookup_or_zeros(tables["emb"][0], ids))
             np.testing.assert_allclose(got, 1.5)
+
+    def test_rename_hidden_success_recovery(self):
+        """A replayed RENAME whose first attempt applied answers
+        boolean=false; if dst exists and src is gone the publish DID
+        happen and rename() must not raise. When dst is absent too, the
+        refusal is genuine and must surface."""
+        srv = DfsEmulator(users=USERS)
+        with srv as host:
+            c = DfsClient(host, "alice")
+            c.mkdirs("/d")
+            c.create("/d/index.tmp", b"idx")
+            c.rename("/d/index.tmp", "/d/index")
+            # replay (the hidden-success shape): src gone, dst present
+            c.rename("/d/index.tmp", "/d/index")      # no raise
+            assert c.open("/d/index") == b"idx"
+            with pytest.raises((DfsError, FileNotFoundError)):
+                c.rename("/d/nope", "/d/also-nope")
+
+    def test_delete_hidden_success_recovery(self):
+        srv = DfsEmulator(users=USERS)
+        with srv as host:
+            c = DfsClient(host, "alice")
+            c.mkdirs("/d")
+            c.create("/d/x", b"v")
+            assert c.delete("/d/x") is True
+            # replay: already gone -> still reported deleted
+            assert c.delete("/d/x") is True

@@ -424,18 +424,28 @@ class TestTransientFailureRetry:
 
     def test_complete_multipart_retry_after_hidden_success(self):
         """The one non-idempotent ambiguity: a complete whose response was
-        lost. A second complete sees 404 (the upload is gone) but the
-        object exists — the client must report success, not raise."""
+        lost. A replayed complete sees 404 (the upload is gone) but the
+        object exists AT THE UPLOADED SIZE — report success, not raise.
+        Without the size match (a stale same-named object from an earlier
+        save), the 404 must STILL raise — a bare existence check would
+        silently publish old bytes into a new checkpoint index."""
         srv = OSSEmulator(CREDS)
         with srv as host:
             c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
             uid = c.initiate_multipart("obj")
             etag = c.upload_part("obj", uid, 1, b"part-one")
-            c.complete_multipart("obj", uid, [(1, etag)])
+            c.complete_multipart("obj", uid, [(1, etag)], expected_size=8)
             # replay the SAME complete (what a retry after a lost response
-            # does): upload id is gone -> 404 -> HEAD confirms publication
-            c.complete_multipart("obj", uid, [(1, etag)])
+            # does): 404 -> size-verified HEAD confirms publication
+            c.complete_multipart("obj", uid, [(1, etag)], expected_size=8)
             assert c.get("obj") == b"part-one"
+            # genuine NoSuchUpload over a STALE object (wrong size) raises
+            uid2 = c.initiate_multipart("obj")
+            etag2 = c.upload_part("obj", uid2, 1, b"different-length-12")
+            c.abort_multipart("obj", uid2)     # upload vanishes server-side
+            with pytest.raises(IOError, match="404"):
+                c.complete_multipart("obj", uid2, [(1, etag2)],
+                                     expected_size=19)
 
     def test_checkpoint_survives_flaky_service(self, tmp_path):
         """Full save/restore with a fault injected before every few
@@ -456,3 +466,31 @@ class TestTransientFailureRetry:
                 base, {"emb": [kv.create(8, 256)]})
             got = np.asarray(kv.lookup_or_zeros(tables["emb"][0], ids))
             np.testing.assert_allclose(got, 3.25)
+
+    def test_small_write_falls_back_to_multipart_on_413(self):
+        """A service PUT cap BELOW the client's multipart threshold: the
+        single-PUT attempt gets 413 and must fall back to multipart
+        instead of failing (review finding: threshold and cap are
+        independent knobs)."""
+        from tfplus_tpu.io.filesystem import get_filesystem
+        srv = OSSEmulator(CREDS, max_put_size=50_000)
+        with srv as host:
+            register_oss()
+            data = bytes(range(256)) * 400          # 102,400 B > cap
+            fs, p = get_filesystem(uri(host, "fallback.bin"))
+            with fs.open(p, "wb") as f:
+                f.write(data)
+            with fs.open(p, "rb") as f:
+                assert f.read() == data
+
+    def test_multipart_parts_exempt_from_put_cap(self):
+        """The cap exists to FORCE multipart — individual parts must not
+        be 413'd by it (review finding)."""
+        srv = OSSEmulator(CREDS, max_put_size=10_000)
+        with srv as host:
+            c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
+            uid = c.initiate_multipart("big")
+            etag = c.upload_part("big", uid, 1, b"\x01" * 50_000)
+            c.complete_multipart("big", uid, [(1, etag)],
+                                 expected_size=50_000)
+            assert c.head("big") == 50_000

@@ -34,7 +34,6 @@ from __future__ import annotations
 
 import http.client
 import io
-import time
 import json
 import os
 import threading
@@ -42,13 +41,11 @@ from typing import Dict, List, Optional, Tuple
 from urllib.parse import quote, urlparse
 
 from .filesystem import FileSystem, register_filesystem
+from .retry import retry_transient
 
 _READAHEAD = 4 << 20          # ranged-OPEN readahead
 _CHUNK = 1 << 20              # append chunk (reference buffer_size, :260)
 _API = "/webhdfs/v1"
-_RETRY_ATTEMPTS = 4     # transient-failure retries (idempotent ops only)
-_RETRY_BASE_S = 0.05
-_RETRY_STATUS = (500, 502, 503, 504)
 
 
 def parse_dfs_path(path: str) -> Tuple[str, str, str]:
@@ -123,29 +120,21 @@ class DfsClient:
 
     def _do_retry(self, verb: str, url: str, body: Optional[bytes], *,
                   idempotent: bool) -> Tuple[int, bytes, Optional[str]]:
-        """Bounded retry around :meth:`_do` for IDEMPOTENT legs only:
-        connection-level errors and transient 5xx back off and re-send.
+        """Bounded retry (io/retry.py policy) for IDEMPOTENT legs only.
         APPEND is never retried here — a lost response after a partial
         server-side apply would duplicate bytes (the writer layer owns
         that recovery, if any); CREATE(overwrite) / reads / MKDIRS /
-        DELETE / namenode redirect legs are all safe to replay."""
+        namenode redirect legs are all safe to replay. RENAME and DELETE
+        replay too, but a hidden success flips their boolean result — the
+        op-level wrappers resolve that (see :meth:`rename`)."""
         if not idempotent:
             return self._do(verb, url, body)
-        last: Optional[Exception] = None
-        for attempt in range(_RETRY_ATTEMPTS):
-            if attempt:
-                time.sleep(min(_RETRY_BASE_S * (2 ** (attempt - 1)), 1.0))
-            try:
-                st, data, loc = self._do(verb, url, body)
-            except (http.client.HTTPException, OSError) as e:
-                last = e
-                continue
-            if st in _RETRY_STATUS and attempt + 1 < _RETRY_ATTEMPTS:
-                last = DfsError(f"HTTP {st}")
-                continue
-            return st, data, loc
-        raise DfsError(f"{verb} {url}: {_RETRY_ATTEMPTS} attempts failed: "
-                       f"{last!r}")
+        try:
+            return retry_transient(lambda: self._do(verb, url, body),
+                                   describe=f"{verb} {url}",
+                                   status_of=lambda r: r[0])
+        except IOError as e:
+            raise DfsError(str(e)) from e
 
     def _request(self, verb: str, path: str, op: str, *, body=None,
                  **params) -> Tuple[int, bytes]:
@@ -240,13 +229,24 @@ class DfsClient:
             recursive="true" if recursive else "false")
         if st != 200:
             self._raise(path, st, data)
-        return bool(json.loads(data).get("boolean"))
+        ok = bool(json.loads(data).get("boolean"))
+        if not ok and self.status(path) is None:
+            return True        # hidden-success replay: it IS deleted
+        return ok
 
     def rename(self, src: str, dst: str):
         st, data = self._request("PUT", src, "RENAME", destination=dst)
-        if st != 200:
-            self._raise(src, st, data)
-        if not json.loads(data).get("boolean"):
+        ok = st == 200 and bool(json.loads(data).get("boolean"))
+        if not ok:
+            # hidden-success replay: a retried RENAME whose FIRST attempt
+            # applied before the response was lost finds src gone and
+            # answers 404 (or boolean:false) — if dst now exists and src
+            # doesn't, the rename DID happen (this is the checkpoint index
+            # publish; erroring here would fail a save that succeeded)
+            if self.status(dst) is not None and self.status(src) is None:
+                return
+            if st != 200:
+                self._raise(src, st, data)
             raise DfsError(f"dfs:{src}: RENAME to {dst} refused")
 
 

@@ -40,7 +40,6 @@ from __future__ import annotations
 
 import base64
 import email.utils
-import time
 import hashlib
 import hmac
 import http.client
@@ -52,14 +51,12 @@ from typing import Dict, List, Optional, Tuple
 from urllib.parse import quote, urlparse
 
 from .filesystem import FileSystem, parse_oss_uri, register_filesystem
+from .retry import retry_transient
 
 _READAHEAD = 4 << 20          # ranged-GET readahead
 _SPOOL_MAX = 64 << 20         # writes spill to disk beyond this
 _MULTIPART_THRESHOLD = 32 << 20   # objects above this upload in parts
 _PART_SIZE = 16 << 20             # multipart part size
-_RETRY_ATTEMPTS = 4               # transient-failure retries per request
-_RETRY_BASE_S = 0.05              # exponential backoff base
-_RETRY_STATUS = (500, 502, 503, 504)
 # Query subresources that are part of the OSS CanonicalizedResource (the
 # signing spec's list; prefix/marker/max-keys are deliberately NOT in it).
 _SIGNED_SUBRESOURCES = ("partNumber", "uploadId", "uploads")
@@ -140,20 +137,18 @@ class ObjectStoreClient:
     def _request(self, verb: str, key: str, *, body=None,
                  headers: Optional[Dict[str, str]] = None,
                  query: str = "") -> Tuple[int, dict, bytes]:
-        """One signed request with bounded retry — connection-level errors
-        and transient 5xx (500/502/503/504) back off and re-sign (the Date
-        header changes per attempt), like the reference's SDK clients.
-        Every body here is bytes, so re-sending is always safe; the one
+        """One signed request with bounded retry (io/retry.py policy) —
+        each attempt re-signs, since the Date header changes. Every body
+        here is bytes, so re-sending is always safe; the one
         non-idempotent ambiguity (CompleteMultipartUpload succeeding just
-        before a dropped response) is resolved by its caller via HEAD."""
+        before a dropped response) is resolved by its caller via a
+        size-verified HEAD."""
         path = "/" + quote(f"{self.bucket}/{key}", safe="/")
         if query:
             path += "?" + query
         resource = f"/{self.bucket}/{key}" + _canonical_subresources(query)
-        last_exc: Optional[Exception] = None
-        for attempt in range(_RETRY_ATTEMPTS):
-            if attempt:
-                time.sleep(min(_RETRY_BASE_S * (2 ** (attempt - 1)), 1.0))
+
+        def attempt() -> Tuple[int, dict, bytes]:
             date = email.utils.formatdate(usegmt=True)
             sig = _sign(self._key, verb, date, resource, oss_headers=headers)
             h = {"Date": date, "Authorization": f"OSS {self._id}:{sig}"}
@@ -166,17 +161,15 @@ class ObjectStoreClient:
                 data = resp.read()
                 out_headers = dict(resp.getheaders())
                 status = resp.status
-            except (http.client.HTTPException, OSError) as e:
+            except (http.client.HTTPException, OSError):
                 conn.close()
-                last_exc = e
-                continue
+                raise
             self._pool.release(conn)
-            if status in _RETRY_STATUS and attempt + 1 < _RETRY_ATTEMPTS:
-                last_exc = IOError(f"HTTP {status}")
-                continue
             return status, out_headers, data
-        raise IOError(f"{verb} oss://{self.bucket}/{key}: "
-                      f"{_RETRY_ATTEMPTS} attempts failed: {last_exc!r}")
+
+        return retry_transient(
+            attempt, describe=f"{verb} oss://{self.bucket}/{key}",
+            status_of=lambda r: r[0])
 
     # -- object verbs -------------------------------------------------------
     def put(self, key: str, data: bytes):
@@ -277,17 +270,24 @@ class ObjectStoreClient:
         return headers.get("ETag", "").strip('"')
 
     def complete_multipart(self, key: str, upload_id: str,
-                           parts: List[Tuple[int, str]]):
+                           parts: List[Tuple[int, str]],
+                           expected_size: Optional[int] = None):
+        """``expected_size``: total bytes uploaded — disambiguates a 404
+        after a retried complete (hidden success vs genuine NoSuchUpload
+        over a STALE same-named object from an earlier save)."""
         body = "".join(
             f"<Part><PartNumber>{n}</PartNumber><ETag>\"{etag}\"</ETag>"
             "</Part>" for n, etag in parts)
         xml = f"<CompleteMultipartUpload>{body}</CompleteMultipartUpload>"
         st, _, resp = self._request("POST", key, body=xml.encode(),
                                     query=f"uploadId={upload_id}")
-        if st == 404 and self.head(key) is not None:
+        if st == 404 and expected_size is not None \
+                and self.head(key) == expected_size:
             # a retried complete whose FIRST attempt succeeded just before
             # the response was lost: the upload is gone but the object is
-            # published — that IS success
+            # published at exactly the uploaded size — that IS success.
+            # (A bare HEAD-exists check would be fooled by a stale object
+            # from a previous save to the same key.)
             return
         if st != 200:
             raise IOError(f"CompleteMultipartUpload {key}: {st} "
@@ -299,21 +299,31 @@ class ObjectStoreClient:
     def put_stream(self, key: str, fileobj, size: int):
         """Upload from a seekable file object: one PUT when small, the
         multipart protocol above ``_MULTIPART_THRESHOLD`` (real OSS caps
-        single PUTs; a multi-GB bundle shard MUST go up in parts)."""
+        single PUTs; a multi-GB bundle shard MUST go up in parts). A
+        service whose PUT cap sits BELOW the client threshold answers 413
+        EntityTooLarge — fall back to multipart rather than failing."""
         if size <= _MULTIPART_THRESHOLD:
-            self.put(key, fileobj.read())
-            return
+            start = fileobj.tell()
+            try:
+                self.put(key, fileobj.read())
+                return
+            except IOError as e:
+                if "413" not in str(e):
+                    raise
+                fileobj.seek(start)      # service cap < threshold: go parts
         upload_id = self.initiate_multipart(key)
         try:
             parts: List[Tuple[int, str]] = []
-            n = 1
+            n, total = 1, 0
             while True:
                 chunk = fileobj.read(_PART_SIZE)
                 if not chunk:
                     break
                 parts.append((n, self.upload_part(key, upload_id, n, chunk)))
+                total += len(chunk)
                 n += 1
-            self.complete_multipart(key, upload_id, parts)
+            self.complete_multipart(key, upload_id, parts,
+                                    expected_size=total)
         except BaseException:
             self.abort_multipart(key, upload_id)   # don't leak server state
             raise

@@ -125,14 +125,16 @@ class _Handler(BaseHTTPRequestHandler):
         key, q = self._key()
         src = self.headers.get("x-oss-copy-source")
         n = int(self.headers.get("Content-Length", "0"))
-        if src is None and self.max_put_size is not None \
+        is_part = "uploadId" in q and "partNumber" in q
+        if src is None and not is_part and self.max_put_size is not None \
                 and n > self.max_put_size:
             # the real service's single-PUT cap: oversized objects MUST
-            # arrive via the multipart protocol
+            # arrive via the multipart protocol (whose PARTS are exempt —
+            # the cap exists to force multipart, not to break it)
             self._drain()
             return self._reply(
                 413, b"<Error><Code>EntityTooLarge</Code></Error>")
-        if "uploadId" in q and "partNumber" in q:      # UploadPart
+        if is_part:                                    # UploadPart
             upload_id = q["uploadId"][0]
             part_no = int(q["partNumber"][0])
             body = self.rfile.read(n)

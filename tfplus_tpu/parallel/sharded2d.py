@@ -244,12 +244,21 @@ def sharded_needs_grow_2d(sharded: kvt.KvTable, incoming_per_shard: int = 0,
                           *, threshold: float = kvt.GROW_LOAD_FACTOR,
                           overflow=None) -> bool:
     """Between-steps check: does ANY (r, c) shard need to grow? A tripped
-    ``overflow`` flag (pmax'd out of the jitted step) forces growth."""
+    ``overflow`` flag (pmax'd out of the jitted step) forces growth.
+    Col ranks are lockstep (identical keys), so only col 0 is read."""
     if overflow is not None and bool(jax.device_get(overflow)):
         return True
     per_shard_cap = sharded.header.shape[-2] * 16
-    hi = max(max(row) for row in shard_sizes_2d(sharded))
-    return (hi + incoming_per_shard) > threshold * per_shard_cap
+    return (_max_rows_2d(sharded) + incoming_per_shard) \
+        > threshold * per_shard_cap
+
+
+def _max_rows_2d(sharded: kvt.KvTable) -> int:
+    """Max live rows over row shards (col ranks are lockstep — identical
+    keys — so only col 0 is read; one blocking device_get per row shard)."""
+    R = sharded.header.shape[0]
+    return max(int(jax.device_get(kvt.size(local_shard_2d(sharded, r, 0))))
+               for r in range(R))
 
 
 def sharded_grow_2d(sharded: kvt.KvTable,
@@ -261,30 +270,21 @@ def sharded_grow_2d(sharded: kvt.KvTable,
     host-mediated, call between steps (the step recompiles once for the new
     static capacity). Row routing stays ``key % R``; col slices and header
     lockstep are preserved (see module note above). Pass ``sharding``
-    (``table_sharding_2d(mesh)``) to re-place the grown tree on the mesh."""
+    (``table_sharding_2d(mesh)``) to re-place the grown tree on the mesh.
+    The grow core is shared with the 1D path (``st.grow_uniform`` — col
+    ranks of a row converge identically since they hold identical keys)."""
     R, C = sharded.header.shape[:2]
     old_cap = sharded.header.shape[-2] * 16
     target = new_capacity_per_shard
     if target is None:
-        target = old_cap * 2
-        need = max(max(row) for row in shard_sizes_2d(sharded)) \
-            + incoming_per_shard
-        while need > threshold * target:
-            target *= 2
-    shards = [[local_shard_2d(sharded, r, c) for c in range(C)]
-              for r in range(R)]
-    # _rehash_verified may exceed the target on pathological collisions;
-    # retry until all R*C capacities agree (col ranks of a row always agree
-    # already — identical keys — so this loop converges like the 1D one)
-    for _ in range(5):
-        shards = [[kvt.grow(s, target) if s.capacity < target else s
-                   for s in row] for row in shards]
-        caps = {s.capacity for row in shards for s in row}
-        if len(caps) == 1:
-            break
-        target = max(caps)
-    rows = [jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *row)
-            for row in shards]
+        target = st.uniform_grow_target(_max_rows_2d(sharded), old_cap,
+                                        incoming_per_shard, threshold)
+    flat = st.grow_uniform(
+        [local_shard_2d(sharded, r, c)
+         for r in range(R) for c in range(C)], target)
+    rows = [jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                   *flat[r * C:(r + 1) * C])
+            for r in range(R)]
     grown = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rows)
     if sharding is not None:
         grown = jax.device_put(grown, sharding)
@@ -295,14 +295,15 @@ def grow_sharded_2d_if_needed(tables: dict, *, incoming_per_shard: int = 0,
                               threshold: float = kvt.GROW_LOAD_FACTOR,
                               overflow=None, sharding=None):
     """Between-steps growth sweep over a dict of 2D-sharded tables.
-    Returns ``(tables, grew)``."""
+    Returns ``(tables, grew)``. Sizes are swept once and reused."""
     trip = overflow is not None and bool(jax.device_get(overflow))
     out, grew = dict(tables), False
     for name, t in tables.items():
-        if trip or sharded_needs_grow_2d(t, incoming_per_shard,
-                                         threshold=threshold):
-            out[name] = sharded_grow_2d(
-                t, incoming_per_shard=incoming_per_shard,
-                threshold=threshold, sharding=sharding)
+        cap = t.header.shape[-2] * 16
+        hi = _max_rows_2d(t)
+        if trip or (hi + incoming_per_shard) > threshold * cap:
+            target = st.uniform_grow_target(hi, cap, incoming_per_shard,
+                                            threshold)
+            out[name] = sharded_grow_2d(t, target, sharding=sharding)
             grew = True
     return out, grew

@@ -302,6 +302,32 @@ def sharded_needs_grow(sharded: kvt.KvTable, incoming_per_shard: int = 0, *,
     return (hi + incoming_per_shard) > threshold * per_shard_cap
 
 
+def grow_uniform(shards: list, target: int) -> list:
+    """Grow every shard in the list to ONE capacity. ``kvt.grow``'s
+    verified rehash may exceed the target on pathological bucket
+    collisions; capacities must stay uniform so shard_map shapes agree —
+    retry until all shards land on the same capacity. Shared by the 1D
+    and 2D growth paths."""
+    for _ in range(5):
+        shards = [kvt.grow(s, target) if s.capacity < target else s
+                  for s in shards]
+        caps = {s.capacity for s in shards}
+        if len(caps) == 1:
+            break
+        target = max(caps)
+    return shards
+
+
+def uniform_grow_target(hi: int, old_cap: int, incoming: int,
+                        threshold: float) -> int:
+    """Doublings of ``old_cap`` until ``hi + incoming`` rows fit under
+    the load-factor ``threshold``."""
+    target = old_cap * 2
+    while hi + incoming > threshold * target:
+        target *= 2
+    return target
+
+
 def sharded_grow(sharded: kvt.KvTable,
                  new_capacity_per_shard: Optional[int] = None, *,
                  incoming_per_shard: int = 0,
@@ -319,20 +345,10 @@ def sharded_grow(sharded: kvt.KvTable,
     old_cap = sharded.header.shape[-2] * 16
     target = new_capacity_per_shard
     if target is None:
-        target = old_cap * 2
-        need = max(shard_sizes(sharded)) + incoming_per_shard
-        while need > threshold * target:
-            target *= 2
-    shards = [local_shard(sharded, i) for i in range(num_shards)]
-    # _rehash_verified may exceed the target on pathological bucket collisions;
-    # capacities must stay uniform so shard_map shapes agree.
-    for _ in range(5):
-        shards = [kvt.grow(s, target) if s.capacity < target else s
-                  for s in shards]
-        caps = {s.capacity for s in shards}
-        if len(caps) == 1:
-            break
-        target = max(caps)
+        target = uniform_grow_target(max(shard_sizes(sharded)), old_cap,
+                                     incoming_per_shard, threshold)
+    shards = grow_uniform([local_shard(sharded, i)
+                           for i in range(num_shards)], target)
     grown = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
     if sharding is not None:
         grown = jax.device_put(grown, sharding)
@@ -345,14 +361,17 @@ def grow_sharded_if_needed(tables: dict, *, incoming_per_shard: int = 0,
     """Between-steps growth sweep over a dict of sharded tables (the
     distributed analogue of ``models.common.grow_if_needed``). Returns
     ``(tables, grew)``; when ``grew`` the step function recompiles once for
-    the new static capacity."""
+    the new static capacity. Sizes are swept ONCE per table (the sweep is
+    a blocking device_get per shard) and reused for the grow target."""
     trip = overflow is not None and bool(jax.device_get(overflow))
     out, grew = dict(tables), False
     for name, t in tables.items():
-        if trip or sharded_needs_grow(t, incoming_per_shard,
-                                      threshold=threshold):
-            out[name] = sharded_grow(t, incoming_per_shard=incoming_per_shard,
-                                     threshold=threshold, sharding=sharding)
+        cap = t.header.shape[-2] * 16
+        hi = max(shard_sizes(t))
+        if trip or (hi + incoming_per_shard) > threshold * cap:
+            target = uniform_grow_target(hi, cap, incoming_per_shard,
+                                         threshold)
+            out[name] = sharded_grow(t, target, sharding=sharding)
             grew = True
     return out, grew
 
