@@ -181,3 +181,36 @@ class TestPartitionedLookup:
         t = kv.create(8, 256)
         rows, t = emb.partitioned_lookup(t, np.arange(10, dtype=np.int64))
         assert rows.shape == (10, 8) and int(kv.size(t)) == 10
+
+
+class TestSafeLookupUint64:
+    def test_uint64_fingerprints_not_pruned(self):
+        """String-key fingerprints span the full uint64 space (hashing.py);
+        ids >= 2**63 set the encoded high word's sign bit and must NOT be
+        pruned as 'negative' (review finding: the sign convention only
+        exists for signed int64 inputs)."""
+        t = kv.create(4, 256, seed=0)
+        big = np.array([2**63 + 5, 2**63 + 12345], dtype=np.uint64)
+        enc = kv.encode_ids(big)
+        t = kv.insert(t, enc, jnp.stack([jnp.full((4,), 1.0),
+                                         jnp.full((4,), 2.0)]))
+        seg = jnp.array([0, 1], dtype=jnp.int32)
+        out, _, _ = emb.safe_embedding_lookup_sparse(
+            t, big, seg, 2, combiner="sum", train=False)
+        np.testing.assert_allclose(np.asarray(out[0]), 1.0)
+        np.testing.assert_allclose(np.asarray(out[1]), 2.0)
+        # pre-encoded fingerprints: opt out of pruning explicitly
+        out2, _, _ = emb.safe_embedding_lookup_sparse(
+            t, kv.encode_ids_np_to_device(big.view(np.int64)), seg, 2,
+            combiner="sum", train=False, prune_negative=False)
+        np.testing.assert_allclose(np.asarray(out2), np.asarray(out))
+
+    def test_negative_int64_still_pruned(self):
+        t = kv.create(4, 256, seed=0)
+        q = kv.encode_ids(np.array([9], dtype=np.int64))
+        t = kv.insert(t, q, jnp.full((1, 4), 5.0))
+        out, _, _ = emb.safe_embedding_lookup_sparse(
+            t, np.array([9, -1], dtype=np.int64),
+            jnp.array([0, 1], jnp.int32), 2, combiner="sum", train=False)
+        np.testing.assert_allclose(np.asarray(out[0]), 5.0)
+        np.testing.assert_allclose(np.asarray(out[1]), 0.0)

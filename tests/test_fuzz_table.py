@@ -74,8 +74,16 @@ def test_random_op_sequence(seed):
             placed = np.asarray(jax.device_get(kv.find(t, q).found))
             for j, i in enumerate(ids_np):
                 if placed[j]:
-                    # insert REPLACES the meta word: freq resets to 1
-                    m.upsert(int(i), rows[j], day, set_freq=1)
+                    # insert updates the VALUE only for existing rows
+                    # (reference InsertOrUpdate, kv_variable.h:458-464):
+                    # freq and last-touch day are PRESERVED; new rows
+                    # stamp freq=1 and the given day
+                    ii = int(i)
+                    if ii in m.rows:
+                        keep_day, keep_freq = m.day[ii], m.freq[ii]
+                        m.upsert(ii, rows[j], keep_day, set_freq=keep_freq)
+                    else:
+                        m.upsert(ii, rows[j], day, set_freq=1)
 
         elif op == "lookup_insert":
             if kv.needs_grow(t, len(ids_np)):

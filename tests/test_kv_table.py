@@ -490,3 +490,66 @@ class TestAdviceFixes:
         t2 = kv.import_arrays(make_table(dim=4), ex)
         np.testing.assert_array_equal(np.asarray(kv.get_timestamp(t2, q)),
                                       np.asarray(kv.get_timestamp(t, q)))
+
+
+class TestReviewRound3:
+    """Core-engine review findings (pinned)."""
+
+    def test_insert_preserves_existing_freq_and_day(self):
+        """The reference's InsertOrUpdate writes the VALUE only
+        (kv_variable.h:458-464): upserting a hot row must not reset its
+        frequency (enter_threshold would re-filter it) or its last-touch
+        day (TTL eviction would reap it)."""
+        t = make_table(enter_threshold=0)
+        q = ids(7)
+        # build freq=5, day=100 via counted lookups at day 100
+        res = kv.lookup_or_insert(t, q, counts=jnp.array([5], jnp.int32),
+                                  day=100)
+        t = res.table
+        assert int(kv.get_count(t, q)[0]) == 5
+        t = kv.insert(t, q, jnp.ones((1, 8)) * 3.0)     # hot-patch value
+        assert int(kv.get_count(t, q)[0]) == 5, "freq reset by upsert"
+        assert int(kv.get_timestamp(t, q)[0]) == 100, "day reset by upsert"
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(t, q)), 3.0)
+        # NEW rows still stamp freq=1 / the given day
+        t = kv.insert(t, ids(8), jnp.ones((1, 8)), day=200)
+        assert int(kv.get_count(t, ids(8))[0]) == 1
+        assert int(kv.get_timestamp(t, ids(8))[0]) == 200
+
+    def test_dual_stream_delta_deletions(self):
+        """With support_prediction_delta, a deletion must reach BOTH delta
+        streams (the reference copies train_deltalist_ into
+        prediction_deltalist_ on export, dynamic_save.hpp:186-191); the
+        shared-ring design used to let the first stream's export wipe the
+        other stream's deletions."""
+        t = make_table(support_prediction_delta=True)
+        q = ids(1, 2, 3)
+        t = kv.insert(t, q, jnp.ones((3, 8)))
+        t, _ = kv.delete(t, ids(2))
+        out_t = kv.export_arrays(t, delta=True, deltalist="train")
+        assert list(out_t["delete_keys"]) == [2]
+        t = out_t["table"]
+        # the pred stream STILL sees the deletion afterwards
+        out_p = kv.export_arrays(t, delta=True, deltalist="pred")
+        assert list(out_p["delete_keys"]) == [2]
+        t = out_p["table"]
+        # both consumed -> ring compacted empty; later deletions start fresh
+        assert int(jax.device_get(t.deleted_count)) == 0
+        t, _ = kv.delete(t, ids(3))
+        out_t2 = kv.export_arrays(t, delta=True, deltalist="train")
+        assert list(out_t2["delete_keys"]) == [3]
+
+    def test_single_stream_delta_unchanged(self):
+        """Default (support_prediction_delta off): the ring clears on any
+        delta export — the reference with the flag off."""
+        t = make_table()
+        q = ids(1, 2)
+        t = kv.insert(t, q, jnp.ones((2, 8)))
+        t, _ = kv.delete(t, ids(1))
+        out = kv.export_arrays(t, delta=True, deltalist="train")
+        assert list(out["delete_keys"]) == [1]
+        t = out["table"]
+        assert int(jax.device_get(t.deleted_count)) == 0
+        out2 = kv.export_arrays(t, delta=True, deltalist="pred")
+        assert list(out2["delete_keys"]) == []

@@ -352,3 +352,33 @@ class TestBST:
         auc = auc_score(np.concatenate(labels), np.concatenate(scores))
         assert losses[-1] < losses[0] - 0.05
         assert auc > 0.72, f"AUC {auc}"
+
+
+class TestDayStamping:
+    def test_train_step_stamps_real_day(self):
+        """make_train_step threads the REAL ring day into lookups (review
+        finding: a constant day=0 made every row 'thousands of days old',
+        so delete_with_timestamp would evict rows touched seconds ago)."""
+        from tfplus_tpu.kv import table as kvt
+        from tfplus_tpu.utils import packing
+        model = NCF(embedding_dim=8, hidden=(16,), capacity=1 << 10)
+        opt = tft.AdamOptimizer()
+        tx = optax.adam(1e-3)
+        state = init_state(model, opt, tx, seed=0)
+        step = make_train_step(model, opt, tx, sparse_lr=1e-3, donate=False)
+        batch = {
+            "ids": {"user": kv.encode_ids_np_to_device(
+                        np.arange(1, 9, dtype=np.int64)),
+                    "movie": kv.encode_ids_np_to_device(
+                        np.arange(1, 9, dtype=np.int64))},
+            "labels": jnp.ones((8,), jnp.float32) * 3.0,
+        }
+        state, _, _ = step(state, batch)
+        today = packing.current_day() % (1 << 13)
+        q = kv.encode_ids_np_to_device(np.arange(1, 9, dtype=np.int64))
+        days = np.asarray(kv.get_timestamp(state.tables["user"], q))
+        np.testing.assert_array_equal(days, today)
+        # a TTL sweep "as of now" must evict NOTHING just touched
+        t2, evicted = kvt.delete_with_timestamp(state.tables["user"], 30,
+                                                packing.current_day())
+        assert int(jax.device_get(jnp.sum(evicted))) == 0

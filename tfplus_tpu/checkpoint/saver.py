@@ -134,11 +134,15 @@ def save_table(writer: bundle.BundleWriter, name: str, table: kvt.KvTable, *,
                    packing.reference_word_np(meta[sel], as_of_unix_day))
     if first_n >= FIRST_N_DELTA or delta:
         if delta:
-            dk_arr, dcount, doverflow = jax.device_get(
-                (table.deleted_keys, table.deleted_count,
+            # the saver writes the TRAIN stream (FLAG_TOUCH_TRAIN filter
+            # above) — emit that stream's pending deletion-log span
+            dstart_t, dcount_t = kvt.pending_delete_span(table, "train")
+            dk_arr, dstart, dcount, doverflow = jax.device_get(
+                (table.deleted_keys, dstart_t, dcount_t,
                  table.deleted_overflow))
             need_full = bool(doverflow)
-            dk_own = hashing.decode_ids_np(np.asarray(dk_arr)[:int(dcount)])
+            dk_own = hashing.decode_ids_np(
+                np.asarray(dk_arr)[int(dstart):int(dcount)])
         else:
             need_full, dk_own = True, np.zeros((0,), np.uint64)
         writer.add(name + "-need_full_import",

@@ -86,7 +86,9 @@ def lookup_unique(table: kvt.KvTable, ids, *, train: bool = True,
         prow, mrow = res.payload_rows, res.meta_rows
     else:
         fr = kvt.find(table, u.unique_keys, uvalid)
-        rows = kvt._gather_rows(table, fr.slot, fr.found)
+        # pass fr.meta: the meta_rows=None fallback would materialise the
+        # whole [C] meta plane before its gather (optim/base.py note)
+        rows = kvt._gather_rows(table, fr.slot, fr.found, fr.meta)
         slot = jnp.where(fr.found, fr.slot, -1)
         new_table = table
         prow = mrow = None
@@ -112,7 +114,12 @@ def embedding_lookup(table: kvt.KvTable, ids, *, train: bool = True,
     Returns ``(embeddings, Lookup, new_table)`` — keep the Lookup to route
     gradients via :func:`grads_to_unique` / the optimizer.
     """
-    ids_arr = hashing.encode_ids_raw(ids)  # raw ids of ANY shape (never pre-encoded)
+    # RAW ids of any shape — NEVER pre-encoded [N,2] keys: unlike the
+    # rank-sensitive _canon_ids APIs, this function treats a 2-D input as
+    # a 2-D BATCH of raw ids (a [B,2] raw batch is legitimate), so encoded
+    # keys passed here would be re-encoded into garbage. Use lookup_unique
+    # for encoded keys.
+    ids_arr = hashing.encode_ids_raw(ids)
     batch_shape = ids_arr.shape[:-1]
     flat = ids_arr.reshape(-1, 2)
     if valid is not None:
@@ -180,7 +187,7 @@ def embedding_lookup_sparse(table: kvt.KvTable, ids, segment_ids,
 
     ``ids[N]`` with ``segment_ids[N]`` (row of each id, ascending not
     required) and ``valid[N]`` padding mask → ``[num_segments, D]``.
-    Returns ``(combined, Lookup, segment_ids, new_table)``.
+    Returns ``(combined, Lookup, new_table)``.
     """
     look, new_table = lookup_unique(table, ids, train=train, valid=valid, day=day)
     out = combine(look, jnp.asarray(segment_ids, jnp.int32), num_segments,
@@ -194,6 +201,7 @@ def safe_embedding_lookup_sparse(table: kvt.KvTable, ids, segment_ids,
                                  valid: Optional[jnp.ndarray] = None,
                                  combiner: str = "mean", train: bool = True,
                                  default_id: Optional[int] = None,
+                                 prune_negative: bool = True,
                                  day: int | jnp.ndarray = 0):
     """Safe variant (embedding_ops.py:444-628): prunes invalid ids and
     non-positive weights; empty rows get the ``default_id`` embedding (or
@@ -203,10 +211,16 @@ def safe_embedding_lookup_sparse(table: kvt.KvTable, ids, segment_ids,
     n = q.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
-    # prune negative ids (sign bit of the high word) — reference prunes
-    # invalid sparse entries before lookup
-    nonneg = q[:, 1] >= 0
-    valid = valid & nonneg
+    # prune negative ids (the reference prunes invalid sparse entries
+    # before lookup; TF ids are int64 with negative = padding). The sign
+    # lives in the encoded HIGH word — which collides with the top bit of
+    # uint64 string fingerprints (hashing.py spans the full 64-bit space),
+    # so pruning auto-disables for raw uint64 inputs and can be turned off
+    # explicitly (prune_negative=False) when passing pre-encoded
+    # fingerprint keys.
+    if prune_negative and not (isinstance(ids, np.ndarray)
+                               and ids.dtype == np.uint64):
+        valid = valid & (q[:, 1] >= 0)
     if weights is not None:
         valid = valid & (weights > 0)
     seg = jnp.asarray(segment_ids, jnp.int32)

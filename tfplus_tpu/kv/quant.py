@@ -109,6 +109,8 @@ def lookup_or_zeros(table: QuantKvTable, q: jnp.ndarray,
                        deleted_keys=jnp.zeros((1, 2), jnp.int32),
                        deleted_count=jnp.zeros((), jnp.int32),
                        deleted_overflow=jnp.zeros((), bool),
+                       deleted_seen_train=jnp.zeros((), jnp.int32),
+                       deleted_seen_pred=jnp.zeros((), jnp.int32),
                        config=table.config)
     fr = kvt.find(view, q, valid, want_pad=True)
     ok = fr.found & ((fr.meta & kvt.FLAG_BLACKLIST) == 0)

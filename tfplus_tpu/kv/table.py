@@ -79,6 +79,11 @@ class KvConfig:
     value_dtype: Any = jnp.float32
     name: str = "kv_table"
     slot_layout: tuple = ()           # ((name, k), ...): k*dim columns each
+    #: keep deletions visible to BOTH delta streams (train + pred) — the
+    #: reference's support_prediction_delta_ (kv_variable.h:871, copied
+    #: train->pred on export, dynamic_save.hpp:186-191). Off by default:
+    #: a single-stream user's ring then clears on every delta export.
+    support_prediction_delta: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "value_dtype", jnp.dtype(self.value_dtype))
@@ -195,6 +200,12 @@ class KvTable:
     deleted_keys: jnp.ndarray          # int32[DELBUF, 2]
     deleted_count: jnp.ndarray         # int32 scalar
     deleted_overflow: jnp.ndarray      # bool scalar
+    # per-stream consumption watermarks into the ring (entries
+    # [seen_x : count] are pending for stream x). Only meaningful with
+    # config.support_prediction_delta; kept in the pytree unconditionally
+    # so the tree structure does not depend on a config flag.
+    deleted_seen_train: jnp.ndarray    # int32 scalar
+    deleted_seen_pred: jnp.ndarray     # int32 scalar
     config: KvConfig = dataclasses.field(metadata=dict(static=True))
 
     @property
@@ -267,6 +278,7 @@ def create(dim: int,
            max_probes: int = DEFAULT_MAX_PROBES,
            value_dtype=jnp.float32,
            name: str = "kv_table",
+           support_prediction_delta: bool = False,
            seed: int = 0) -> KvTable:
     """Create an empty table.
 
@@ -279,7 +291,8 @@ def create(dim: int,
     if capacity < 2 * hashing.BUCKET_SIZE:
         raise ValueError(f"capacity must be >= {2 * hashing.BUCKET_SIZE}")
     cfg = KvConfig(dim=dim, enter_threshold=enter_threshold,
-                   max_probes=max_probes, value_dtype=value_dtype, name=name)
+                   max_probes=max_probes, value_dtype=value_dtype, name=name,
+                   support_prediction_delta=support_prediction_delta)
     if initializer is None:
         key = jax.random.PRNGKey(seed)
         pool = (jax.random.truncated_normal(key, -2.0, 2.0,
@@ -300,6 +313,8 @@ def create(dim: int,
         deleted_keys=jnp.broadcast_to(empty_row, (DELETED_LOG_CAPACITY, 2)).copy(),
         deleted_count=jnp.zeros((), jnp.int32),
         deleted_overflow=jnp.zeros((), bool),
+        deleted_seen_train=jnp.zeros((), jnp.int32),
+        deleted_seen_pred=jnp.zeros((), jnp.int32),
         config=cfg,
     )
 
@@ -629,9 +644,15 @@ def insert(table: KvTable, q: jnp.ndarray, rows: jnp.ndarray,
     else:
         wide = rows.astype(table.payload.dtype)
     payload = rowops.scatter_rows(table.payload, gidx, wide)
-    day = jnp.asarray(day, dtype=jnp.uint32)
+    day = jnp.broadcast_to(jnp.asarray(day, dtype=jnp.uint32), (n,))
     if freq is None:
-        freq = jnp.ones((n,), dtype=jnp.uint32)
+        # the reference's InsertOrUpdate writes the VALUE only
+        # (kv_variable.h:458-464): existing rows keep their frequency and
+        # last-touch day — resetting them would re-filter a hot row under
+        # enter_threshold and make it instantly TTL-evictable
+        freq = jnp.where(fr.found, packing.get_freq(fr.meta),
+                         jnp.uint32(1))
+        day = jnp.where(fr.found, packing.get_day(fr.meta), day)
     fl = jnp.broadcast_to(FLAG_TOUCH_BOTH, (n,)).astype(jnp.uint32)
     if blacklist is not None:
         fl = fl | jnp.where(blacklist, FLAG_BLACKLIST, jnp.uint32(0))
@@ -963,19 +984,59 @@ def compact(table: KvTable) -> KvTable:
     return _rehash_verified(table, table.capacity)
 
 
+def _consume_deletes(table: KvTable, deltalist: str) -> KvTable:
+    """Advance ``deltalist``'s watermark past the current deletion log.
+
+    Without ``config.support_prediction_delta`` (the common single-stream
+    case, matching the reference with support_prediction_delta_ off) the
+    ring simply resets. With it, entries stay until BOTH streams have
+    exported them (the reference copies train_deltalist_ into
+    prediction_deltalist_ on train export, dynamic_save.hpp:186-191);
+    fully-consumed entries compact away, and the overflow flag — which
+    poisons every stream's delta until seen — clears only once no stream
+    still has pending entries."""
+    empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], jnp.int32)
+    if not table.config.support_prediction_delta:
+        return dataclasses.replace(
+            table,
+            deleted_keys=jnp.broadcast_to(empty_row,
+                                          table.deleted_keys.shape).copy(),
+            deleted_count=jnp.zeros((), jnp.int32),
+            deleted_overflow=jnp.zeros((), bool),
+            deleted_seen_train=jnp.zeros((), jnp.int32),
+            deleted_seen_pred=jnp.zeros((), jnp.int32))
+    count = table.deleted_count
+    seen_t = count if deltalist == "train" else table.deleted_seen_train
+    seen_p = count if deltalist == "pred" else table.deleted_seen_pred
+    keep_from = jnp.minimum(seen_t, seen_p)
+    rb = table.deleted_keys.shape[0]
+    live = jnp.arange(rb)[:, None] < (count - keep_from)
+    dk = jnp.where(live, jnp.roll(table.deleted_keys, -keep_from, axis=0),
+                   empty_row)
+    return dataclasses.replace(
+        table, deleted_keys=dk, deleted_count=count - keep_from,
+        deleted_overflow=table.deleted_overflow & ((count - keep_from) > 0),
+        deleted_seen_train=seen_t - keep_from,
+        deleted_seen_pred=seen_p - keep_from)
+
+
+def pending_delete_span(table: KvTable, deltalist: str = "train"):
+    """(start, count) of the ring entries pending for this stream."""
+    start = (table.deleted_seen_train if deltalist == "train"
+             else table.deleted_seen_pred)
+    return start, table.deleted_count
+
+
 def clear_deltalist(table: KvTable, deltalist: str = "train") -> KvTable:
-    """Reset the delta-touch bits and the deletion log (device-side; the
-    reference's deltalist swap on export, dynamic_save.hpp:180-193). The
-    streaming saver uses this instead of materialising the table host-side."""
+    """Reset the delta-touch bits and consume the deletion log for this
+    stream (device-side; the reference's deltalist swap on export,
+    dynamic_save.hpp:180-193). The streaming saver uses this instead of
+    materialising the table host-side."""
     bit = FLAG_TOUCH_TRAIN if deltalist == "train" else FLAG_TOUCH_PRED
     new_meta = table.meta & ~bit
-    empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], jnp.int32)
-    return dataclasses.replace(
-        table, header=_set_all_meta(table.header, new_meta),
-        deleted_keys=jnp.broadcast_to(empty_row,
-                                      table.deleted_keys.shape).copy(),
-        deleted_count=jnp.zeros((), jnp.int32),
-        deleted_overflow=jnp.zeros((), bool))
+    out = dataclasses.replace(
+        table, header=_set_all_meta(table.header, new_meta))
+    return _consume_deletes(out, deltalist)
 
 
 # ---------------------------------------------------------------------------
@@ -1033,10 +1094,13 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
         "meta": ref_meta[sel],
     }
     if delta:
-        # deletion log → delete_keys; overflow forces a full import on restore
-        dk, dcount, doverflow = jax.device_get(
-            (table.deleted_keys, table.deleted_count, table.deleted_overflow))
-        out["delete_keys"] = hashing.decode_ids_np(np.asarray(dk)[:int(dcount)])
+        # this stream's pending deletion-log span → delete_keys; overflow
+        # forces a full import on restore
+        start_t, dcount_t = pending_delete_span(table, deltalist)
+        dk, dstart, dcount, doverflow = jax.device_get(
+            (table.deleted_keys, start_t, dcount_t, table.deleted_overflow))
+        out["delete_keys"] = hashing.decode_ids_np(
+            np.asarray(dk)[int(dstart):int(dcount)])
         out["need_full_import"] = bool(doverflow)
     if clear_deltalist is None:
         clear_deltalist = delta
@@ -1047,13 +1111,10 @@ def export_arrays(table: KvTable, *, enable_cutoff: bool = False,
                         else FLAG_TOUCH_PRED)
         new_meta = jnp.asarray(meta & np.uint32(~clear_bit & 0xFFFFFFFF),
                                dtype=jnp.uint32)
-        empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], jnp.int32)
-        out["table"] = dataclasses.replace(
-            table, header=_set_all_meta(table.header, new_meta),
-            deleted_keys=jnp.broadcast_to(
-                empty_row, table.deleted_keys.shape).copy(),
-            deleted_count=jnp.zeros((), jnp.int32),
-            deleted_overflow=jnp.zeros((), bool))
+        out["table"] = _consume_deletes(
+            dataclasses.replace(table,
+                                header=_set_all_meta(table.header, new_meta)),
+            deltalist)
     return out
 
 

@@ -19,6 +19,7 @@ import optax
 
 from .. import embedding as emb
 from ..kv import table as kvt
+from ..utils import packing
 from ..optim.base import SparseOptimizer
 
 
@@ -119,7 +120,7 @@ def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
         for j, name in enumerate(names):
             logical_ids[name] = j
 
-    def step_fn(state: TrainState, batch):
+    def step_fn(state: TrainState, batch, day):
         tables = dict(state.tables)
         looks = {}    # group key -> lookup result over fused unique ids
         parts = {}    # group key -> (names, bs, per-name UniqueResult)
@@ -146,7 +147,7 @@ def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
                 res = kvt.lookup_or_insert(tables[key], all_ids,
                                            counts=all_counts,
                                            valid=all_valid,
-                                           defer_meta=True)
+                                           defer_meta=True, day=day)
                 rows, tables[key] = res.rows, res.table
                 look = emb.Lookup(rows=rows, slot=res.slot, inverse=None,
                                   counts=all_counts, valid=all_valid,
@@ -194,7 +195,13 @@ def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
                                            meta_rows=looks[key].meta_rows)
         return TrainState(tables, dense, opt_state, step), loss, preds
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step(state, batch):
+        return jitted(state, batch,
+                      jnp.uint32(packing.current_day() % (1 << 13)))
+
+    return step
 
 
 def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
@@ -211,13 +218,13 @@ def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
     # dim-1 linear table reads the same field ids as its embedding table)
     alias = getattr(model, "id_alias", {})
 
-    def step_fn(state: TrainState, batch):
+    def step_fn(state: TrainState, batch, day):
         tables = dict(state.tables)
         looks = {}
         for name in sorted(tables):
             look, tables[name] = emb.lookup_unique(
                 tables[name], batch["ids"][alias.get(name, name)],
-                train=train, defer_meta=train)
+                train=train, defer_meta=train, day=day)
             looks[name] = look
 
         def loss_fn(dense, rows: Dict[str, jnp.ndarray]):
@@ -243,7 +250,17 @@ def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
         loss, preds = loss_fn(state.dense, rows_in)
         return state, loss, preds
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+    def step(state, batch):
+        # rows are last-touch stamped with the REAL ring day so
+        # delete_with_timestamp / export timestamps work (a constant day=0
+        # would age every row to "thousands of days old" instantly); traced
+        # as data, so the day rolling over never recompiles
+        return jitted(state, batch,
+                      jnp.uint32(packing.current_day() % (1 << 13)))
+
+    return step
 
 
 def grow_if_needed(state: TrainState, incoming_per_table: int) -> TrainState:

@@ -209,6 +209,8 @@ def refresh_from_delta(tables, delta_prefix: str, *, quantize: bool = False):
                     deleted_keys=_empty_deleted_log(),
                     deleted_count=_i32_zero(),
                     deleted_overflow=_bool_false(),
+                    deleted_seen_train=_i32_zero(),
+                    deleted_seen_pred=_i32_zero(),
                     config=s.config)
                 full = saver.restore_table(reader, base, full, delta=True,
                                            load_slots=False)
