@@ -89,7 +89,7 @@ def main():
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(tspecs, P(), P(), P("mp"), P("mp"), P("mp"), P()),
-        out_specs=(tspecs, P(), P(), P(), P()),
+        out_specs=(tspecs, P(), P(), P(), P(), P()),
         check_vma=False)
     def step(tabs, dense, tx_state, ids, feats, labels, s):
         rows, states = {}, {}
@@ -110,14 +110,21 @@ def main():
         upd, tx_state = tx.update(g_dense, tx_state, dense)
         dense = optax.apply_updates(dense, upd)
         ovf = jnp.zeros((), jnp.int32)
+        route_ovf = jnp.zeros((), jnp.int32)
         for name in sorted(tabs):
             tabs[name] = par.sharded_apply_grads(
                 opt, tabs[name], states[name], g_rows[name],
                 lr=args.lr, step=s,
                 exchange_dtype=jnp.bfloat16 if args.bf16_exchange else None)
-            ovf = ovf | states[name].overflow.astype(jnp.int32)
+            # grow only on TABLE overflow; bucket-routing overflow needs a
+            # bigger bucket_capacity, which growing the table cannot fix
+            ovf = ovf | states[name].table_overflow.astype(jnp.int32)
+            route_ovf = route_ovf | states[name].route_overflow.astype(
+                jnp.int32)
         ovf = jax.lax.pmax(ovf, "mp")
-        return tabs, dense, tx_state, jax.lax.pmean(loss, "mp"), ovf
+        route_ovf = jax.lax.pmax(route_ovf, "mp")
+        return (tabs, dense, tx_state, jax.lax.pmean(loss, "mp"), ovf,
+                route_ovf)
 
     jstep = jax.jit(step, donate_argnums=(0,))
     tsharding = par.table_sharding(mesh)
@@ -130,9 +137,13 @@ def main():
                for c in range(args.tables)}
         feats = jnp.asarray(b["numeric"])
         labels = jnp.asarray(b["label"])
-        tables, dense, tx_state, loss, ovf = jstep(tables, dense, tx_state,
-                                                   ids, feats, labels,
-                                                   jnp.int32(i + 1))
+        tables, dense, tx_state, loss, ovf, route_ovf = jstep(
+            tables, dense, tx_state, ids, feats, labels, jnp.int32(i + 1))
+        if bool(route_ovf):
+            print(f"batch {i+1:4d} WARNING: exchange-bucket overflow (a hot "
+                  "shard got more unique ids than bucket_capacity; some ids "
+                  "were dropped this step) — raise bucket_capacity; growing "
+                  "the table cannot fix this", flush=True)
         window.append(float(loss))
         seen += bs
         # online growth (reference parity: PS tables grow without bound,
@@ -244,7 +255,8 @@ def main_2d(args, n_dev, bs, s2):
             tabs[name] = s2.sharded_apply_grads_2d(
                 opt, tabs[name], states[name], g_rows[name],
                 lr=args.lr, step=s)
-        ovf = jnp.stack([states[n].overflow for n in sorted(states)]).any()
+        ovf = jnp.stack([states[n].table_overflow
+                         for n in sorted(states)]).any()
         ovf = jax.lax.pmax(jax.lax.pmax(ovf.astype(jnp.int32), "row"), "col")
         return tabs, dense, tx_state, jax.lax.pmean(loss, both), ovf
 

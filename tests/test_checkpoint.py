@@ -568,3 +568,99 @@ class TestStreamingBudget:
             src = t0 if key in ids0 else t1
             want = np.asarray(kv.lookup_or_zeros(src, enc([key])))[0]
             np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestManagerReviewFindings:
+    """Round-3 persistence review findings (pinned)."""
+
+    def test_dense_restored_from_last_delta(self, tmp_path):
+        """restore() must replay DENSE state through the deltas too — the
+        last delta carries the freshest DNN weights; taking dense from the
+        full checkpoint resumed training with weights stale by the whole
+        delta window."""
+        mgr = ckpt.CheckpointManager(str(tmp_path / "ck"))
+        t = kv.create(4, 256, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, 9, dtype=np.int64))
+        t = kv.insert(t, q, jnp.ones((8, 4)))
+        dense = {"w": jnp.full((3,), 1.0)}
+        t = mgr.save({"emb": t}, dense, step=1, full=True)["emb"]
+        t = kv.scatter(t, q, jnp.ones((8, 4)), "add")
+        dense = {"w": jnp.full((3,), 2.0)}               # dense moved on
+        t = mgr.save({"emb": t}, dense, step=2, full=False)["emb"]
+        out, dense2, step = mgr.restore({"emb": kv.create(4, 256)},
+                                        {"w": jnp.zeros((3,))})
+        assert step == 2
+        np.testing.assert_allclose(np.asarray(dense2["w"]), 2.0)
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(out["emb"], q)), 2.0)
+
+    def test_delta_without_dense_keeps_previous(self, tmp_path):
+        """A tables-only delta must not clobber (or crash on) the dense
+        restored so far."""
+        mgr = ckpt.CheckpointManager(str(tmp_path / "ck"))
+        t = kv.create(4, 256, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, 5, dtype=np.int64))
+        t = kv.insert(t, q, jnp.ones((4, 4)))
+        t = mgr.save({"emb": t}, {"w": jnp.full((2,), 5.0)},
+                     step=1, full=True)["emb"]
+        t = mgr.save({"emb": t}, None, step=2, full=False)["emb"]
+        _, dense2, step = mgr.restore({"emb": kv.create(4, 256)},
+                                      {"w": jnp.zeros((2,))})
+        assert step == 2
+        np.testing.assert_allclose(np.asarray(dense2["w"]), 5.0)
+
+    def test_failed_background_save_escalates_to_full(self, tmp_path):
+        """A failed background save already cleared the live tables' touch
+        bits, so the touched window exists nowhere on disk: the next save
+        MUST be full even if the caller asks for a delta."""
+        mgr = ckpt.CheckpointManager(str(tmp_path / "ck"))
+        t = kv.create(4, 256, seed=0)
+        q = kv.encode_ids_np_to_device(np.arange(1, 9, dtype=np.int64))
+        t = kv.insert(t, q, jnp.ones((8, 4)))
+        t = mgr.save({"emb": t}, step=1, full=True)["emb"]
+        t = kv.scatter(t, q, jnp.ones((8, 4)), "add")
+
+        class _FailingHandle:
+            def result(self):
+                raise IOError("disk full (injected)")
+
+        import tfplus_tpu.checkpoint.saver as real_saver
+        orig = real_saver.save_async
+        try:
+            real_saver.save_async = lambda *a, **k: (a[1], _FailingHandle())
+            t = mgr.save({"emb": t}, step=2, full=False,
+                         background=True)["emb"]
+        finally:
+            real_saver.save_async = orig
+        with pytest.raises(IOError, match="injected"):
+            mgr.wait()
+        # retry as a delta: silently escalated to FULL
+        t = mgr.save({"emb": t}, step=3, full=False)["emb"]
+        st = mgr.latest()
+        assert st["full"]["step"] == 3 and st["deltas"] == []
+        out, _, step = mgr.restore({"emb": kv.create(4, 256)})
+        assert step == 3
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(out["emb"], q)), 2.0)
+
+    def test_low_first_n_full_save_resets_delta_baseline(self, tmp_path):
+        """first_n < TRAIN full exports must still consume the deletion
+        log — a permanent overflow used to force-escalate every later
+        delta to full, forever."""
+        mgr = ckpt.CheckpointManager(str(tmp_path / "ck"),
+                                     first_n=saver.FIRST_N_TRAIN)
+        t = kv.create(4, 256, seed=0)
+        ids64 = np.arange(1, 4500, dtype=np.int64)
+        q = kv.encode_ids_np_to_device(ids64)
+        t = kv.grow_to_fit(t, incoming=4500)
+        t = kv.insert(t, q, jnp.ones((4499, 4)))
+        t, _ = kv.delete(t, q)          # 4499 > 4096-entry ring: overflow
+        import jax
+        assert bool(jax.device_get(t.deleted_overflow))
+        t = mgr.save({"emb": t}, step=1, full=False)["emb"]   # escalates
+        assert mgr.latest()["full"]["step"] == 1
+        # the full export consumed the ring: the NEXT delta is a delta
+        t = kv.insert(t, kv.encode_ids_np_to_device(
+            np.array([9001], np.int64)), jnp.ones((1, 4)))
+        t = mgr.save({"emb": t}, step=2, full=False)["emb"]
+        assert [d["step"] for d in mgr.latest()["deltas"]] == [2]

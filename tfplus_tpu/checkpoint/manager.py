@@ -71,6 +71,11 @@ class CheckpointManager:
         records an unreadable checkpoint.
         """
         self.wait()
+        if not full and getattr(self, "_force_full", False):
+            # a previous background save FAILED after its export already
+            # cleared the live tables' touch bits — those rows are in no
+            # bundle on disk, so only a full export can recapture them
+            full = True
         if not full and self._deletion_log_overflowed(tables):
             # the delta's delete list would be truncated (need_full_import):
             # restore refuses to layer such a delta, so never record one —
@@ -88,6 +93,8 @@ class CheckpointManager:
             return new_tables
         new_tables = _saver.save(prefix, tables, dense, **kw)
         self._commit(step, full, prefix)
+        if full:
+            self._force_full = False
         return new_tables
 
     @staticmethod
@@ -122,8 +129,19 @@ class CheckpointManager:
             return
         handle, step, full, prefix = pending
         self._pending = None
-        handle.result()
+        try:
+            handle.result()
+        except BaseException:
+            # the export ALREADY cleared the live tables' touch bits (they
+            # were cleared synchronously when the save was issued), so the
+            # touched-row window exists nowhere on disk: escalate the next
+            # save to full, and drop the failed write's partial files
+            self._force_full = True
+            self._remove_prefix(prefix)
+            raise
         self._commit(step, full, prefix)
+        if full:
+            self._force_full = False
 
     def _gc(self):
         while len(self._state["history"]) >= self.max_to_keep:
@@ -158,6 +176,11 @@ class CheckpointManager:
         tables, dense = _saver.restore(lineage["full"]["prefix"], tables, dense)
         step = lineage["full"]["step"]
         for d in lineage["deltas"]:
-            tables, _ = _saver.restore(d["prefix"], tables, None, delta=True)
+            # replay the delta's DENSE state too — every save writes dense
+            # into its bundle, so the last delta carries the freshest DNN
+            # weights; restoring them only from the full checkpoint would
+            # resume with dense stale by the whole delta window
+            tables, dense = _saver.restore(d["prefix"], tables, dense,
+                                           delta=True)
             step = d["step"]
         return tables, dense, step

@@ -50,9 +50,6 @@ FIRST_N_BLACKLIST = 4
 FIRST_N_TRAIN = 6
 FIRST_N_DELTA = 8
 
-_SUFFIXES = ("-keys", "-values", "-init_table", "-blacklist",
-             "-freq_keys", "-freq_values", "-need_full_import", "-delete_keys")
-
 TableOrShards = Union[kvt.KvTable, Sequence[kvt.KvTable]]
 
 
@@ -118,7 +115,9 @@ def save_table(writer: bundle.BundleWriter, name: str, table: kvt.KvTable, *,
     writer.add(name + "-keys", hashing.decode_ids_np(keys[sel]))
     _stream_payload_cols(writer, name + "-values", table, idx, 0, dim,
                          chunk_rows)
-    if first_n >= FIRST_N_INFERENCE:
+    if first_n >= FIRST_N_INFERENCE and not delta:
+        # delta restore never reads -init_table; writing the whole init
+        # pool into every frequent delta snapshot is pure wasted IO
         writer.add(name + "-init_table",
                    np.asarray(jax.device_get(table.init_pool), np.float32))
     if first_n >= FIRST_N_BLACKLIST:
@@ -156,8 +155,15 @@ def save_table(writer: bundle.BundleWriter, name: str, table: kvt.KvTable, *,
         for sname, (s, w) in table.config.slot_columns().items():
             _stream_payload_cols(writer, f"{name}-slot-{sname}", table, idx,
                                  s, w, chunk_rows)
-    if delta or first_n >= FIRST_N_TRAIN:
-        table = kvt.clear_deltalist(table)
+    if delta:
+        table = kvt.clear_deltalist(table, "train")
+    elif first_n > FIRST_N_KV:
+        # a FULL export resets the delta baseline (dynamic_save.hpp:181-193:
+        # first_n <= BLACK_LIST clears the prediction list, else the train
+        # list) — without this, a deletion-log overflow under first_n < 6
+        # would force-escalate EVERY subsequent delta to full, forever
+        table = kvt.clear_deltalist(
+            table, "pred" if first_n <= FIRST_N_BLACKLIST else "train")
     return table
 
 
@@ -207,7 +213,9 @@ def restore_table(reader: bundle.BundleReader, name: str,
             enter_threshold=template.config.enter_threshold,
             max_probes=template.config.max_probes,
             value_dtype=template.config.value_dtype,
-            name=template.config.name)
+            name=template.config.name,
+            support_prediction_delta=
+            template.config.support_prediction_delta)
         table = kvt.ensure_slots(table, dict(template.config.slot_layout))
     if delete_keys is not None and np.asarray(delete_keys).size:
         qd = hashing.encode_ids_np_to_device(np.asarray(delete_keys))
@@ -440,6 +448,12 @@ def restore(prefix: str, tables: Dict[str, TableOrShards],
         leaves = []
         for path, leaf in flat:
             key = "dense/" + "/".join(_path_str(p) for p in path)
+            if key not in reader:
+                # bundle saved without dense (e.g. a delta snapshot of
+                # tables only): keep the caller's leaf — in the manager's
+                # delta replay that is the previously-restored dense
+                leaves.append(leaf)
+                continue
             arr = reader.lookup(key)
             import jax.numpy as jnp
             leaves.append(jnp.asarray(arr, dtype=leaf.dtype).reshape(leaf.shape))

@@ -93,7 +93,14 @@ class ExchangeState(NamedTuple):
     own_valid: Arr        # bool[S*K] received position carries a real id
     own_slot: Arr         # int32[S*K] owner-unique index -> table slot (-1 pad)
     own_counts: Arr       # int32[S*K] summed counts per owner-unique id
-    overflow: Arr         # bool: bucket overflow (some ids dropped)
+    # union flag (back-compat: "some id was dropped this step"); the two
+    # CAUSES need different remedies, so they are also exposed separately
+    overflow: Arr         # bool: route_overflow | table_overflow
+    # too many unique ids routed to one shard's exchange bucket — remedy:
+    # raise bucket_capacity (a static knob); growing the table CANNOT fix it
+    route_overflow: Optional[Arr] = None
+    # a key failed placement in the owner's table — remedy: grow the table
+    table_overflow: Optional[Arr] = None
     # raw payload/meta rows from the owner-side lookup (train mode) — passed
     # to the fused optimizer apply so it skips its own gathers, and (with
     # defer_meta) carries the freq/day/touch update in apply's one meta
@@ -186,11 +193,14 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
     osum = jnp.zeros((n_recv,), jnp.int32).at[ou.inverse].add(
         jnp.where(rvalid, recv_counts, 0))
 
+    route_overflow = overflow
+    table_overflow = jnp.zeros((), bool)
     if train:
         res = kvt.lookup_or_insert(table, ou.unique_keys, counts=osum,
                                    valid=ovalid, day=day,
                                    defer_meta=defer_meta)
         own_rows, own_slot, table = res.rows, res.slot, res.table
+        table_overflow = res.overflow
         overflow = overflow | res.overflow
         own_prow, own_mrow = res.payload_rows, res.meta_rows
     else:
@@ -223,6 +233,8 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
                           own_inverse=ou.inverse, own_valid=rvalid,
                           own_slot=own_slot, own_counts=osum,
                           overflow=overflow,
+                          route_overflow=route_overflow,
+                          table_overflow=table_overflow,
                           own_payload_rows=own_prow, own_meta_rows=own_mrow)
     return batch_rows, state, _unsqueeze(table)
 
@@ -290,10 +302,13 @@ def sharded_needs_grow(sharded: kvt.KvTable, incoming_per_shard: int = 0, *,
                        overflow=None) -> bool:
     """Host-side check between steps: does ANY shard need to grow?
 
-    ``overflow``: the (psum'd/any'd) overflow flag returned from the jitted
-    step, if the caller tracks it — a tripped flag forces growth regardless
-    of load factor (an id failed placement; after growth the next lookup of
-    that id inserts it, exactly like the single-device loop's retry)."""
+    ``overflow``: pass the step's psum'd ``state.table_overflow`` — a
+    tripped flag forces growth regardless of load factor (an id failed
+    placement; after growth the next lookup of that id inserts it, exactly
+    like the single-device loop's retry). Do NOT pass the union
+    ``state.overflow``: its route_overflow component means a hot shard's
+    exchange bucket overflowed, which growing the table cannot fix —
+    raise ``bucket_capacity`` instead."""
     if overflow is not None and bool(jax.device_get(overflow)):
         return True
     # header here is [S, C/16, 64] — per-shard capacity is the middle dim
@@ -313,9 +328,13 @@ def grow_uniform(shards: list, target: int) -> list:
                   for s in shards]
         caps = {s.capacity for s in shards}
         if len(caps) == 1:
-            break
+            return shards
         target = max(caps)
-    return shards
+    raise RuntimeError(
+        f"shard growth did not converge to one capacity in 5 rounds "
+        f"(capacities {sorted(caps)}) — pathological bucket collisions; "
+        f"returning mismatched shards would fail later with an opaque "
+        f"shard_map shape error")
 
 
 def uniform_grow_target(hi: int, old_cap: int, incoming: int,
