@@ -4,9 +4,13 @@ KvTable.
 Equivalent of the reference's MultiLevelHashMap (hashmap.h:776-1004: logical
 table id packed into the high bits of the 64-bit key, KEY_LENGTH=52-bit
 payload; enabled by INNER_MULTI_LEVEL_MAP, with append_kv_variable_for_
-multi_hash / ExportForMultiHash on top). Packing many small tables into one
-large one improves TPU efficiency (one probe/gather stream instead of N) and
-halves per-table padding waste.
+multi_hash / ExportForMultiHash on top). Packing is a SEMANTICS feature —
+one shared physical table with per-logical-table tag/untag and split export
+(MultiLevelHashMap parity), and less per-table padding waste. It is NOT a
+throughput feature on TPU: measured on real v5e the packed step runs at
+0.61-0.73x the per-table step (PERF.md "Multi-table packing"), because XLA
+already overlaps N small per-table passes while one fused pass serializes
+against the rest of the model. Use per-table steps for speed.
 
 Key layout here: high 12 bits = logical table id, low 52 bits = feature id
 (same 52-bit payload budget as the reference).
