@@ -2,21 +2,50 @@
 
 Measures the framework's hot path — dedup'd gather-or-insert over an
 HBM-resident KV table followed by the fused Adagrad gather-update-scatter —
-as achieved HBM bandwidth. vs_baseline is the ratio against the MEASURED
-reference baseline: stock TF-CPU on the identical workload (the reference
-framework is TF-CPU-only; its kernels add a hash-map probe on top of the
-stock path, so this proxy favours the reference). The chip-roofline
-fraction (BASELINE.json's aspirational >=80% target — unreachable for
-random-row access, which is issue-bound at ~85 ns/row on v5e; PERF.md) is
-reported in detail.roofline_frac. Prints ONE json line.
+as achieved HBM bandwidth. vs_baseline is the PAIRED-median ratio against
+the MEASURED reference baseline: stock TF-CPU on the identical workload
+(the reference framework is TF-CPU-only; its kernels add a hash-map probe
+on top of the stock path, so this proxy favours the reference).
+
+Variance methodology (round-4, per the round-3 verdict): the remote
+compiler has run-to-run schedule variance and the tunnel adds RTT jitter,
+so every headline metric is reported as a MEDIAN over >=5 repetitions with
+its SPREAD ((max-min)/median). Ratio metrics (vs TF-CPU, int8 vs f32) are
+medians of PER-PAIR ratios from strictly alternated measurements, so both
+sides of each pair share host/compiler conditions. README/PERF headline
+numbers must quote the driver-captured BENCH_r*.json medians and are only
+meaningful within the stated spread.
+
+The chip-roofline fraction (BASELINE.json's aspirational >=80% target —
+unreachable for random-row access, which is issue-bound at ~85-100 ns/row
+on v5e; PERF.md) is reported in detail.roofline_frac. Prints ONE json line.
 
 Run on the real TPU (driver) or CPU (debug: BENCH_CPU=1).
 """
 import json
 import os
+import statistics
 import time
 
 import numpy as np
+
+REPS = int(os.environ.get("BENCH_REPS", "5"))
+
+
+def _stats(runs):
+    """Median + relative spread over a list of per-rep measurements."""
+    if not runs:
+        return None
+    med = statistics.median(runs)
+    spread = (max(runs) - min(runs)) / med if med else 0.0
+    return {"median": round(med, 4), "spread": round(spread, 4),
+            "n": len(runs)}
+
+
+def _paired_ratio(a_runs, b_runs):
+    """Median of per-pair ratios a_i/b_i (alternated measurements)."""
+    pairs = [a / b for a, b in zip(a_runs, b_runs) if a and b]
+    return round(statistics.median(pairs), 4) if pairs else None
 
 
 def hbm_roofline_gbps() -> float:
@@ -34,9 +63,9 @@ def hbm_roofline_gbps() -> float:
     return 819.0
 
 
-def bench_flash_attention(grad=False):
-    """Secondary: flash-attention TFLOP/s (bf16 causal, B4 H8 S2048 D128).
-    grad=True measures the full fwd+bwd (value_and_grad), 3.5x fwd FLOPs."""
+def bench_flash_attention(grad=False, reps=REPS):
+    """Flash-attention TFLOP/s (bf16 causal, B4 H8 S2048 D128), one compile,
+    `reps` timed runs. grad=True measures fwd+bwd (3.5x fwd FLOPs)."""
     import jax
     import jax.numpy as jnp
     from tfplus_tpu.ops import flash_attention as fa
@@ -45,7 +74,7 @@ def bench_flash_attention(grad=False):
     q = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
     k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
     v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
-    reps = 20
+    inner = 20
 
     def fwd_sum(q, k, v):
         return fa.flash_attention(q, k, v, causal=True).astype(
@@ -61,29 +90,33 @@ def bench_flash_attention(grad=False):
                     qi, k, v)
                 return acc + val + grads[0].astype(jnp.float32).sum()
             return acc + fwd_sum(qi, k, v)
-        return jax.lax.fori_loop(0, reps, body, 0.0)
+        return jax.lax.fori_loop(0, inner, body, 0.0)
 
     def sync(x):
         np.asarray(jax.device_get(x))
 
-    o = loop(q, k, v); sync(o)
-    t0 = time.perf_counter()
-    o = loop(q, k, v); sync(o)
-    dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / reps
+    sync(loop(q, k, v))                       # compile + warmup
     flops = 4 * b * h * s * s * d * 0.5 * (3.5 if grad else 1.0)
-    return flops / dt / 1e12
+    out = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        sync(loop(q, k, v))
+        dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / inner
+        out.append(flops / dt / 1e12)
+    return out
 
 
-def bench_dcn_examples_per_s():
-    """Secondary: DCN train-step examples/s/chip (BASELINE.json headline),
-    6 embedding tables + cross net, batch 2048, GroupAdam."""
+def bench_dcn_examples_per_s(reps=REPS):
+    """DCN train-step examples/s/chip (BASELINE.json headline): 6 embedding
+    tables + cross net, batch 2048, GroupAdam. One compile, `reps` timed
+    windows of 10 steps each."""
     import jax
     import jax.numpy as jnp
     import optax
     from tfplus_tpu import kv, train as tft
     from tfplus_tpu.models import DCN, init_state, make_train_step
 
-    n_tab, bs, reps = 6, 2048, 10
+    n_tab, bs, inner = 6, 2048, 10
     model = DCN(uniform_dim=32, num_numeric=13, dnn_hidden=(256, 128),
                 capacity=1 << 14)
     model.embedding_dims = (32,) * n_tab
@@ -108,60 +141,26 @@ def bench_dcn_examples_per_s():
         np.asarray(jax.device_get(s.tables["C1"].meta[:8]))
 
     sync(state)
-    t0 = time.perf_counter()
+    out = []
     for _ in range(reps):
-        state, loss, _ = step(state, batch)
-    sync(state)
-    dt = max(time.perf_counter() - t0, 1e-9) / reps
-    return bs / dt
+        t0 = time.perf_counter()
+        for _ in range(inner):
+            state, loss, _ = step(state, batch)
+        sync(state)
+        dt = max(time.perf_counter() - t0, 1e-9) / inner
+        out.append(bs / dt)
+    return out
 
 
-def bench_inference_lookup():
-    """Serving path: lookup_or_zeros throughput (ids/s) on a 1M-row table."""
-    import functools
-    import jax
-    import jax.numpy as jnp
-    from tfplus_tpu import kv
-
-    dim, capacity, n, reps = 128, 1 << 20, 1 << 15, 30
-    t = kv.create(dim, capacity, max_probes=16, seed=0)
-    rng = np.random.RandomState(0)
-    ids = kv.encode_ids_np_to_device(
-        rng.choice(capacity * 4, n, replace=False).astype(np.int64))
-    t = kv.lookup_or_insert(t, ids).table
-
-    ids_flip = jnp.flip(ids, axis=0)
-
-    @jax.jit
-    def run(t, ids, ids_flip):
-        def body(i, acc):
-            # alternate the id order so the loop body is loop-variant —
-            # otherwise XLA hoists the lookup out of the while loop and the
-            # measurement is fiction (PERF.md lesson)
-            idsi = jnp.where((i % 2) == 0, ids, ids_flip)
-            rows = kv.lookup_or_zeros(t, idsi)
-            return acc + rows[0, 0]
-        return jax.lax.fori_loop(0, reps, body, jnp.zeros(()))
-
-    o = run(t, ids, ids_flip)
-    np.asarray(jax.device_get(o))
-    t0 = time.perf_counter()
-    o = run(t, ids, ids_flip)
-    np.asarray(jax.device_get(o))
-    dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / reps
-    return n / dt
-
-
-def bench_inference_lookup_int8():
-    """Serving path, int8 row-quantized table: lookups dequantize on the
-    VPU; gathers are issue-bound per row so this should match the f32
-    number at a quarter of the HBM (kv/quant.py)."""
+def _build_serving_runs():
+    """Build the f32 and int8 serving-lookup timers once (one compile each);
+    each returned thunk performs one timed measurement (ids/s)."""
     import jax
     import jax.numpy as jnp
     from tfplus_tpu import kv
     from tfplus_tpu.kv import quant
 
-    dim, capacity, n, reps = 128, 1 << 20, 1 << 15, 30
+    dim, capacity, n, inner = 128, 1 << 20, 1 << 15, 30
     t = kv.create(dim, capacity, max_probes=16, seed=0)
     rng = np.random.RandomState(0)
     ids = kv.encode_ids_np_to_device(
@@ -170,29 +169,35 @@ def bench_inference_lookup_int8():
     qt = quant.quantize_table(t)
     ids_flip = jnp.flip(ids, axis=0)
 
-    @jax.jit
-    def run(qt, ids, ids_flip):
-        def body(i, acc):
-            idsi = jnp.where((i % 2) == 0, ids, ids_flip)
-            rows = quant.lookup_or_zeros(qt, idsi)
-            return acc + rows[0, 0]
-        return jax.lax.fori_loop(0, reps, body, jnp.zeros(()))
+    def make(lookup, tab):
+        @jax.jit
+        def run(tab, ids, ids_flip):
+            def body(i, acc):
+                # alternate the id order so the loop body is loop-variant —
+                # otherwise XLA hoists the lookup out of the loop and the
+                # measurement is fiction (PERF.md lesson)
+                idsi = jnp.where((i % 2) == 0, ids, ids_flip)
+                rows = lookup(tab, idsi)
+                return acc + rows[0, 0]
+            return jax.lax.fori_loop(0, inner, body, jnp.zeros(()))
 
-    o = run(qt, ids, ids_flip)
-    np.asarray(jax.device_get(o))
-    t0 = time.perf_counter()
-    o = run(qt, ids, ids_flip)
-    np.asarray(jax.device_get(o))
-    dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / reps
-    return n / dt
+        np.asarray(jax.device_get(run(tab, ids, ids_flip)))  # compile
+
+        def timed():
+            t0 = time.perf_counter()
+            np.asarray(jax.device_get(run(tab, ids, ids_flip)))
+            dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / inner
+            return n / dt
+        return timed
+
+    return (make(kv.lookup_or_zeros, t), make(quant.lookup_or_zeros, qt))
 
 
-def bench_group_adam_apply():
+def bench_group_adam_apply(reps=REPS):
     """GroupAdam apply (k=3 wide payload — the widest shipped slot state,
     3x row bytes per scatter) step time on the gather/update/scatter path.
     This was the target case for the deleted streaming scan kernel — the
     post-mortem comparison record lives in R3_SCAN_SWEEP.json / PERF.md."""
-    import statistics
     import jax
     import jax.numpy as jnp
     from tfplus_tpu import kv, train as tft
@@ -212,25 +217,23 @@ def bench_group_adam_apply():
     out = fn(t, slot_idx, grads)
     jax.device_get(out.payload[0, :1])
     ts = []
-    for _ in range(5):
+    for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(t, slot_idx, grads)
         jax.device_get(out.payload[0, :1])
         ts.append(time.perf_counter() - t0)
-    return {"group_adam_apply_step_ms": round(
-        statistics.median(ts) * 1e3, 3)}
+    return {"group_adam_apply_step_ms": _stats([x * 1e3 for x in ts])}
 
 
-def bench_tf_cpu_reference(steps: int = 20) -> float:
+def _build_tf_cpu_step(steps: int = 20):
     """Measured reference baseline: stock TF-CPU on the IDENTICAL workload
     (1M x 128 f32 table, 32k unique ids, gather + fused sparse Adagrad).
 
     The reference (TFPlus) is TF-2.x CPU-only (its README.md:37) and its
     KvVariable kernels pay a hash-map probe ON TOP of this path, so stock TF
     is the favourable-to-the-reference proxy (scripts/baseline_tf_cpu.py has
-    the long-form run; 16.1 ms/step == 5.53 GB/s on this host).
-    Returns achieved GB/s under the same bytes-per-step model as main().
-    """
+    the long-form run). Returns a thunk producing achieved GB/s under the
+    same bytes-per-step model as main()."""
     import tensorflow as tf
     dim, capacity, n = 128, 1 << 20, 1 << 15
     rng = np.random.RandomState(0)
@@ -250,14 +253,19 @@ def bench_tf_cpu_reference(steps: int = 20) -> float:
                 use_locking=False, update_slots=True)
             return rows[0, 0]
 
-        step(tf.constant(0))
-        t0 = time.perf_counter()
-        for i in range(steps):
-            step(tf.constant(i))
-        _ = step(tf.constant(0)).numpy()
-        dt = (time.perf_counter() - t0) / (steps + 1)
+        step(tf.constant(0))  # trace
+
     bytes_per_step = n * (16 * 8 + dim * 4 + 4 * dim * 4 + 24)
-    return bytes_per_step / dt / 1e9
+
+    def timed():
+        with tf.device("/CPU:0"):
+            t0 = time.perf_counter()
+            for i in range(steps):
+                step(tf.constant(i))
+            _ = step(tf.constant(0)).numpy()
+            dt = (time.perf_counter() - t0) / (steps + 1)
+        return bytes_per_step / dt / 1e9
+    return timed
 
 
 # Pinned fallback if TF is absent where the driver runs the bench
@@ -295,8 +303,8 @@ def main():
         tpu_unreachable = True
         import jax
         jax.config.update("jax_platforms", "cpu")
+    import functools
     import jax
-    import jax.numpy as jnp
     from tfplus_tpu import kv, train as tft
 
     dim = 128
@@ -322,8 +330,6 @@ def main():
                          payload_rows=res.payload_rows,
                          meta_rows=res.meta_rows)
 
-    import functools
-
     @functools.partial(jax.jit, donate_argnums=(0,))
     def run(t, ids):
         def body(i, t):
@@ -343,11 +349,6 @@ def main():
         hard_sync(t)
     rtt = (time.perf_counter() - t0) / 3
 
-    t0 = time.perf_counter()
-    t = run(t, ids)
-    hard_sync(t)
-    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / steps
-
     # bytes touched per step (HBM traffic model):
     #   probe: 16 candidate key-pair gathers (8B each)  [vectorized find]
     #   lookup row gather: N*D*4 read
@@ -358,9 +359,43 @@ def main():
         16 * 8 + row        # find + gather
         + 4 * row           # var/slot read+write
         + 24)               # meta + flags traffic
-    gbps = bytes_per_step / dt / 1e9
     roofline = hbm_roofline_gbps()
+
+    def fused_timed():
+        nonlocal t
+        t0 = time.perf_counter()
+        t = run(t, ids)
+        hard_sync(t)
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / steps
+        return bytes_per_step / dt / 1e9
+
+    # --- PAIRED ALTERNATION: fused (TPU) vs TF-CPU reference (host) ------
+    # Strictly alternate the two measurements so each pair shares host
+    # conditions; vs_baseline is the median of the per-pair ratios.
+    try:
+        tf_timed = _build_tf_cpu_step()
+    except Exception:
+        tf_timed = None
+    fused_runs, tf_runs = [], []
+    for _ in range(REPS):
+        fused_runs.append(fused_timed())
+        if tf_timed is not None:
+            try:
+                tf_runs.append(tf_timed())
+            except Exception:
+                tf_timed = None
+    fused = _stats(fused_runs)
+    gbps = fused["median"]
     frac = gbps / roofline
+    tf_ref = _stats(tf_runs)
+    if tf_runs:
+        vs_baseline = _paired_ratio(fused_runs, tf_runs)
+        ref_gbps = tf_ref["median"]
+        ref_measured = True
+    else:
+        ref_gbps = TF_CPU_REFERENCE_GBPS
+        vs_baseline = round(gbps / ref_gbps, 4)
+        ref_measured = False
 
     # Secondary benches run under a soft deadline: the primary metric above
     # is already measured, and a driver-side timeout that kills this process
@@ -380,44 +415,50 @@ def main():
         except Exception:
             return None
 
-    ref_meas = maybe(lambda: round(bench_tf_cpu_reference(), 2))
-    ref_gbps = ref_meas if ref_meas else TF_CPU_REFERENCE_GBPS
-    fa_tflops = maybe(lambda: round(bench_flash_attention(), 1))
-    fa_bwd_tflops = maybe(lambda: round(bench_flash_attention(grad=True), 1))
-    dcn_eps = maybe(lambda: round(bench_dcn_examples_per_s(), 0))
+    fa_tflops = _stats(maybe(bench_flash_attention) or [])
+    fa_bwd_tflops = _stats(maybe(bench_flash_attention, grad=True) or [])
+    dcn_eps = _stats(maybe(bench_dcn_examples_per_s) or [])
 
-    # serving lookups: the remote compiler's schedule variance swings a
-    # single compile by ±40% (PERF.md trap #4), so take the median of 3
-    # FRESH compiles each, alternating so both paths share host conditions
+    # --- PAIRED ALTERNATION: serving f32 vs int8 --------------------------
+    # One compile each, then strictly alternated timed runs; the int8 ratio
+    # is the median of per-pair ratios (the verdict's required form).
     f32_runs, int8_runs = [], []
-    for _ in range(3):
-        v = maybe(bench_inference_lookup)
-        if v:
-            f32_runs.append(v)
-        v = maybe(bench_inference_lookup_int8)
-        if v:
-            int8_runs.append(v)
-    import statistics as _st
-    infer_ips = round(_st.median(f32_runs), 0) if f32_runs else None
-    infer_int8 = round(_st.median(int8_runs), 0) if int8_runs else None
+    timers = maybe(_build_serving_runs)
+    if timers:
+        f32_timed, int8_timed = timers
+        for _ in range(REPS):
+            v = maybe(f32_timed)
+            if v:
+                f32_runs.append(v)
+            v = maybe(int8_timed)
+            if v:
+                int8_runs.append(v)
+    infer_ips = _stats(f32_runs)
+    infer_int8 = _stats(int8_runs)
+    int8_vs_f32 = _paired_ratio(int8_runs, f32_runs)
     ga_apply = maybe(bench_group_adam_apply)
 
     print(json.dumps({
         "metric": "fused_lookup_update_bandwidth",
-        "value": round(gbps, 2),
+        "value": gbps,
         "unit": "GB/s",
-        # ratio vs the MEASURED reference baseline: stock TF-CPU on the
-        # identical workload (the reference framework is TF-CPU-only and
-        # strictly slower than stock TF — see bench_tf_cpu_reference)
-        "vs_baseline": round(gbps / ref_gbps, 4),
+        # PAIRED-median ratio vs the MEASURED reference baseline: stock
+        # TF-CPU on the identical workload (the reference framework is
+        # TF-CPU-only and strictly slower than stock TF — see
+        # _build_tf_cpu_step)
+        "vs_baseline": vs_baseline,
         "detail": {
-            "tf_cpu_reference_gbps": ref_gbps,
-            # False = the pinned constant was used (deadline-skipped or
-            # measurement failed), not a fresh measurement on this host
-            "tf_cpu_reference_measured": bool(ref_meas),
+            "methodology": "median+spread over >=5 reps; ratios are "
+                           "medians of per-pair alternated measurements",
+            "fused_lookup_update_gbps": fused,
+            "tf_cpu_reference_gbps": tf_ref or {"median": ref_gbps,
+                                                "pinned": True},
+            # False = the pinned constant was used (measurement failed),
+            # not a fresh paired measurement on this host
+            "tf_cpu_reference_measured": ref_measured,
             "roofline_gbps": roofline,
             "roofline_frac": round(frac, 4),
-            "step_ms": round(dt * 1e3, 3),
+            "step_ms": round(bytes_per_step / (gbps * 1e9) * 1e3, 3),
             "unique_ids": batch_unique,
             "dim": dim,
             "capacity": capacity,
@@ -430,6 +471,7 @@ def main():
             "dcn_train_examples_per_s_per_chip": dcn_eps,
             "inference_lookup_ids_per_s": infer_ips,
             "inference_lookup_int8_ids_per_s": infer_int8,
+            "int8_vs_f32_paired_ratio": int8_vs_f32,
             "group_adam_apply": ga_apply,
         },
     }))

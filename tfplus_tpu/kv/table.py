@@ -919,9 +919,12 @@ def set_slot_rows(table: KvTable, name: str, idx: jnp.ndarray,
 # growth / rehash
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnums=(1,))
-def _rehash(table: KvTable, new_capacity: int) -> KvTable:
-    old_cap = table.capacity
+def _rehash_core(table: KvTable, new_capacity: int):
+    """Traceable rehash: returns ``(new_table, lost)`` where ``lost`` is the
+    int32 count of live rows that failed placement at the new capacity
+    (pathological bucket-pair collisions). Callable inside jit / vmap /
+    shard_map — the sharded growth path runs this per-device so no shard
+    ever moves through host memory."""
     occ = occupied_mask(table)
     new_header = _empty_header(new_capacity // _B)
     # Re-inserting C keys needs enough probe rounds even at momentary clustering.
@@ -932,7 +935,14 @@ def _rehash(table: KvTable, new_capacity: int) -> KvTable:
     new_payload = jnp.zeros((new_capacity, w), table.payload.dtype).at[idx].set(
         table.payload, mode="drop")
     new_header = _set_meta_at(new_header, idx, table.meta)
-    return dataclasses.replace(table, header=new_header, payload=new_payload)
+    lost = jnp.sum(occ & (placed < 0), dtype=jnp.int32)
+    return dataclasses.replace(table, header=new_header,
+                               payload=new_payload), lost
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _rehash(table: KvTable, new_capacity: int) -> KvTable:
+    return _rehash_core(table, new_capacity)[0]
 
 
 def _rehash_verified(table: KvTable, new_capacity: int) -> KvTable:

@@ -2,8 +2,9 @@ from . import mesh, sharded2d, sharded_table
 from . import ring_attention  # module (ring_attention.ring_attention = fn)
 from .mesh import TABLE_AXIS, make_mesh, replicated, table_sharding
 from .sharded_table import (ExchangeState, create_sharded,
-                            grow_sharded_if_needed, init_optimizer_sharded,
-                            local_shard, shard_sizes, sharded_apply_grads,
+                            dropped_positions, grow_sharded_if_needed,
+                            init_optimizer_sharded, local_shard, route_stats,
+                            shard_sizes, sharded_apply_grads,
                             sharded_embedding_lookup_sparse, sharded_grow,
                             sharded_lookup, sharded_needs_grow)
 from .sharded2d import (COL_AXIS, ROW_AXIS, combine_col_shards,

@@ -224,28 +224,45 @@ def combine_col_shards(sharded: kvt.KvTable) -> list:
 # ---------------------------------------------------------------------------
 # online growth for row x col sharded tables
 #
-# Same host-mediated design as sharded_table.sharded_grow (the 1D case —
-# reference parity anchor kv_variable.h:287-380): between steps, grow every
-# (r, c) shard's ROW capacity to one uniform target and rehash. Column
-# lockstep survives growth for free: all col ranks of a row hold identical
-# keys, and kvt.grow's placement is a pure function of (keys, capacity), so
-# the rehashed headers are bitwise-identical across the col axis without any
-# cross-col synchronisation.
+# Same device-side design as sharded_table.sharded_grow (the 1D case —
+# reference parity anchor kv_variable.h:287-380): between steps, every
+# (r, c) device rehashes its OWN shard's ROW capacity to one collectively-
+# agreed uniform target inside one jitted shard_map (multihost-safe, O(1)
+# host memory). Column lockstep survives growth for free: all col ranks of
+# a row hold identical keys, and the rehash placement is a pure function of
+# (keys, capacity), so the rehashed headers are bitwise-identical across
+# the col axis without any cross-col synchronisation.
 # ---------------------------------------------------------------------------
 
 def shard_sizes_2d(sharded: kvt.KvTable) -> list:
-    """Host-side [R][C] occupied-row counts."""
-    R, C = sharded.header.shape[:2]
-    return [[int(jax.device_get(kvt.size(local_shard_2d(sharded, r, c))))
-             for c in range(C)] for r in range(R)]
+    """[R][C] occupied-row counts. On a mesh this is one collective
+    (all_gathers inside shard_map, result replicated — multihost-safe);
+    plain stacked arrays use one nested-vmap reduction."""
+    import functools
+    from jax import shard_map
+    mesh, axes = st._mesh_axes(sharded, 2)
+    if mesh is None:
+        counts = jax.jit(jax.vmap(jax.vmap(kvt.size)))(sharded)
+        return [[int(c) for c in row] for row in jax.device_get(counts)]
+    row_axis, col_axis = axes
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(st._tspec(sharded, axes),), out_specs=P(),
+                       check_vma=False)
+    def sizes(tab):
+        s = kvt.size(_squeeze2(tab))
+        sc = jax.lax.all_gather(s[None], col_axis, tiled=True)      # [C]
+        return jax.lax.all_gather(sc[None], row_axis, tiled=True)   # [R, C]
+
+    counts = jax.device_get(jax.jit(sizes)(sharded))
+    return [[int(c) for c in row] for row in counts]
 
 
 def sharded_needs_grow_2d(sharded: kvt.KvTable, incoming_per_shard: int = 0,
                           *, threshold: float = kvt.GROW_LOAD_FACTOR,
                           overflow=None) -> bool:
     """Between-steps check: does ANY (r, c) shard need to grow? A tripped
-    ``overflow`` flag (pmax'd out of the jitted step) forces growth.
-    Col ranks are lockstep (identical keys), so only col 0 is read."""
+    ``overflow`` flag (pmax'd out of the jitted step) forces growth."""
     if overflow is not None and bool(jax.device_get(overflow)):
         return True
     per_shard_cap = sharded.header.shape[-2] * 16
@@ -254,11 +271,8 @@ def sharded_needs_grow_2d(sharded: kvt.KvTable, incoming_per_shard: int = 0,
 
 
 def _max_rows_2d(sharded: kvt.KvTable) -> int:
-    """Max live rows over row shards (col ranks are lockstep — identical
-    keys — so only col 0 is read; one blocking device_get per row shard)."""
-    R = sharded.header.shape[0]
-    return max(int(jax.device_get(kvt.size(local_shard_2d(sharded, r, 0))))
-               for r in range(R))
+    """Max live rows over all shards (one collective sweep)."""
+    return max(max(row) for row in shard_sizes_2d(sharded))
 
 
 def sharded_grow_2d(sharded: kvt.KvTable,
@@ -267,28 +281,19 @@ def sharded_grow_2d(sharded: kvt.KvTable,
                     threshold: float = kvt.GROW_LOAD_FACTOR,
                     sharding=None) -> kvt.KvTable:
     """Grow every (r, c) shard to one UNIFORM row capacity and rehash —
-    host-mediated, call between steps (the step recompiles once for the new
-    static capacity). Row routing stays ``key % R``; col slices and header
-    lockstep are preserved (see module note above). Pass ``sharding``
-    (``table_sharding_2d(mesh)``) to re-place the grown tree on the mesh.
-    The grow core is shared with the 1D path (``st.grow_uniform`` — col
-    ranks of a row converge identically since they hold identical keys)."""
-    R, C = sharded.header.shape[:2]
-    old_cap = sharded.header.shape[-2] * 16
+    call between steps (the step recompiles once for the new static
+    capacity). Row routing stays ``key % R``; col slices and header
+    lockstep are preserved (see module note above). The rehash runs
+    device-side via the shared 1D core (``st._grow_verified`` with
+    ndim=2): multihost-safe, no host pull. ``sharding``
+    (``table_sharding_2d(mesh)``) is only needed for plain stacked
+    arrays — mesh-placed tables grow in place on the mesh."""
     target = new_capacity_per_shard
     if target is None:
+        old_cap = sharded.header.shape[-2] * 16
         target = st.uniform_grow_target(_max_rows_2d(sharded), old_cap,
                                         incoming_per_shard, threshold)
-    flat = st.grow_uniform(
-        [local_shard_2d(sharded, r, c)
-         for r in range(R) for c in range(C)], target)
-    rows = [jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
-                                   *flat[r * C:(r + 1) * C])
-            for r in range(R)]
-    grown = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *rows)
-    if sharding is not None:
-        grown = jax.device_put(grown, sharding)
-    return grown
+    return st._grow_verified(sharded, target, 2, sharding=sharding)
 
 
 def grow_sharded_2d_if_needed(tables: dict, *, incoming_per_shard: int = 0,

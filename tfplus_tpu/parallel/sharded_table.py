@@ -29,10 +29,12 @@ dedup, the reference's own precedent — embedding_ops.py:365-372).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..kv import hashing, table as kvt, unique as kvu
 from ..optim.base import SparseOptimizer
@@ -101,6 +103,14 @@ class ExchangeState(NamedTuple):
     route_overflow: Optional[Arr] = None
     # a key failed placement in the owner's table — remedy: grow the table
     table_overflow: Optional[Arr] = None
+    # RECOVERY inputs for route overflow (round-3 verdict #3): how many valid
+    # source-unique ids THIS device dropped (psum over the axis for the
+    # global count), and the pmax'd per-destination unique-id peak — the
+    # smallest bucket_capacity that would have routed everything. Replicated,
+    # so the host can read it, raise the static knob (one recompile) and
+    # retry the dropped ids (see ``dropped_positions`` / ``route_stats``).
+    route_dropped: Optional[Arr] = None
+    needed_bucket_capacity: Optional[Arr] = None
     # raw payload/meta rows from the owner-side lookup (train mode) — passed
     # to the fused optimizer apply so it skips its own gathers, and (with
     # defer_meta) carries the freq/day/touch update in apply's one meta
@@ -110,11 +120,13 @@ class ExchangeState(NamedTuple):
 
 
 def _bucket(keys: Arr, owner: Arr, valid: Arr, num_shards: int,
-            cap: int) -> Tuple[Arr, Arr, Arr]:
+            cap: int) -> Tuple[Arr, Arr, Arr, Arr]:
     """Pack each key into its destination bucket slot.
 
     Returns (dest[N] flat index into [S*cap] or S*cap when dropped,
-    send_keys[S*cap, 2], overflow bool).
+    send_keys[S*cap, 2], overflow bool, max_per_dest int32 — the peak
+    per-destination unique-id count, i.e. the smallest bucket_capacity
+    that would NOT have overflowed).
     """
     n = keys.shape[0]
     owner_s = jnp.where(valid, owner, num_shards)
@@ -132,7 +144,7 @@ def _bucket(keys: Arr, owner: Arr, valid: Arr, num_shards: int,
     empty_row = jnp.array([hashing.EMPTY_LO, hashing.EMPTY_HI], jnp.int32)
     send = jnp.broadcast_to(empty_row, (num_shards * cap, 2)).copy()
     send = send.at[dest].set(keys, mode="drop")
-    return dest, send, overflow
+    return dest, send, overflow, jnp.max(counts[:num_shards])
 
 
 def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
@@ -172,7 +184,11 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
     u = kvu.unique_with_counts(q, valid)
     uvalid = ~hashing.is_empty(u.unique_keys)
     owner = hashing.shard_of(u.unique_keys, S)
-    dest, send_keys, overflow = _bucket(u.unique_keys, owner, uvalid, S, cap)
+    dest, send_keys, overflow, max_dest = _bucket(u.unique_keys, owner,
+                                                  uvalid, S, cap)
+    route_dropped = jax.lax.psum(
+        jnp.sum(uvalid & (dest == S * cap), dtype=jnp.int32), axis_name)
+    needed_cap = jax.lax.pmax(max_dest, axis_name)
     send_counts = jnp.zeros((S * cap,), jnp.int32).at[dest].set(
         u.counts, mode="drop")
 
@@ -235,8 +251,39 @@ def sharded_lookup(sharded_local: kvt.KvTable, ids: Arr, *,
                           overflow=overflow,
                           route_overflow=route_overflow,
                           table_overflow=table_overflow,
+                          route_dropped=route_dropped,
+                          needed_bucket_capacity=needed_cap,
                           own_payload_rows=own_prow, own_meta_rows=own_mrow)
     return batch_rows, state, _unsqueeze(table)
+
+
+def dropped_positions(state: ExchangeState) -> Arr:
+    """bool[B_l]: this device's batch positions whose id was DROPPED by a
+    route overflow this step (its owner shard's exchange bucket was full).
+    Dropped positions read zeros and contribute no gradient; the recovery
+    recipe (round-3 verdict #3 — the reference never drops an id,
+    embedding_ops.py:121-204) is: raise ``bucket_capacity`` to the state's
+    ``needed_bucket_capacity`` (one recompile) and re-run the batch with
+    ``valid=dropped_positions(state)`` so exactly the skipped ids
+    contribute — each id updates once, frequency counts stay exact."""
+    total = state.own_inverse.shape[0]          # S*cap
+    dropped_unique = state.dest == total
+    return dropped_unique[state.src_inverse] & state.src_valid
+
+
+def route_stats(state: ExchangeState, *, host: bool = True) -> dict:
+    """Drop-count observability for one step's exchange: how many valid
+    unique ids were dropped (global psum) and the smallest bucket_capacity
+    that would have routed everything (global pmax). Call on an
+    ExchangeState returned OUT of the jitted step; ``host=True`` converts
+    to Python ints."""
+    out = {"route_dropped": state.route_dropped,
+           "needed_bucket_capacity": state.needed_bucket_capacity,
+           "route_overflow": state.route_overflow}
+    if host:
+        out = {k: (None if v is None else int(jax.device_get(v)))
+               for k, v in out.items()}
+    return out
 
 
 def sharded_apply_grads(opt: SparseOptimizer, sharded_local: kvt.KvTable,
@@ -285,16 +332,65 @@ def sharded_apply_grads(opt: SparseOptimizer, sharded_local: kvt.KvTable,
 # The reference's PS tables grow without bound during training (every miss
 # allocates — kv_variable.h:287-380 insert path; map growth inside
 # table_manager.h:167-190). The TPU equivalent keeps shard_map shapes static
-# by growing HOST-MEDIATED between steps: when any shard's overflow flag or
-# load factor trips, pull each shard, kv.grow it, and re-place with a UNIFORM
-# new per-shard capacity (shard routing is key % S and each shard rehashes
-# its own keys, so no key moves between shards).
+# by growing DEVICE-SIDE between steps: when any shard's overflow flag or
+# load factor trips, every device rehashes ITS OWN shard inside one jitted
+# shard_map to a collectively-agreed UNIFORM new capacity (shard routing is
+# key % S and each shard rehashes its own keys, so no key moves between
+# shards and no shard ever moves through host memory). This works unchanged
+# under ``jax.distributed``: each process participates in the same SPMD
+# program over its addressable shards, sizes/lost-counts come back as
+# replicated scalars every process can read, and the grow target is a pure
+# function of those — so every process computes the same target (round-3
+# verdict #2; host RAM during growth is O(1), round-3 verdict #8).
 # ---------------------------------------------------------------------------
 
+def _mesh_axes(sharded: kvt.KvTable, ndim: int):
+    """(mesh, leading axis names) when the stacked table is placed with a
+    NamedSharding whose first ``ndim`` dims are mesh axes; (None, None) for
+    plain (single-device / host) stacked arrays."""
+    from jax.sharding import NamedSharding
+    sh = getattr(sharded.header, "sharding", None)
+    if not isinstance(sh, NamedSharding):
+        return None, None
+    spec = tuple(sh.spec) + (None,) * ndim
+    axes = []
+    for a in spec[:ndim]:
+        if isinstance(a, (tuple, list)):
+            if len(a) != 1:
+                return None, None
+            a = a[0]
+        if a is None:
+            return None, None
+        axes.append(a)
+    return sh.mesh, tuple(axes)
+
+
+def _tspec(sharded: kvt.KvTable, axes) -> object:
+    from jax.sharding import PartitionSpec as P
+    return jax.tree_util.tree_map(lambda _: P(*axes), sharded)
+
+
 def shard_sizes(sharded: kvt.KvTable) -> list:
-    """Live row count of every shard (one vmapped device reduction)."""
-    counts = jax.jit(jax.vmap(kvt.size))(sharded)
-    return [int(c) for c in jax.device_get(counts)]
+    """Live row count of every shard. On a mesh this is a collective
+    (all_gather inside shard_map, result replicated) so it works when this
+    process cannot address every shard; plain stacked arrays use one vmapped
+    reduction."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    mesh, axes = _mesh_axes(sharded, 1)
+    if mesh is None:
+        counts = jax.jit(jax.vmap(kvt.size))(sharded)
+        return [int(c) for c in jax.device_get(counts)]
+    axis = axes[0]
+
+    @functools.partial(shard_map, mesh=mesh,
+                       in_specs=(_tspec(sharded, axes),), out_specs=P(),
+                       check_vma=False)
+    def sizes(tab):
+        return jax.lax.all_gather(kvt.size(_squeeze(tab))[None], axis,
+                                  tiled=True)
+
+    return [int(c) for c in jax.device_get(jax.jit(sizes)(sharded))]
 
 
 def sharded_needs_grow(sharded: kvt.KvTable, incoming_per_shard: int = 0, *,
@@ -317,34 +413,74 @@ def sharded_needs_grow(sharded: kvt.KvTable, incoming_per_shard: int = 0, *,
     return (hi + incoming_per_shard) > threshold * per_shard_cap
 
 
-def grow_uniform(shards: list, target: int) -> list:
-    """Grow every shard in the list to ONE capacity. ``kvt.grow``'s
-    verified rehash may exceed the target on pathological bucket
-    collisions; capacities must stay uniform so shard_map shapes agree —
-    retry until all shards land on the same capacity. Shared by the 1D
-    and 2D growth paths."""
-    for _ in range(5):
-        shards = [kvt.grow(s, target) if s.capacity < target else s
-                  for s in shards]
-        caps = {s.capacity for s in shards}
-        if len(caps) == 1:
-            return shards
-        target = max(caps)
-    raise RuntimeError(
-        f"shard growth did not converge to one capacity in 5 rounds "
-        f"(capacities {sorted(caps)}) — pathological bucket collisions; "
-        f"returning mismatched shards would fail later with an opaque "
-        f"shard_map shape error")
-
-
 def uniform_grow_target(hi: int, old_cap: int, incoming: int,
                         threshold: float) -> int:
     """Doublings of ``old_cap`` until ``hi + incoming`` rows fit under
-    the load-factor ``threshold``."""
+    the load-factor ``threshold``. Pure function of replicated inputs, so
+    every process of a multihost cluster computes the same target."""
     target = old_cap * 2
     while hi + incoming > threshold * target:
         target *= 2
     return target
+
+
+def _rehash_all(sharded: kvt.KvTable, target: int, ndim: int):
+    """Rehash every shard to ``target`` capacity device-side. Returns
+    ``(grown, lost_total)``: on a mesh this is ONE jitted shard_map (each
+    device rebuilds its own shard in place on the mesh; the summed
+    lost-row count comes back replicated so every process sees it);
+    plain stacked arrays use nested vmap. Shared by the 1D and 2D paths —
+    2D col ranks hold identical keys and ``_rehash_core``'s placement is a
+    pure function of (keys, capacity), so header lockstep survives."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    mesh, axes = _mesh_axes(sharded, ndim)
+    if mesh is None:
+        fn = lambda t: kvt._rehash_core(t, target)          # noqa: E731
+        for _ in range(ndim):
+            fn = jax.vmap(fn)
+        grown, lost = jax.jit(fn)(sharded)
+        return grown, int(np.sum(jax.device_get(lost)))
+
+    spec = _tspec(sharded, axes)
+
+    @functools.partial(shard_map, mesh=mesh, in_specs=(spec,),
+                       out_specs=(spec, P()), check_vma=False)
+    def rehash(tab):
+        t = jax.tree_util.tree_map(
+            lambda x: x.reshape(x.shape[ndim:]), tab)
+        nt, lost = kvt._rehash_core(t, target)
+        for a in axes:
+            lost = jax.lax.psum(lost, a)
+        return jax.tree_util.tree_map(
+            lambda x: x.reshape((1,) * ndim + x.shape), nt), lost
+
+    grown, lost = jax.jit(rehash)(sharded)
+    return grown, int(jax.device_get(lost))
+
+
+def _grow_verified(sharded: kvt.KvTable, target: int, ndim: int,
+                   sharding=None) -> kvt.KvTable:
+    """Device-side analogue of ``kvt._rehash_verified`` over every shard:
+    rebuild at ``target``, and if ANY shard lost rows to a pathological
+    bucket-pair collision, double the UNIFORM target and rebuild all shards
+    from the ORIGINAL table (capacities must stay uniform so shard_map
+    shapes agree)."""
+    old_cap = sharded.header.shape[-2] * 16
+    if target & (target - 1):
+        raise ValueError("per-shard capacity must be a power of two")
+    if target < old_cap:
+        raise ValueError("cannot shrink below current capacity")
+    for _ in range(5):
+        grown, lost = _rehash_all(sharded, target, ndim)
+        if lost == 0:
+            if sharding is not None:
+                grown = jax.device_put(grown, sharding)
+            return grown
+        target *= 2
+    raise RuntimeError(
+        f"sharded rehash lost {lost} rows even at {target // 2} capacity "
+        f"per shard — pathological bucket collisions")
 
 
 def sharded_grow(sharded: kvt.KvTable,
@@ -352,26 +488,24 @@ def sharded_grow(sharded: kvt.KvTable,
                  incoming_per_shard: int = 0,
                  threshold: float = kvt.GROW_LOAD_FACTOR,
                  sharding=None) -> kvt.KvTable:
-    """Grow every shard to one UNIFORM new capacity and rehash —
-    host-mediated, call between steps. The target is 2x, or more doublings
-    when ``incoming_per_shard`` new rows would still breach the load-factor
+    """Grow every shard to one UNIFORM new capacity and rehash — call
+    between steps. The target is 2x, or more doublings when
+    ``incoming_per_shard`` new rows would still breach the load-factor
     threshold at 2x. Shard membership never changes (routing stays
     ``key % S``); only each shard's internal slot placement is rebuilt.
-    Pass ``sharding`` (e.g. ``table_sharding(mesh)``) to re-place the grown
-    table on the mesh.
-    """
-    num_shards = sharded.header.shape[0]
-    old_cap = sharded.header.shape[-2] * 16
+
+    The rehash runs DEVICE-SIDE inside one jitted shard_map (or nested vmap
+    for plain stacked arrays): no shard is pulled to the host, so this works
+    under ``jax.distributed`` where a process cannot address remote shards,
+    and host memory stays O(1) regardless of table size. ``sharding`` is
+    only needed for the plain-array path (mesh-placed tables grow in place
+    on the mesh)."""
     target = new_capacity_per_shard
     if target is None:
+        old_cap = sharded.header.shape[-2] * 16
         target = uniform_grow_target(max(shard_sizes(sharded)), old_cap,
                                      incoming_per_shard, threshold)
-    shards = grow_uniform([local_shard(sharded, i)
-                           for i in range(num_shards)], target)
-    grown = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *shards)
-    if sharding is not None:
-        grown = jax.device_put(grown, sharding)
-    return grown
+    return _grow_verified(sharded, target, 1, sharding=sharding)
 
 
 def grow_sharded_if_needed(tables: dict, *, incoming_per_shard: int = 0,
