@@ -38,6 +38,13 @@ def main():
     ap.add_argument("--dim", type=int, default=32)
     ap.add_argument("--lr", type=float, default=0.002)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bucket-capacity", type=int, default=None,
+                    help="per-destination exchange-bucket capacity (unique "
+                         "ids per source->owner pair); default 2x balanced "
+                         "load. Set low (e.g. 8) to demo the automatic "
+                         "route-overflow recovery: the step surfaces the "
+                         "needed capacity, recompiles once, and retries "
+                         "exactly the dropped ids — nothing is lost")
     ap.add_argument("--bf16-exchange", action="store_true",
                     help="halve the all_to_all wire bytes (lossy; "
                          "table state stays f32)")
@@ -85,65 +92,100 @@ def main():
 
     tspecs = {name: jax.tree_util.tree_map(lambda _: P("mp"), tables[name])
               for name in tables}
+    vspecs = {name: P("mp") for name in tables}
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(tspecs, P(), P(), P("mp"), P("mp"), P("mp"), P()),
-        out_specs=(tspecs, P(), P(), P(), P(), P()),
-        check_vma=False)
-    def step(tabs, dense, tx_state, ids, feats, labels, s):
-        rows, states = {}, {}
-        for name in sorted(tabs):
-            r, st, tabs[name] = par.sharded_lookup(
-                tabs[name], ids[name], defer_meta=True,
-                exchange_dtype=jnp.bfloat16 if args.bf16_exchange else None)
-            rows[name], states[name] = r, st
+    def build_step(bucket_cap, update_dense=True):
+        """Train step closed over the STATIC exchange-bucket capacity.
+        ``update_dense=False`` builds the route-overflow RETRY variant:
+        same forward, dense tower frozen, only the (masked) sparse grads
+        apply — so each dropped id contributes exactly once."""
 
-        def loss_fn(dense, rows):
-            logits = model.apply(dense, rows, feats)
-            return model.loss(logits, labels)
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(tspecs, P(), P(), P("mp"), vspecs, P("mp"), P("mp"),
+                      P()),
+            out_specs=(tspecs, P(), P(), P(), P(), P(), P(), vspecs),
+            check_vma=False)
+        def step(tabs, dense, tx_state, ids, valids, feats, labels, s):
+            rows, states = {}, {}
+            for name in sorted(tabs):
+                r, st, tabs[name] = par.sharded_lookup(
+                    tabs[name], ids[name], valid=valids[name],
+                    defer_meta=True, bucket_capacity=bucket_cap,
+                    exchange_dtype=(jnp.bfloat16 if args.bf16_exchange
+                                    else None))
+                rows[name], states[name] = r, st
 
-        loss, (g_dense, g_rows) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1))(dense, rows)
-        g_dense = jax.tree_util.tree_map(
-            lambda g: jax.lax.pmean(g, "mp"), g_dense)
-        upd, tx_state = tx.update(g_dense, tx_state, dense)
-        dense = optax.apply_updates(dense, upd)
-        ovf = jnp.zeros((), jnp.int32)
-        route_ovf = jnp.zeros((), jnp.int32)
-        for name in sorted(tabs):
-            tabs[name] = par.sharded_apply_grads(
-                opt, tabs[name], states[name], g_rows[name],
-                lr=args.lr, step=s,
-                exchange_dtype=jnp.bfloat16 if args.bf16_exchange else None)
-            # grow only on TABLE overflow; bucket-routing overflow needs a
-            # bigger bucket_capacity, which growing the table cannot fix
-            ovf = ovf | states[name].table_overflow.astype(jnp.int32)
-            route_ovf = route_ovf | states[name].route_overflow.astype(
-                jnp.int32)
-        ovf = jax.lax.pmax(ovf, "mp")
-        route_ovf = jax.lax.pmax(route_ovf, "mp")
-        return (tabs, dense, tx_state, jax.lax.pmean(loss, "mp"), ovf,
-                route_ovf)
+            def loss_fn(dense, rows):
+                logits = model.apply(dense, rows, feats)
+                return model.loss(logits, labels)
 
-    jstep = jax.jit(step, donate_argnums=(0,))
+            loss, (g_dense, g_rows) = jax.value_and_grad(
+                loss_fn, argnums=(0, 1))(dense, rows)
+            if update_dense:
+                g_dense = jax.tree_util.tree_map(
+                    lambda g: jax.lax.pmean(g, "mp"), g_dense)
+                upd, tx_state = tx.update(g_dense, tx_state, dense)
+                dense = optax.apply_updates(dense, upd)
+            ovf = jnp.zeros((), jnp.int32)
+            route_ovf = jnp.zeros((), jnp.int32)
+            needed = jnp.zeros((), jnp.int32)
+            dropped = {}
+            for name in sorted(tabs):
+                tabs[name] = par.sharded_apply_grads(
+                    opt, tabs[name], states[name], g_rows[name],
+                    lr=args.lr, step=s,
+                    exchange_dtype=(jnp.bfloat16 if args.bf16_exchange
+                                    else None))
+                # grow only on TABLE overflow; bucket-routing overflow needs
+                # a bigger bucket_capacity, which growing the table can't fix
+                ovf = ovf | states[name].table_overflow.astype(jnp.int32)
+                route_ovf = route_ovf | states[name].route_overflow.astype(
+                    jnp.int32)
+                needed = jnp.maximum(
+                    needed, states[name].needed_bucket_capacity)
+                dropped[name] = par.dropped_positions(states[name])
+            ovf = jax.lax.pmax(ovf, "mp")
+            route_ovf = jax.lax.pmax(route_ovf, "mp")
+            return (tabs, dense, tx_state, jax.lax.pmean(loss, "mp"), ovf,
+                    route_ovf, needed, dropped)
+        return jax.jit(step, donate_argnums=(0,))
+
+    bucket_cap = args.bucket_capacity
+    jstep = build_step(bucket_cap)
     tsharding = par.table_sharding(mesh)
+    all_valid = {n: jnp.ones((bs,), bool) for n in tables}
 
     gen = synthetic.dlrm_batches(bs, args.batches, num_tables=args.tables,
                                  vocab=30_000, seed=7)
     t0, seen, window = time.time(), 0, []
+    total_route_dropped = 0
     for i, b in enumerate(gen):
         ids = {f"T{c}": kv.encode_ids(b["categorical"][:, c])
                for c in range(args.tables)}
         feats = jnp.asarray(b["numeric"])
         labels = jnp.asarray(b["label"])
-        tables, dense, tx_state, loss, ovf, route_ovf = jstep(
-            tables, dense, tx_state, ids, feats, labels, jnp.int32(i + 1))
+        tables, dense, tx_state, loss, ovf, route_ovf, needed, dropped = \
+            jstep(tables, dense, tx_state, ids, all_valid, feats, labels,
+                  jnp.int32(i + 1))
         if bool(route_ovf):
-            print(f"batch {i+1:4d} WARNING: exchange-bucket overflow (a hot "
-                  "shard got more unique ids than bucket_capacity; some ids "
-                  "were dropped this step) — raise bucket_capacity; growing "
-                  "the table cannot fix this", flush=True)
+            # route-overflow RECOVERY (never drop an id): raise the static
+            # bucket capacity to the surfaced requirement (one recompile)
+            # and re-run exactly the dropped positions, dense tower frozen
+            bucket_cap = int(needed)
+            n_drop = {n: int(np.asarray(m).sum()) for n, m in dropped.items()
+                      if bool(np.asarray(m).any())}
+            print(f"batch {i+1:4d} exchange-bucket overflow: dropped "
+                  f"{n_drop} position(s); raising bucket_capacity to "
+                  f"{bucket_cap} and retrying the dropped ids", flush=True)
+            total_route_dropped += sum(n_drop.values())
+            retry = build_step(bucket_cap, update_dense=False)
+            tables, dense, tx_state, _, ovf2, r2, _, _ = retry(
+                tables, dense, tx_state, ids, dropped, feats, labels,
+                jnp.int32(i + 1))
+            assert not bool(r2), "retry overflowed at the surfaced capacity"
+            ovf = ovf | ovf2
+            jstep = build_step(bucket_cap)   # future steps keep the new cap
         window.append(float(loss))
         seen += bs
         # online growth (reference parity: PS tables grow without bound,
@@ -169,6 +211,9 @@ def main():
                            for i in range(n_dev)))
              for name, t in tables.items()}
     print("rows per table:", sizes)
+    print(f"route-overflow recoveries: {total_route_dropped} dropped "
+          f"position(s) retried, final bucket_capacity "
+          f"{bucket_cap if bucket_cap else 'default (2x balanced)'}")
 
     # sharded checkpoint → elastic restore into 2x the shards
     with tempfile.TemporaryDirectory() as d:

@@ -176,10 +176,48 @@ if pid == 0:
     np.save(os.path.join(out_dir, "rows_old.npy"), rows_old)
     np.save(os.path.join(out_dir, "del_keys.npy"), del_keys)
 
+# ---- growth phase (round-3 verdict #2): start UNDER-capacity, trip the
+# load-factor wall mid-run, grow across the 2-process cluster with the
+# device-side collective sharded_grow (each process participates in the
+# same SPMD rehash over its addressable shards — no process ever pulls a
+# remote shard), keep training, and expose the rows for the exact
+# single-process comparison in test_multihost.py ------------------------
+
+gt = par.create_sharded(DIM, 32, N_GLOBAL, seed=11)
+gt = par.init_optimizer_sharded(opt, gt)
+gt = jax.device_put(gt, par.table_sharding(mesh))
+
+G_STEPS, G_BL = 5, 64
+grow_caps, glosses = [], []
+gids_all = []
+for s in range(G_STEPS):
+    gidn = (np.arange(s * G_BL * N_GLOBAL, (s + 1) * G_BL * N_GLOBAL,
+                      dtype=np.int64) * 3 + 1)
+    gids_all.append(gidn)
+    gids = kv.encode_ids_np_to_device(gidn)
+    gy = jnp.asarray((gidn % 9).astype(np.float32))
+    inc = G_BL                       # new uniques per shard per step
+    if par.sharded_needs_grow(gt, incoming_per_shard=inc):
+        gt = par.sharded_grow(gt, incoming_per_shard=inc)
+        grow_caps.append(gt.header.shape[-2] * 16)
+    gt, gl = jstep(gt, gids, gy, jnp.int32(s + 1))
+    glosses.append(float(gl))
+
+assert grow_caps, "growth phase never tripped the wall — raise id volume"
+assert gt.header.shape[-2] * 16 > 32
+gidn_all = np.concatenate(gids_all)
+grows = np.asarray(jax.device_get(read(
+    gt, kv.encode_ids_np_to_device(gidn_all))))
+if pid == 0:
+    np.save(os.path.join(out_dir, "gids.npy"), gidn_all)
+    np.save(os.path.join(out_dir, "grows.npy"), grows)
+
 with open(os.path.join(out_dir, f"result-{pid}.json"), "w") as f:
     json.dump({"loss1": float(loss1), "loss2": float(loss2),
                "loss3": float(loss3), "loss4": float(loss4),
                "deleted": sorted(deleted_here),
+               "grow_caps": grow_caps, "glosses": glosses,
                "devices": N_GLOBAL}, f)
 print(f"worker {pid}: ok loss {float(loss1):.5f} -> {float(loss2):.5f} "
-      f"-> {float(loss4):.5f}, deleted {len(deleted_here)}")
+      f"-> {float(loss4):.5f}, deleted {len(deleted_here)}, "
+      f"grew to {grow_caps}")

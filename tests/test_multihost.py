@@ -179,6 +179,74 @@ class TestMultihostDelta:
             for k in r["deleted"]:
                 assert (k % 8) // 4 == p       # owned by that process
 
+    def test_growth_crosses_processes_matches_single_process(self, run_dir):
+        """Round-3 verdict #2: the cluster started at per-shard capacity 32,
+        tripped the load-factor wall mid-run, grew via the device-side
+        collective sharded_grow (no process can address the other's shards),
+        kept training — and the result matches a SINGLE-process run of the
+        identical program exactly."""
+        import functools
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from tfplus_tpu import parallel as par, train as tft
+
+        r0 = json.load(open(os.path.join(run_dir, "result-0.json")))
+        r1 = json.load(open(os.path.join(run_dir, "result-1.json")))
+        assert r0["grow_caps"] and r0["grow_caps"] == r1["grow_caps"]
+        assert max(r0["grow_caps"]) > 32
+        np.testing.assert_allclose(r0["glosses"], r1["glosses"], rtol=1e-6)
+
+        # single-process replay on the local 8-device mesh
+        mesh = par.make_mesh(8)
+        opt = tft.AdagradOptimizer()
+        gt = par.create_sharded(8, 32, 8, seed=11)
+        gt = par.init_optimizer_sharded(opt, gt)
+        gt = jax.device_put(gt, par.table_sharding(mesh))
+        tspec = jax.tree_util.tree_map(lambda _: P("mp"), gt)
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(tspec, P("mp"), P("mp"), P()),
+                           out_specs=(tspec, P()), check_vma=False)
+        def step(tab, ids, y, s):
+            rows, state, tab = par.sharded_lookup(tab, ids, defer_meta=True)
+            loss, g = jax.value_and_grad(
+                lambda r: jnp.mean((r.sum(-1) - y) ** 2))(rows)
+            tab = par.sharded_apply_grads(opt, tab, state, g, lr=0.05,
+                                          step=s)
+            return tab, jax.lax.pmean(loss, "mp")
+
+        jstep = jax.jit(step)
+        G_STEPS, G_BL = 5, 64
+        caps, losses = [], []
+        for s in range(G_STEPS):
+            gidn = (np.arange(s * G_BL * 8, (s + 1) * G_BL * 8,
+                              dtype=np.int64) * 3 + 1)
+            gids = kv.encode_ids_np_to_device(gidn)
+            gy = jnp.asarray((gidn % 9).astype(np.float32))
+            if par.sharded_needs_grow(gt, incoming_per_shard=G_BL):
+                gt = par.sharded_grow(gt, incoming_per_shard=G_BL)
+                caps.append(gt.header.shape[-2] * 16)
+            gt, gl = jstep(gt, gids, gy, jnp.int32(s + 1))
+            losses.append(float(gl))
+
+        assert caps == r0["grow_caps"]
+        np.testing.assert_allclose(losses, r0["glosses"], rtol=1e-6)
+        gidn_all = np.load(os.path.join(run_dir, "gids.npy"))
+        want = np.load(os.path.join(run_dir, "grows.npy"))
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=(tspec, P("mp")),
+                           out_specs=P(), check_vma=False)
+        def read(tab, ids):
+            rows, _, _ = par.sharded_lookup(tab, ids, train=False)
+            return jax.lax.all_gather(rows, "mp", axis=0, tiled=True)
+
+        got = np.asarray(jax.device_get(jax.jit(read)(
+            gt, kv.encode_ids_np_to_device(gidn_all))))
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg="2-process growth diverged from "
+                                           "the single-process run")
+
     def test_need_full_import_escalation_crosses_processes(self, run_dir):
         """Process 1's 'ovf' shard overflowed its deletion log (>4096 real
         deletes); restoring that delta in THIS process must refuse."""

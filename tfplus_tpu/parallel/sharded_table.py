@@ -265,7 +265,12 @@ def dropped_positions(state: ExchangeState) -> Arr:
     embedding_ops.py:121-204) is: raise ``bucket_capacity`` to the state's
     ``needed_bucket_capacity`` (one recompile) and re-run the batch with
     ``valid=dropped_positions(state)`` so exactly the skipped ids
-    contribute — each id updates once, frequency counts stay exact."""
+    contribute — no contribution is ever lost and frequency counts stay
+    exact. An id whose occurrences straddle several source devices with
+    MIXED outcomes (routed on one, dropped on another) receives its
+    contributions as two sequential optimizer updates instead of one fused
+    sum — same data, async-PS-like ordering (still strictly stronger than
+    the reference's async push/pull semantics)."""
     total = state.own_inverse.shape[0]          # S*cap
     dropped_unique = state.dest == total
     return dropped_unique[state.src_inverse] & state.src_valid
