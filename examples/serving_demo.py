@@ -45,18 +45,44 @@ def train_and_export(directory):
 class EmbeddingServer:
     """Loads an export directory; serves /signature and /embed lookups."""
 
-    def __init__(self, directory, quantize=False):
+    def __init__(self, directory, quantize=False, sharded=False):
         import numpy as np
         from tfplus_tpu import kv, serving
         self.kv, self.np = kv, np
         self.quantize = quantize
-        self.tables, self.metadata = serving.load_for_serving(
-            directory, quantize=quantize)
+        self.sharded = sharded
+        if sharded:
+            # mesh serving: one table shard per device, queries answered
+            # with the trainer's all-to-all exchange (f32 or int8) — the
+            # vocabulary scales with the mesh, not one chip's HBM
+            import jax
+            from tfplus_tpu import parallel as par
+            from tfplus_tpu.parallel import serving as msrv
+            self.mesh = par.make_mesh(jax.device_count())
+            self.ndev = jax.device_count()
+            self.tables, self.metadata = msrv.load_for_serving_sharded(
+                directory, self.mesh, quantize=quantize)
+            self.lookups = {var: msrv.make_serving_lookup(t, self.mesh)
+                            for var, t in self.tables.items()}
+        else:
+            self.tables, self.metadata = serving.load_for_serving(
+                directory, quantize=quantize)
         self.by_column = {c["column_name"]: c
                           for c in self.metadata._columns}
 
     def embed(self, column, ids):
         kv, np = self.kv, self.np
+        if self.sharded:
+            col = self.by_column[column]
+            var = (col["embedding_var_keys"][0][:-len("-keys")]
+                   .split("/part_")[0])
+            ids64 = np.asarray(ids, np.int64)
+            pad = (-len(ids64)) % self.ndev      # batch must divide the mesh
+            padded = np.concatenate([ids64, np.zeros(pad, np.int64)])
+            import jax.numpy as jnp
+            rows = np.asarray(self.lookups[var](
+                jnp.asarray(kv.encode_ids(padded))))
+            return rows[:len(ids64)]
         from tfplus_tpu import embedding as emb
         col = self.by_column[column]
         var = col["embedding_var_keys"][0][:-len("-keys")].split("/part_")[0]
@@ -124,8 +150,15 @@ def main():
                     help="stay up instead of running the self-test")
     ap.add_argument("--quantize", action="store_true",
                     help="serve int8 row-quantized tables (4x less HBM)")
+    ap.add_argument("--sharded", action="store_true",
+                    help="serve from a device MESH (one table shard per "
+                         "device, all-to-all exchange; composes with "
+                         "--quantize). With --cpu, 8 fake devices")
     args = ap.parse_args()
     if args.cpu:
+        if args.sharded:
+            os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "") +
+                                       " --xla_force_host_platform_device_count=8")
         import jax
         jax.config.update("jax_platforms", "cpu")
 
@@ -133,7 +166,8 @@ def main():
         print("training + exporting ...")
         ref_tables = train_and_export(d)
         print("loading export in server (no templates) ...")
-        server = EmbeddingServer(d, quantize=args.quantize)
+        server = EmbeddingServer(d, quantize=args.quantize,
+                                 sharded=args.sharded)
         httpd = ThreadingHTTPServer(("127.0.0.1", args.port),
                                     make_handler(server))
         t = threading.Thread(target=httpd.serve_forever, daemon=True)

@@ -1,4 +1,4 @@
-from . import mesh, sharded2d, sharded_table
+from . import mesh, serving, sharded2d, sharded_table
 from . import ring_attention  # module (ring_attention.ring_attention = fn)
 from .mesh import TABLE_AXIS, make_mesh, replicated, table_sharding
 from .sharded_table import (ExchangeState, create_sharded,
