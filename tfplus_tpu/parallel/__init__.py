@@ -1,4 +1,5 @@
-from . import mesh, serving, sharded2d, sharded_table
+from . import hybrid, mesh, serving, sharded2d, sharded_table
+from .hybrid import ShardedHybridTable
 from . import ring_attention  # module (ring_attention.ring_attention = fn)
 from .mesh import TABLE_AXIS, make_mesh, replicated, table_sharding
 from .sharded_table import (ExchangeState, create_sharded,
