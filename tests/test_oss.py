@@ -392,6 +392,86 @@ class TestMultipartUpload:
         assert c.head("obj") is None
 
 
+class TestAppendObject:
+    """Native AppendObject (round-3 verdict #10; reference surface:
+    AppendableFile, oss_file_system.h:126): true appends with position
+    tracking — no read-modify-write — emulator-enforced protocol."""
+
+    def test_client_append_positions(self, oss):
+        c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], oss)
+        p = c.append("log.bin", b"hello ", 0)
+        assert p == 6
+        p = c.append("log.bin", b"world", p)
+        assert p == 11
+        assert c.get("log.bin") == b"hello world"
+        size, kind = c.stat("log.bin")
+        assert (size, kind) == (11, "Appendable")
+
+    def test_wrong_position_conflicts(self, oss):
+        c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], oss)
+        c.append("log2", b"abcd", 0)
+        # stale position (a concurrent appender moved the tail) → error
+        with pytest.raises(IOError, match="409"):
+            c.append("log2", b"zz", 1)
+        assert c.get("log2") == b"abcd"
+
+    def test_own_retry_collision_reads_as_success(self, oss):
+        """A dropped response makes the transport re-send an append that
+        already landed; the 409 whose next-position equals position+len
+        must resolve to success, not an error."""
+        c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], oss)
+        c.append("log3", b"12345", 0)
+        # simulate the duplicate delivery: same (position, data) again
+        p = c.append("log3", b"12345", 0)
+        assert p == 5
+        assert c.get("log3") == b"12345"   # applied exactly once
+
+    def test_normal_object_not_appendable(self, oss):
+        c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], oss)
+        c.put("norm", b"xxxx")
+        with pytest.raises(IOError, match="409"):
+            c.append("norm", b"y", 4)
+
+    def test_fs_append_mode_uses_native_appends(self, oss):
+        from tfplus_tpu.io.filesystem import get_filesystem
+        path = uri(oss, "logs/run.txt")
+        fs, p = get_filesystem(path)
+        with fs.open(p, "ab") as f:
+            f.write(b"line1\n")
+        with fs.open(p, "ab") as f:        # reopen continues at the tail
+            f.write(b"line2\n")
+            f.flush()
+            f.write(b"line3\n")
+        with fs.open(p, "rb") as f:
+            assert f.read() == b"line1\nline2\nline3\n"
+        # the object really is an Appendable (no rewrite happened)
+        c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], oss)
+        assert c.stat("logs/run.txt")[1] == "Appendable"
+
+    def test_fs_append_over_normal_falls_back(self, oss):
+        from tfplus_tpu.io.filesystem import get_filesystem
+        path = uri(oss, "logs/mixed.txt")
+        fs, p = get_filesystem(path)
+        with fs.open(p, "wb") as f:        # normal (non-appendable) object
+            f.write(b"head,")
+        with fs.open(p, "ab") as f:        # append must still work
+            f.write(b"tail")
+        with fs.open(p, "rb") as f:
+            assert f.read() == b"head,tail"
+
+    def test_append_survives_transient_faults(self):
+        srv = OSSEmulator(CREDS)
+        with srv as host:
+            c = ObjectStoreClient("bkt", "test-id", CREDS["test-id"], host)
+            srv.fail_next(2)                      # two 503s, then success
+            p = c.append("r.bin", b"aa", 0)
+            assert p == 2
+            srv.fail_next(1, mode="drop")         # dropped mid-response
+            p = c.append("r.bin", b"bb", p)
+            assert p == 4
+            assert c.get("r.bin") == b"aabb"
+
+
 class TestTransientFailureRetry:
     """Bounded retry with per-attempt re-signing (the reference SDK's
     behavior): transient 503s and mid-response connection drops must be

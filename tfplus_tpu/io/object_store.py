@@ -59,7 +59,8 @@ _MULTIPART_THRESHOLD = 32 << 20   # objects above this upload in parts
 _PART_SIZE = 16 << 20             # multipart part size
 # Query subresources that are part of the OSS CanonicalizedResource (the
 # signing spec's list; prefix/marker/max-keys are deliberately NOT in it).
-_SIGNED_SUBRESOURCES = ("partNumber", "uploadId", "uploads")
+_SIGNED_SUBRESOURCES = ("append", "partNumber", "position", "uploadId",
+                        "uploads")
 
 
 def _canonical_subresources(query: str) -> str:
@@ -198,6 +199,38 @@ class ObjectStoreClient:
         if st != 200:
             raise IOError(f"HEAD oss://{self.bucket}/{key}: {st}")
         return int(headers.get("Content-Length", "0"))
+
+    def stat(self, key: str) -> Tuple[Optional[int], str]:
+        """(size, object type) — type is "Normal", "Appendable", or
+        "Multipart" (x-oss-object-type); (None, "") if absent."""
+        st, headers, _ = self._request("HEAD", key)
+        if st == 404:
+            return None, ""
+        if st != 200:
+            raise IOError(f"HEAD oss://{self.bucket}/{key}: {st}")
+        return (int(headers.get("Content-Length", "0")),
+                headers.get("x-oss-object-type", "Normal"))
+
+    def append(self, key: str, data: bytes, position: int) -> int:
+        """Native AppendObject (reference surface: OSS AppendableFile,
+        oss_file_system.h:126): appends ``data`` at byte ``position``
+        (which must equal the current length) and returns the next append
+        position. Single-writer contract: a 409 position conflict whose
+        server-side next position equals ``position + len(data)`` is OUR
+        OWN retried request that already landed (the transport retry can
+        re-send after a dropped response) and reads as success; any other
+        conflict (a concurrent appender, or a Normal object under the key)
+        raises."""
+        st, headers, body = self._request(
+            "POST", key, body=data, query=f"append&position={position}")
+        next_pos = headers.get("x-oss-next-append-position")
+        if st == 200:
+            return int(next_pos) if next_pos else position + len(data)
+        if (st == 409 and next_pos is not None
+                and int(next_pos) == position + len(data)):
+            return int(next_pos)       # own retried append already applied
+        raise IOError(f"APPEND oss://{self.bucket}/{key} @{position}: "
+                      f"{st} {body[:200]}")
 
     def delete(self, key: str):
         st, _, _ = self._request("DELETE", key)
@@ -430,6 +463,49 @@ class _OSSWriteFile(io.RawIOBase):
         super().close()
 
 
+class _OSSAppendFile(io.RawIOBase):
+    """True append writer over AppendObject: buffered 1 MB flushes, each an
+    ``append`` at the tracked position — no read-modify-write, O(append)
+    wire bytes regardless of object size (the reference's AppendableFile
+    semantics, oss_file_system.h:126)."""
+
+    _FLUSH = 1 << 20
+
+    def __init__(self, client: ObjectStoreClient, key: str, position: int):
+        self._c = client
+        self._key = key
+        self._pos = position
+        self._buf = bytearray()
+        self._closed = False
+
+    def writable(self):
+        return True
+
+    def write(self, b):
+        self._buf += bytes(b)
+        while len(self._buf) >= self._FLUSH:
+            chunk = bytes(self._buf[:self._FLUSH])
+            del self._buf[:self._FLUSH]
+            self._pos = self._c.append(self._key, chunk, self._pos)
+        return len(b)
+
+    def tell(self):
+        return self._pos + len(self._buf)
+
+    def flush(self):
+        if self._buf:
+            self._pos = self._c.append(self._key, bytes(self._buf),
+                                       self._pos)
+            self._buf.clear()
+
+    def close(self):
+        if self._closed:
+            return
+        self.flush()
+        self._closed = True
+        super().close()
+
+
 class OSSFileSystem(FileSystem):
     """``oss://bucket/key`` filesystem over :class:`ObjectStoreClient`.
 
@@ -460,11 +536,15 @@ class OSSFileSystem(FileSystem):
                 raise FileNotFoundError(f"oss://{path}")
             f = _OSSReadFile(c, key, size)
             return io.BufferedReader(f) if "b" in mode else f
-        initial = b""
         if "a" in mode:
-            if c.head(key) is not None:
-                initial = c.get(key)
-        return _OSSWriteFile(c, key, initial)
+            size, kind = c.stat(key)
+            if size is None or kind == "Appendable":
+                # native AppendObject: no read-modify-write
+                return _OSSAppendFile(c, key, size or 0)
+            # the key holds a Normal/Multipart object, which OSS cannot
+            # append to — fall back to read + rewrite (documented cost)
+            return _OSSWriteFile(c, key, c.get(key))
+        return _OSSWriteFile(c, key)
 
     def exists(self, path):
         c, key = self._resolve(path)

@@ -39,6 +39,9 @@ class _Handler(BaseHTTPRequestHandler):
     max_put_size: Optional[int] = None   # single-PUT cap (None = unlimited)
     # in-flight multipart uploads: upload_id -> (target key, {n: bytes})
     uploads: Dict[str, Tuple[str, Dict[int, bytes]]]
+    # keys created via AppendObject (x-oss-object-type: Appendable);
+    # a plain PUT / copy / multipart over the key reverts it to Normal
+    appendable: set
     # fault injection (see OSSEmulator.fail_next): {"n", "mode", "status"}
     faults: Dict[str, object]
 
@@ -151,8 +154,12 @@ class _Handler(BaseHTTPRequestHandler):
                 if skey not in self.store:
                     return self._reply(404)
                 self.store[key] = self.store[skey]
+                # copy of an appendable source yields a NORMAL object
+                # (the real service's rule); same for plain overwrite below
+                self.appendable.discard(key)
             else:
                 self.store[key] = self.rfile.read(n)
+                self.appendable.discard(key)
         self._reply(200)
 
     def do_POST(self):
@@ -161,6 +168,34 @@ class _Handler(BaseHTTPRequestHandler):
         if not self._authorized("POST"):
             return self._deny()
         key, q = self._key()
+        if "append" in q:                  # AppendObject
+            n = int(self.headers.get("Content-Length", "0"))
+            body = self.rfile.read(n)
+            try:
+                pos = int(q.get("position", ["-1"])[0])
+            except ValueError:
+                pos = -1
+            with self.lock:
+                cur = self.store.get(key)
+                if cur is not None and key not in self.appendable:
+                    return self._reply(
+                        409,
+                        b"<Error><Code>ObjectNotAppendable</Code></Error>")
+                cur = cur or b""
+                if pos != len(cur):
+                    # the real service reports where the next append must
+                    # land so a retried/conflicting writer can resolve
+                    return self._reply(
+                        409,
+                        b"<Error><Code>PositionNotEqualToLength</Code>"
+                        b"</Error>",
+                        headers={"x-oss-next-append-position":
+                                 str(len(cur))})
+                self.store[key] = cur + body
+                self.appendable.add(key)
+                nxt = len(self.store[key])
+            return self._reply(
+                200, headers={"x-oss-next-append-position": str(nxt)})
         if "uploads" in q:                 # InitiateMultipartUpload
             self._drain()
             upload_id = secrets.token_hex(12)
@@ -194,6 +229,7 @@ class _Handler(BaseHTTPRequestHandler):
                 blobs.append(body)
             with self.lock:
                 self.store[key] = b"".join(blobs)
+                self.appendable.discard(key)
             return self._reply(
                 200, b"<CompleteMultipartUploadResult/>")
         self._drain()
@@ -245,9 +281,11 @@ class _Handler(BaseHTTPRequestHandler):
         key, _ = self._key()
         with self.lock:
             data = self.store.get(key)
+            kind = "Appendable" if key in self.appendable else "Normal"
         if data is None:
             return self._reply(404)
-        self._reply(200, headers={"Content-Length": str(len(data))})
+        self._reply(200, headers={"Content-Length": str(len(data)),
+                                  "x-oss-object-type": kind})
         # body suppressed for HEAD by _reply writing b"" only
 
     def do_DELETE(self):
@@ -261,6 +299,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self.uploads.pop(q["uploadId"][0], None)
             else:
                 self.store.pop(key, None)
+                self.appendable.discard(key)
         self._reply(204)
 
 
@@ -272,7 +311,7 @@ class OSSEmulator:
         handler = type("Handler", (_Handler,), {
             "store": {}, "creds": dict(creds), "lock": threading.Lock(),
             "page_size": page_size, "max_put_size": max_put_size,
-            "uploads": {}, "faults": {"n": 0}})
+            "uploads": {}, "appendable": set(), "faults": {"n": 0}})
         self._handler = handler
         self._srv = ThreadingHTTPServer(("127.0.0.1", 0), handler)
         self._thread = threading.Thread(target=self._srv.serve_forever,
