@@ -85,7 +85,7 @@ def main():
     print(json.dumps({"xla": results.get("xla_permute_gather_ms")}),
           file=sys.stderr, flush=True)
 
-    for R in (128, 256, 512):
+    for R in (64, 128, 256):
         if M % R:
             continue
 

@@ -450,6 +450,62 @@ class TestShardedGrowth:
         assert total == NDEV * 256   # every id eventually inserted
 
 
+class TestLargeGrowth:
+    def test_large_capacity_device_side_growth(self, mesh):
+        """Round-3 verdict #8: growth at larger capacities — the rehash
+        runs device-side (shard_map), so host memory stays O(1) regardless
+        of table size; verify content integrity across a 16k->64k per-shard
+        growth with ~80k live rows."""
+        sh = par.create_sharded(DIM, 1 << 14, NDEV, seed=2)
+        tshard = par.table_sharding(mesh)
+        sh = jax.device_put(sh, tshard)
+        rng = np.random.RandomState(0)
+        ids_np = np.unique(rng.randint(1, 1 << 22, 200_000).astype(np.int64))
+
+        tspec = jax.tree_util.tree_map(lambda _: P("mp"), sh)
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(tspec, P("mp")),
+                           out_specs=(tspec, P()), check_vma=False)
+        def insert(tab, ids):
+            rows, state, tab = par.sharded_lookup(tab, ids,
+                                                  bucket_capacity=4096)
+            return tab, jax.lax.pmax(state.overflow.astype(jnp.int32),
+                                     "mp")
+
+        n = len(ids_np) - len(ids_np) % NDEV
+        ids_np = ids_np[:n]
+        half = (n // 2) - (n // 2) % NDEV
+        for lo, hi in ((0, half), (half, n)):
+            batch = ids_np[lo:hi]
+            # 0.5 threshold: grow eagerly enough that pathological
+            # bucket-pair collisions below the default wall cannot trip
+            # (the production loop handles those via overflow-flag retry;
+            # this test pins the rehash content, so keep inserts one-shot)
+            if par.sharded_needs_grow(
+                    sh, incoming_per_shard=len(batch) // NDEV,
+                    threshold=0.5):
+                sh = par.sharded_grow(
+                    sh, incoming_per_shard=len(batch) // NDEV,
+                    threshold=0.5)
+            sh, ovf = insert(sh, jnp.asarray(kv.encode_ids(batch)))
+            assert int(ovf) == 0
+
+        per_shard_cap = sh.header.shape[-2] * 16
+        assert per_shard_cap >= 1 << 16, per_shard_cap
+        assert sum(par.shard_sizes(sh)) == n
+        # spot-check rows survived both rehashes (freq == 1 everywhere)
+        probe = ids_np[:: max(1, n // 64)]
+        host = jax.tree_util.tree_map(
+            lambda x: np.asarray(jax.device_get(x)), sh)
+        for key in probe.tolist():
+            shard = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x[key % NDEV]), host)
+            cnt = int(np.asarray(kv.get_count(
+                shard, kv.encode_ids(np.array([key], np.int64))))[0])
+            assert cnt == 1, key
+
+
 class TestRouteOverflowRecovery:
     """Round-3 verdict #3: a hot shard's exchange bucket overflow must never
     silently lose an id. The recovery recipe: the step surfaces the pmax'd
