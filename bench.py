@@ -63,9 +63,25 @@ def hbm_roofline_gbps() -> float:
     return 819.0
 
 
+def _measure_rtt(sync, out, n=3):
+    """Host<->device round-trip of a hard sync on already-ready data —
+    subtracted from every timed window. The tunnel RTT (~30 ms) is LARGER
+    than some timed signals, so a stale constant would swamp them; measure
+    it fresh next to each metric."""
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(n):
+        sync(out)
+    return (time.perf_counter() - t0) / n
+
+
 def bench_flash_attention(grad=False, reps=REPS):
     """Flash-attention TFLOP/s (bf16 causal, B4 H8 S2048 D128), one compile,
-    `reps` timed runs. grad=True measures fwd+bwd (3.5x fwd FLOPs)."""
+    `reps` timed runs. grad=True measures fwd+bwd (3.5x fwd FLOPs).
+
+    inner=100: at the old inner=20 the timed window (~10 ms) was SMALLER
+    than the tunnel RTT, so RTT jitter dominated the spread (0.49 in the
+    round-4 first record); the window must dwarf the RTT."""
     import jax
     import jax.numpy as jnp
     from tfplus_tpu.ops import flash_attention as fa
@@ -74,7 +90,7 @@ def bench_flash_attention(grad=False, reps=REPS):
     q = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
     k = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
     v = jnp.asarray(rng.randn(b, h, s, d).astype(np.float32), jnp.bfloat16)
-    inner = 20
+    inner = 100
 
     def fwd_sum(q, k, v):
         return fa.flash_attention(q, k, v, causal=True).astype(
@@ -95,13 +111,14 @@ def bench_flash_attention(grad=False, reps=REPS):
     def sync(x):
         np.asarray(jax.device_get(x))
 
-    sync(loop(q, k, v))                       # compile + warmup
+    warm = loop(q, k, v)                      # compile + warmup
+    rtt = _measure_rtt(sync, warm)
     flops = 4 * b * h * s * s * d * 0.5 * (3.5 if grad else 1.0)
     out = []
     for _ in range(reps):
         t0 = time.perf_counter()
         sync(loop(q, k, v))
-        dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / inner
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / inner
         out.append(flops / dt / 1e12)
     return out
 
@@ -116,7 +133,10 @@ def bench_dcn_examples_per_s(reps=REPS):
     from tfplus_tpu import kv, train as tft
     from tfplus_tpu.models import DCN, init_state, make_train_step
 
-    n_tab, bs, inner = 6, 2048, 10
+    # inner=40: dispatches are async (RPC latency overlaps), but the final
+    # hard sync still pays the ~30 ms tunnel RTT — the window must dwarf it
+    # (spread 0.26 at the old inner=10)
+    n_tab, bs, inner = 6, 2048, 40
     model = DCN(uniform_dim=32, num_numeric=13, dnn_hidden=(256, 128),
                 capacity=1 << 14)
     model.embedding_dims = (32,) * n_tab
@@ -140,14 +160,14 @@ def bench_dcn_examples_per_s(reps=REPS):
     def sync(s):
         np.asarray(jax.device_get(s.tables["C1"].meta[:8]))
 
-    sync(state)
+    rtt = _measure_rtt(sync, state)
     out = []
     for _ in range(reps):
         t0 = time.perf_counter()
         for _ in range(inner):
             state, loss, _ = step(state, batch)
         sync(state)
-        dt = max(time.perf_counter() - t0, 1e-9) / inner
+        dt = max(time.perf_counter() - t0 - rtt, 1e-9) / inner
         out.append(bs / dt)
     return out
 
@@ -160,7 +180,9 @@ def _build_serving_runs():
     from tfplus_tpu import kv
     from tfplus_tpu.kv import quant
 
-    dim, capacity, n, inner = 128, 1 << 20, 1 << 15, 30
+    # inner=120: the timed window must dwarf the ~30 ms tunnel RTT or RTT
+    # jitter dominates the spread (0.21-0.31 at the old inner=30)
+    dim, capacity, n, inner = 128, 1 << 20, 1 << 15, 120
     t = kv.create(dim, capacity, max_probes=16, seed=0)
     rng = np.random.RandomState(0)
     ids = kv.encode_ids_np_to_device(
@@ -181,12 +203,15 @@ def _build_serving_runs():
                 return acc + rows[0, 0]
             return jax.lax.fori_loop(0, inner, body, jnp.zeros(()))
 
-        np.asarray(jax.device_get(run(tab, ids, ids_flip)))  # compile
+        def sync(x):
+            np.asarray(jax.device_get(x))
+
+        rtt = _measure_rtt(sync, run(tab, ids, ids_flip))    # + compile
 
         def timed():
             t0 = time.perf_counter()
-            np.asarray(jax.device_get(run(tab, ids, ids_flip)))
-            dt = max(time.perf_counter() - t0 - 0.03, 1e-9) / inner
+            sync(run(tab, ids, ids_flip))
+            dt = max(time.perf_counter() - t0 - rtt, 1e-9) / inner
             return n / dt
         return timed
 
