@@ -212,11 +212,54 @@ if pid == 0:
     np.save(os.path.join(out_dir, "gids.npy"), gidn_all)
     np.save(os.path.join(out_dir, "grows.npy"), grows)
 
+# ---- hybrid host-tier phase (round-4): per-PROCESS tiers on addressable
+# shards only — a working set over the per-shard HBM budget trains across
+# the 2-process cluster with collective spill/prefetch reassembly ---------
+
+ht = par.create_sharded(DIM, 128, N_GLOBAL, seed=13)
+ht = par.init_optimizer_sharded(opt, ht)
+ht = jax.device_put(ht, par.table_sharding(mesh))
+hybrid = par.ShardedHybridTable(ht, mesh, max_live_per_shard=24)
+assert hybrid.multiprocess and len(hybrid.local_indices) == N_LOCAL
+
+H_STEPS, H_BL = 4, 32
+hlosses, hids_all, spilled_total = [], [], 0
+for s in range(H_STEPS):
+    hidn = (np.arange(s * H_BL * N_GLOBAL, (s + 1) * H_BL * N_GLOBAL,
+                      dtype=np.int64) * 5 + 2)
+    if s == 3:                      # revisit: spilled rows must come back
+        hidn[:64] = (np.arange(0, 64, dtype=np.int64) * 5 + 2)
+    hids_all.append(hidn)
+    hybrid.prefetch(hidn)
+    hybrid.table, hl = jstep(hybrid.table,
+                             kv.encode_ids_np_to_device(hidn),
+                             jnp.asarray((hidn % 11).astype(np.float32)),
+                             jnp.int32(s + 1))
+    spilled_total += hybrid.maybe_spill()
+    hlosses.append(float(hl))
+
+hst = hybrid.stats()
+assert spilled_total > 0 and all(r <= 24
+                                 for r in hst["device_rows_per_shard"])
+# bring every id back (grows shards collectively) and read the final rows
+hidn_all = np.unique(np.concatenate(hids_all))
+hybrid.prefetch(hidn_all)
+pad = (-len(hidn_all)) % N_GLOBAL
+hid_pad = np.concatenate([hidn_all,
+                          np.zeros(pad, np.int64)])  # 0 pads read zeros
+hrows = np.asarray(jax.device_get(read(
+    hybrid.table, kv.encode_ids_np_to_device(hid_pad))))[:len(hidn_all)]
+if pid == 0:
+    np.save(os.path.join(out_dir, "hids.npy"), hidn_all)
+    np.save(os.path.join(out_dir, "hrows.npy"), hrows)
+
 with open(os.path.join(out_dir, f"result-{pid}.json"), "w") as f:
     json.dump({"loss1": float(loss1), "loss2": float(loss2),
                "loss3": float(loss3), "loss4": float(loss4),
                "deleted": sorted(deleted_here),
                "grow_caps": grow_caps, "glosses": glosses,
+               "hlosses": hlosses, "h_spilled": spilled_total,
+               "h_tier_rows": sum(hst["tier_rows_per_shard"]),
                "devices": N_GLOBAL}, f)
 print(f"worker {pid}: ok loss {float(loss1):.5f} -> {float(loss2):.5f} "
       f"-> {float(loss4):.5f}, deleted {len(deleted_here)}, "

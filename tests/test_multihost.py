@@ -247,6 +247,75 @@ class TestMultihostDelta:
                                    err_msg="2-process growth diverged from "
                                            "the single-process run")
 
+    def test_hybrid_tier_crosses_processes_matches_single_process(
+            self, run_dir):
+        """Round-4: per-PROCESS host tiers on addressable shards — the
+        2-process cluster trained a working set over the per-shard HBM
+        budget with collective spill/prefetch, and matches a single-process
+        ShardedHybridTable run of the identical protocol exactly."""
+        import functools
+        import jax
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+        from tfplus_tpu import parallel as par, train as tft
+
+        r0 = json.load(open(os.path.join(run_dir, "result-0.json")))
+        r1 = json.load(open(os.path.join(run_dir, "result-1.json")))
+        assert r0["h_spilled"] > 0 and r1["h_spilled"] > 0
+        np.testing.assert_allclose(r0["hlosses"], r1["hlosses"], rtol=1e-6)
+
+        mesh = par.make_mesh(8)
+        opt = tft.AdagradOptimizer()
+        ht = par.create_sharded(8, 128, 8, seed=13)
+        ht = par.init_optimizer_sharded(opt, ht)
+        ht = jax.device_put(ht, par.table_sharding(mesh))
+        hybrid = par.ShardedHybridTable(ht, mesh, max_live_per_shard=24)
+        tspec = jax.tree_util.tree_map(lambda _: P("mp"), ht)
+
+        @functools.partial(shard_map, mesh=mesh,
+                           in_specs=(tspec, P("mp"), P("mp"), P()),
+                           out_specs=(tspec, P()), check_vma=False)
+        def step(tab, ids, y, s):
+            rows, state, tab = par.sharded_lookup(tab, ids, defer_meta=True)
+            loss, g = jax.value_and_grad(
+                lambda r: jnp.mean((r.sum(-1) - y) ** 2))(rows)
+            tab = par.sharded_apply_grads(opt, tab, state, g, lr=0.05,
+                                          step=s)
+            return tab, jax.lax.pmean(loss, "mp")
+
+        jstep = jax.jit(step)
+        H_STEPS, H_BL = 4, 32
+        hlosses = []
+        for s in range(H_STEPS):
+            hidn = (np.arange(s * H_BL * 8, (s + 1) * H_BL * 8,
+                              dtype=np.int64) * 5 + 2)
+            if s == 3:
+                hidn[:64] = (np.arange(0, 64, dtype=np.int64) * 5 + 2)
+            hybrid.prefetch(hidn)
+            hybrid.table, hl = jstep(
+                hybrid.table, kv.encode_ids_np_to_device(hidn),
+                jnp.asarray((hidn % 11).astype(np.float32)),
+                jnp.int32(s + 1))
+            hybrid.maybe_spill()
+            hlosses.append(float(hl))
+        np.testing.assert_allclose(hlosses, r0["hlosses"], rtol=1e-6)
+
+        hidn_all = np.load(os.path.join(run_dir, "hids.npy"))
+        want = np.load(os.path.join(run_dir, "hrows.npy"))
+        hybrid.prefetch(hidn_all)
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=(tspec, P("mp")),
+                           out_specs=P(), check_vma=False)
+        def read(tab, ids):
+            rows, _, _ = par.sharded_lookup(tab, ids, train=False)
+            return jax.lax.all_gather(rows, "mp", axis=0, tiled=True)
+
+        got = np.asarray(jax.device_get(jax.jit(read)(
+            hybrid.table, kv.encode_ids_np_to_device(hidn_all))))
+        np.testing.assert_allclose(got, want, rtol=1e-6,
+                                   err_msg="2-process hybrid diverged from "
+                                           "the single-process run")
+
     def test_need_full_import_escalation_crosses_processes(self, run_dir):
         """Process 1's 'ovf' shard overflowed its deletion log (>4096 real
         deletes); restoring that delta in THIS process must refuse."""
