@@ -161,6 +161,9 @@ def bench_dcn_examples_per_s(reps=REPS):
         np.asarray(jax.device_get(s.tables["C1"].meta[:8]))
 
     rtt = _measure_rtt(sync, state)
+    for _ in range(inner):                     # full warmup window: the
+        state, loss, _ = step(state, batch)    # first timed window must
+    sync(state)                                # not inherit setup noise
     out = []
     for _ in range(reps):
         t0 = time.perf_counter()
@@ -240,14 +243,23 @@ def bench_group_adam_apply(reps=REPS):
     grads = jnp.ones((n, dim), jnp.float32) * 1e-3
     fn = jax.jit(lambda tb, s, g: opt.apply(tb, s, g, lr=0.01, step=1))
     out = fn(t, slot_idx, grads)
-    jax.device_get(out.payload[0, :1])
+
+    def sync(o):
+        jax.device_get(o.payload[0, :1])
+
+    rtt = _measure_rtt(sync, out)
     ts = []
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(t, slot_idx, grads)
-        jax.device_get(out.payload[0, :1])
+        sync(out)
         ts.append(time.perf_counter() - t0)
-    return {"group_adam_apply_step_ms": _stats([x * 1e3 for x in ts])}
+    return {"group_adam_apply_step_ms": _stats([x * 1e3 for x in ts]),
+            # historical records (R3_SCAN_SWEEP, round-3 BENCH) quote the
+            # RAW single-dispatch time incl. the tunnel round-trip; the
+            # net number is the chip-side cost
+            "group_adam_apply_net_of_rtt_ms": _stats(
+                [max(x - rtt, 0.0) * 1e3 for x in ts])}
 
 
 def _build_tf_cpu_step(steps: int = 20):
@@ -298,21 +310,27 @@ def _build_tf_cpu_step(steps: int = 20):
 TF_CPU_REFERENCE_GBPS = 5.53
 
 
-def tpu_backend_alive(timeout_s: float = 120.0) -> bool:
+def tpu_backend_alive(timeout_s: float = 180.0, attempts: int = 2) -> bool:
     """Probe the TPU backend in a SUBPROCESS: a wedged axon tunnel hangs
     jax.devices() forever (uninterruptible inside this process), so the
-    probe must be killable. Returns False on hang/error."""
+    probe must be killable. Returns False on hang/error. Two attempts:
+    a transiently slow chip claim (observed once in round 4 right after a
+    heavy measurement session) must not demote a whole record to the CPU
+    fallback."""
     import subprocess
     import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; d = jax.devices(); "
-             "raise SystemExit(0 if d and d[0].platform != 'cpu' else 3)"],
-            timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except Exception:
-        return False
+    for _ in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "raise SystemExit(0 if d and d[0].platform != 'cpu' else 3)"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+        except Exception:
+            pass
+    return False
 
 
 def main():
