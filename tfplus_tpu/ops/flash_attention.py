@@ -770,7 +770,7 @@ def _seed_array(dropout_seed) -> jnp.ndarray:
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
                     q_segment_ids=None, kv_segment_ids=None,
-                    block_q: int = 512, block_k: int = 1024,
+                    block_q: int = 1024, block_k: int = 1024,
                     p_dropout: float = 0.0, dropout_seed=0,
                     interpret: Optional[bool] = None):
     """Blockwise flash attention.
@@ -808,7 +808,7 @@ def flash_attention(q, k, v, *, causal: bool = False,
 def flash_attention_with_lse(q, k, v, *, causal: bool = False,
                              sm_scale: Optional[float] = None,
                              q_segment_ids=None, kv_segment_ids=None,
-                             block_q: int = 512, block_k: int = 1024,
+                             block_q: int = 1024, block_k: int = 1024,
                              p_dropout: float = 0.0, dropout_seed=0,
                              interpret: Optional[bool] = None):
     """Forward pass returning ``(out, softmax_lse)`` — the reference
