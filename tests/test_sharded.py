@@ -608,6 +608,35 @@ class TestRouteOverflowRecovery:
                                    atol=1e-6)
         np.testing.assert_array_equal(got_cnt, want_cnt)
 
+    def test_route_stats_observability(self, mesh):
+        """route_stats() surfaces the drop count / needed capacity /
+        overflow flag from a returned ExchangeState (host ints)."""
+        sh = make_sharded(mesh, capacity=512)
+        tspec = jax.tree_util.tree_map(lambda _: P("mp"), sh)
+        hot = (np.arange(1, 1 + 64 * NDEV, dtype=np.int64)) * NDEV
+
+        @functools.partial(shard_map, mesh=mesh, in_specs=(tspec, P("mp")),
+                           out_specs=(P(), P(), P()), check_vma=False)
+        def probe(tab, ids):
+            _, state, _ = par.sharded_lookup(tab, ids, train=False,
+                                             bucket_capacity=4)
+            return (state.route_dropped, state.needed_bucket_capacity,
+                    jax.lax.pmax(state.route_overflow.astype(jnp.int32),
+                                 "mp"))
+
+        dropped, needed, ovf = jax.jit(probe)(
+            sh, jnp.asarray(kv.encode_ids(hot)))
+        st = par.route_stats(par.ExchangeState(
+            src_inverse=None, src_valid=None, src_counts=None, dest=None,
+            own_inverse=None, own_valid=None, own_slot=None,
+            own_counts=None, overflow=None, route_overflow=ovf,
+            route_dropped=dropped, needed_bucket_capacity=needed))
+        assert st["route_dropped"] > 0
+        assert st["needed_bucket_capacity"] > 4
+        assert st["route_overflow"] == 1
+        # per-device 64 uniques all owned by shard 0, bucket holds 4
+        assert st["route_dropped"] == (64 - 4) * NDEV
+
     def test_no_overflow_reports_zero_drops(self, mesh):
         """Steady state: the observability fields read zero / the actual
         per-destination peak."""
