@@ -13,11 +13,11 @@ as the f32 path (probe + one int8 row gather). The earlier design kept a
 separate f32[C] scale array whose narrow per-row gather doubled the
 issue cost (54.2M vs 104.0M ids/s — BENCH_r02.json); with the in-header
 scale plus miss/blacklist zeroing folded into the scale (one [N] where
-instead of a second [N, D] pass) the measured cost is ~0.85× the f32
-throughput (round-4 paired-alternation medians: 96.0M int8 vs 115.4M f32
-ids/s, v5e, BENCH_LOCAL.json) — the residual gap is the int8→f32
-convert+scale pass over the gathered rows, which the f32 path does not
-pay; the durable win is 4× rows/chip, not rate parity.
+instead of a second [N, D] pass) the measured cost is **0.92× the f32
+throughput** (round-4 paired-alternation medians with honest RTT-dwarfing
+windows: ~43M int8 vs ~47M f32 ids/s, v5e, BENCH_LOCAL.json) — the
+residual gap is the int8→f32 convert+scale pass over the gathered rows,
+which the f32 path does not pay; int8 additionally holds 4× rows/chip.
 
 Training stays full-precision (optimizer state needs it; the engine's
 payload fusion shares one dtype) — quantize AFTER training:
