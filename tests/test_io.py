@@ -181,6 +181,76 @@ class TestCriteoLoader:
             native.CriteoLoader("/nonexistent/file.tsv", 64)
 
 
+class TestBinaryCriteoCache:
+    """Pre-tokenized binary cache (round-5 input-pipeline fix): parse+hash
+    once, steady-state epochs read memmapped slices (data/criteo.py)."""
+
+    def _mkfile(self, tmp_path, n=3000):
+        rng = np.random.RandomState(11)
+        lines = []
+        for _ in range(n):
+            ints = ["" if rng.rand() < .2 else str(rng.randint(0, 1000))
+                    for _ in range(13)]
+            cats = ["" if rng.rand() < .1
+                    else format(rng.randint(0, 1 << 32), "08x")
+                    for _ in range(26)]
+            lines.append("\t".join([str(rng.randint(0, 2))] + ints + cats))
+        p = tmp_path / "criteo.tsv"
+        p.write_text("\n".join(lines))   # no trailing newline on purpose
+        return str(p), n
+
+    def test_build_matches_parser_and_keeps_tail(self, tmp_path):
+        from tfplus_tpu.data import criteo
+        path, n = self._mkfile(tmp_path, n=2500)
+        cache = criteo.BinaryCriteoCache(
+            criteo.build_binary_cache(path, str(tmp_path / "bin")))
+        assert cache.rows == n   # the final newline-less row is kept
+        if native.available():
+            rn, rc, rl, _ = native.parse_criteo_batch(
+                open(path, "rb").read() + b"\n", n + 10)
+            np.testing.assert_array_equal(np.asarray(cache.label), rl)
+            np.testing.assert_array_equal(np.asarray(cache.categorical), rc)
+            np.testing.assert_allclose(np.asarray(cache.numeric), rn,
+                                       rtol=1e-6)
+
+    def test_idempotent_rebuild_and_batches(self, tmp_path):
+        from tfplus_tpu.data import criteo
+        path, n = self._mkfile(tmp_path, n=1000)
+        d = criteo.build_binary_cache(path, str(tmp_path / "bin"))
+        stamp = (tmp_path / "bin" / "categorical.npy").stat().st_mtime_ns
+        criteo.build_binary_cache(path, d)    # no-op: same source
+        assert (tmp_path / "bin" /
+                "categorical.npy").stat().st_mtime_ns == stamp
+        cache = criteo.BinaryCriteoCache(d)
+        got = list(cache.batches(256))
+        assert len(got) == n // 256           # short tail dropped
+        assert got[0]["categorical"].shape == (256, 26)
+        # loop=True wraps around; max_batches bounds it
+        looped = list(cache.batches(256, max_batches=9, loop=True))
+        assert len(looped) == 9
+        np.testing.assert_array_equal(looped[0]["categorical"],
+                                      looped[len(got)]["categorical"])
+
+    def test_batches_match_tsv_iterator(self, tmp_path):
+        from tfplus_tpu.data import criteo
+        path, n = self._mkfile(tmp_path, n=1024)
+        # newline-terminate: the LIVE iterator can't see a newline-less
+        # tail row (the cache build can), which would skew the comparison
+        with open(path, "a") as f:
+            f.write("\n")
+        cache = criteo.BinaryCriteoCache(
+            criteo.build_binary_cache(path, str(tmp_path / "bin")))
+        live = list(criteo.batches(path, 512))
+        cached = list(cache.batches(512))
+        assert len(live) == len(cached) == 2
+        for a, b in zip(live, cached):
+            np.testing.assert_array_equal(a["categorical"],
+                                          b["categorical"])
+            np.testing.assert_allclose(a["numeric"], b["numeric"],
+                                       rtol=1e-6)
+            np.testing.assert_array_equal(a["label"], b["label"])
+
+
 class TestProgressBar:
     def test_draws_and_completes(self):
         import io

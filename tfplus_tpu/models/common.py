@@ -207,11 +207,16 @@ def make_train_step_multi(model: SparseModel, sparse_opt: SparseOptimizer,
 def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
                     dense_tx: optax.GradientTransformation, *,
                     sparse_lr: float, train: bool = True,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, jit: bool = True) -> Callable:
     """Build a jitted ``step(state, batch) -> (state, loss, preds)``.
 
     ``batch`` = dict with per-table id arrays under ``batch["ids"][name]``
     (rank-1), optional dense ``batch["features"]``, and ``batch["labels"]``.
+
+    ``jit=False`` returns the RAW traceable ``step_fn(state, batch, day)``
+    instead (no jit wrapper, caller supplies the uint32 ring day) — used to
+    embed the whole step in an outer ``lax.fori_loop`` (bench.py's
+    steady-state window) or a larger jitted program.
     """
 
     # models may alias several tables to one id stream (e.g. DeepFM's
@@ -249,6 +254,9 @@ def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
             return TrainState(tables, dense, opt_state, step), loss, preds
         loss, preds = loss_fn(state.dense, rows_in)
         return state, loss, preds
+
+    if not jit:
+        return step_fn
 
     jitted = jax.jit(step_fn, donate_argnums=(0,) if donate else ())
 
