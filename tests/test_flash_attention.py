@@ -79,6 +79,77 @@ class TestKernelInterpret:
                                    atol=1e-3, rtol=1e-3)
 
 
+class TestArbitraryLengths:
+    """Sequence lengths that do NOT divide the block sizes are auto-padded
+    with segment −1 inside flash_attention (the reference's cu_seqlens API
+    takes arbitrary lengths — VERDICT r4 item 5)."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    def test_s1000(self, causal):
+        q, k, v = make_qkv(b=1, h=2, sq=1000, skv=1000, d=64)
+        out = fa.flash_attention(q, k, v, causal=causal, interpret=True)
+        assert out.shape == q.shape
+        ref = fa.reference_attention(q, k, v, causal=causal)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_rectangular_odd(self):
+        q, k, v = make_qkv(b=1, h=1, sq=333, skv=712, d=32)
+        out = fa.flash_attention(q, k, v, interpret=True)
+        assert out.shape == q.shape
+        ref = fa.reference_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_odd_length_with_segments(self):
+        q, k, v = make_qkv(b=2, sq=300, skv=300)
+        seg = np.zeros((2, 300), np.int32)
+        seg[:, 150:] = 1
+        seg[0, 280:] = -1          # caller padding mixes with auto padding
+        seg = jnp.asarray(seg)
+        out = fa.flash_attention(q, k, v, q_segment_ids=seg,
+                                 kv_segment_ids=seg, interpret=True)
+        ref = fa.reference_attention(q, k, v, q_segment_ids=seg,
+                                     kv_segment_ids=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_grads_s1000(self):
+        q, k, v = make_qkv(b=1, h=1, sq=1000, skv=1000, d=32)
+
+        def loss_flash(q, k, v):
+            o = fa.flash_attention(q, k, v, causal=True, interpret=True)
+            return jnp.sum(o * o)
+
+        def loss_ref(q, k, v):
+            o = fa.reference_attention(q, k, v, causal=True)
+            return jnp.sum(o * o)
+
+        gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b, name in zip(gf, gr, "qkv"):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-3,
+                                       err_msg=f"d{name}")
+
+    def test_lse_odd_length(self):
+        q, k, v = make_qkv(b=1, h=1, sq=200, skv=200, d=32)
+        out, lse = fa.flash_attention_with_lse(q, k, v, interpret=True)
+        assert out.shape == q.shape and lse.shape == (1, 1, 200)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(32)
+        ref_lse = jax.scipy.special.logsumexp(s, axis=-1)
+        np.testing.assert_allclose(np.asarray(lse), np.asarray(ref_lse),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_dropout_odd_length_fwd_matches_dense(self):
+        q, k, v = make_qkv(b=1, h=1, sq=200, skv=200, d=32)
+        out = fa.flash_attention(q, k, v, p_dropout=0.3, dropout_seed=7,
+                                 interpret=True)
+        ref = fa.reference_attention(q, k, v, p_dropout=0.3, dropout_seed=7)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+
 class TestGradients:
     def test_grads_match_exact_attention(self):
         q, k, v = make_qkv(b=1, h=1, sq=128, skv=128, d=32)

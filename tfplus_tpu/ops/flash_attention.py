@@ -767,6 +767,50 @@ def _seed_array(dropout_seed) -> jnp.ndarray:
                        else dropout_seed, jnp.int32).reshape(1)
 
 
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _pick_block(s: int, requested: int) -> int:
+    """Largest multiple of 128 lanes that divides ``s`` (itself a multiple
+    of 128), capped at ``requested`` — keeps big MXU tiles where the padded
+    length allows them."""
+    best = _LANES
+    b = _LANES
+    while b <= min(s, requested):
+        if s % b == 0:
+            best = b
+        b += _LANES
+    return best
+
+
+def _pad_for_blocks(q, k, v, q_seg, kv_seg, block_q, block_k):
+    """Pad arbitrary sequence lengths to lane multiples with segment −1
+    (= padding: attends to nothing, is attended by nothing, outputs zeros)
+    and re-pick block sizes that divide the padded lengths. The reference's
+    cu_seqlens API takes arbitrary lengths (flash_attention_ops.cc:8-37);
+    this is the TPU equivalent — callers never see a divisibility error.
+    Returns (q, k, v, q_seg, kv_seg, block_q, block_k)."""
+    b, _, sq, _ = q.shape
+    skv = k.shape[2]
+    sq_p = _round_up(sq, _LANES)
+    skv_p = _round_up(skv, _LANES)
+    if q_seg is None:
+        q_seg = jnp.zeros((b, sq), jnp.int32)
+        kv_seg = jnp.zeros((b, skv), jnp.int32)
+    q = jnp.pad(q, ((0, 0), (0, 0), (0, sq_p - sq), (0, 0)))
+    k = jnp.pad(k, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    v = jnp.pad(v, ((0, 0), (0, 0), (0, skv_p - skv), (0, 0)))
+    q_seg = jnp.pad(q_seg, ((0, 0), (0, sq_p - sq)), constant_values=-1)
+    kv_seg = jnp.pad(kv_seg, ((0, 0), (0, skv_p - skv)), constant_values=-1)
+    return (q, k, v, q_seg, kv_seg,
+            _pick_block(sq_p, block_q), _pick_block(skv_p, block_k))
+
+
+def _needs_padding(sq: int, skv: int, block_q: int, block_k: int) -> bool:
+    return bool(sq % min(block_q, sq) or skv % min(block_k, skv))
+
+
 def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
                     q_segment_ids=None, kv_segment_ids=None,
@@ -776,8 +820,10 @@ def flash_attention(q, k, v, *, causal: bool = False,
     """Blockwise flash attention.
 
     q [B, H, Sq, D], k/v [B, H, Skv, D]; optional int32 segment ids
-    [B, Sq] / [B, Skv] (−1 = padding). Seq lengths must divide the block
-    sizes (pad with segment −1 otherwise). Differentiable.
+    [B, Sq] / [B, Skv] (−1 = padding). Arbitrary sequence lengths: inputs
+    whose lengths don't divide the block sizes are padded internally with
+    segment −1 and the output sliced back (the reference's cu_seqlens API
+    likewise takes arbitrary lengths). Differentiable.
 
     ``p_dropout``/``dropout_seed`` mirror the reference FMHA contract
     (flash_attention_ops.cc:8-37 ``p_dropout``/``rng_state``): inverted
@@ -800,6 +846,15 @@ def flash_attention(q, k, v, *, causal: bool = False,
                 q_segment_ids=q_segment_ids, kv_segment_ids=kv_segment_ids,
                 p_dropout=p_dropout, dropout_seed=dropout_seed)
         interpret = False
+    sq = q.shape[2]
+    if _needs_padding(sq, k.shape[2], block_q, block_k):
+        (q, k, v, q_segment_ids, kv_segment_ids,
+         block_q, block_k) = _pad_for_blocks(
+            q, k, v, q_segment_ids, kv_segment_ids, block_q, block_k)
+        out = _flash(q, k, v, q_segment_ids, kv_segment_ids,
+                     _seed_array(dropout_seed), causal, sm_scale,
+                     block_q, block_k, interpret, float(p_dropout))
+        return out[:, :, :sq]
     return _flash(q, k, v, q_segment_ids, kv_segment_ids,
                   _seed_array(dropout_seed), causal, sm_scale,
                   block_q, block_k, interpret, float(p_dropout))
@@ -822,13 +877,18 @@ def flash_attention_with_lse(q, k, v, *, causal: bool = False,
         raise ValueError("provide both or neither segment id array")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    sq = q.shape[2]
+    if _needs_padding(sq, k.shape[2], block_q, block_k):
+        (q, k, v, q_segment_ids, kv_segment_ids,
+         block_q, block_k) = _pad_for_blocks(
+            q, k, v, q_segment_ids, kv_segment_ids, block_q, block_k)
     out, l, m = _fwd_dispatch(q, k, v, q_segment_ids, kv_segment_ids,
                               _seed_array(dropout_seed), causal, sm_scale,
                               block_q, block_k, interpret,
                               save_residuals=True, p_dropout=float(p_dropout))
     lse = jnp.where(l > 0.0, m + jnp.log(jnp.where(l > 0.0, l, 1.0)),
                     -jnp.inf)
-    return out, lse
+    return out[:, :, :sq], lse[:, :, :sq]
 
 
 def make_segment_ids_from_lengths(lengths, seq_len: int):
