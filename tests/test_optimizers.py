@@ -21,18 +21,19 @@ STEPS = 6
 RNG = np.random.RandomState(0)
 
 
-def run_sparse(opt: SparseOptimizer, grads_seq, lr, init_rows, extra_seq=None):
+def run_sparse(opt: SparseOptimizer, grads_seq, lr, init_rows, extra_seq=None,
+               value_dtype=jnp.float32):
     """Apply a gradient sequence through the KvTable path; return var rows."""
-    t = kv.create(DIM, 256, seed=0)
+    t = kv.create(DIM, 256, seed=0, value_dtype=value_dtype)
     ids = kv.encode_ids_np_to_device(np.arange(1, N + 1, dtype=np.int64))
-    t = kv.insert(t, ids, jnp.asarray(init_rows))  # known starting values
+    t = kv.insert(t, ids, jnp.asarray(init_rows, value_dtype))
     t = opt.init(t)
     for s, g in enumerate(grads_seq):
         res = kv.lookup_or_insert(t, ids)
         extra = None if extra_seq is None else jnp.asarray(extra_seq[s])
         t = opt.apply(res.table, res.slot, jnp.asarray(g), lr=lr, step=s + 1,
                       extra=extra)
-    return np.asarray(kv.lookup_or_zeros(t, ids))
+    return np.asarray(kv.lookup_or_zeros(t, ids), np.float32)
 
 
 def make_data():
@@ -893,3 +894,46 @@ class TestGroupAdamV1:
             got = run_sparse(tft.GroupAdamOptimizer(version=ver), grads,
                              0.01, init)
             np.testing.assert_array_equal(got, v4)
+
+
+class TestHalfValueDtypeGolden:
+    """fp16/bf16 value_dtype through the SAME golden harness (the reference
+    registers half optimizer kernels — kv_variable_ops.cc:153-156,
+    training_ops.cc's V=Eigen::half instantiations). Update math runs in
+    f32 (rules upcast), only the stored var rows are half — tolerance is
+    the half-precision storage error, not a looser math bar."""
+
+    @pytest.mark.parametrize("vdt,tol", [("float16", 2e-3),
+                                         ("bfloat16", 1.6e-2)])
+    def test_adam_matches_dense_reference(self, vdt, tol):
+        init = RNG.randn(N, DIM).astype(np.float32) * 0.5
+        grads = [RNG.randn(N, DIM).astype(np.float32) for _ in range(STEPS)]
+        # quantize the start point the same way the table will store it
+        init_h = np.asarray(jnp.asarray(init, jnp.dtype(vdt)), np.float32)
+        got = run_sparse(tft.AdamOptimizer(), grads, 0.01, init,
+                         value_dtype=jnp.dtype(vdt))
+        want = TestAdamFamily().np_adam(init_h, grads, lr=0.01)
+        np.testing.assert_allclose(got, want, atol=tol)
+
+    @pytest.mark.parametrize("vdt,tol", [("float16", 2e-3),
+                                         ("bfloat16", 1.6e-2)])
+    def test_adagrad_matches_dense_reference(self, vdt, tol):
+        init = RNG.randn(N, DIM).astype(np.float32) * 0.5
+        grads = [RNG.randn(N, DIM).astype(np.float32) for _ in range(STEPS)]
+        init_h = np.asarray(jnp.asarray(init, jnp.dtype(vdt)), np.float32)
+        var = init_h.copy()
+        accum = np.full_like(var, 0.1)
+        for g in grads:
+            accum += g * g
+            var -= 0.05 * g / np.sqrt(accum)
+        got = run_sparse(tft.AdagradOptimizer(), grads, 0.05, init,
+                         value_dtype=jnp.dtype(vdt))
+        np.testing.assert_allclose(got, var, atol=tol)
+
+    def test_group_adam_zero_reg_equals_adam_fp16(self):
+        init, grads = make_data()
+        a = run_sparse(tft.AdamOptimizer(), grads, 0.01, init,
+                       value_dtype=jnp.float16)
+        b = run_sparse(tft.GroupAdamOptimizer(), grads, 0.01, init,
+                       value_dtype=jnp.float16)
+        np.testing.assert_allclose(a, b, atol=2e-3)
