@@ -452,19 +452,29 @@ ISSUE_FLOOR_NS_PER_ROW = 111.0
 
 def tpu_backend_alive(timeout_s: float = 180.0, attempts: int = 2) -> bool:
     """Probe the TPU backend in a SUBPROCESS: a wedged axon tunnel hangs
-    jax.devices() forever (uninterruptible inside this process), so the
-    probe must be killable. Returns False on hang/error. Two attempts:
-    a transiently slow chip claim (observed once in round 4 right after a
-    heavy measurement session) must not demote a whole record to the CPU
-    fallback."""
+    forever (uninterruptible inside this process), so the probe must be
+    killable. Returns False on hang/error. Two attempts: a transiently
+    slow chip claim (observed once in round 4 right after a heavy
+    measurement session) must not demote a whole record to the CPU
+    fallback.
+
+    The probe runs an actual jit compute + device_get, not just
+    jax.devices(): a HALF-wedged tunnel (seen in round 5 after a client
+    was killed mid-RPC) still answers discovery/claim but hangs the first
+    compute — a devices()-only probe would green-light a bench run that
+    then hangs forever."""
     import subprocess
     import sys
     for _ in range(attempts):
         try:
             r = subprocess.run(
                 [sys.executable, "-c",
-                 "import jax; d = jax.devices(); "
-                 "raise SystemExit(0 if d and d[0].platform != 'cpu' else 3)"],
+                 "import jax, numpy as np; import jax.numpy as jnp; "
+                 "d = jax.devices(); "
+                 "x = jax.jit(lambda a: a * 2 + 1)(jnp.arange(128)); "
+                 "ok = int(np.asarray(jax.device_get(x))[3]) == 7; "
+                 "raise SystemExit(0 if ok and d[0].platform != 'cpu' "
+                 "else 3)"],
                 timeout=timeout_s, capture_output=True)
             if r.returncode == 0:
                 return True
