@@ -26,6 +26,11 @@ def main():
     ap.add_argument("--train-batches", type=int, default=200)
     ap.add_argument("--eval-batches", type=int, default=20)
     ap.add_argument("--data", default=None)
+    ap.add_argument("--cache-dir", default=None,
+                    help="pre-tokenized binary cache dir (built on first "
+                         "use from --data): parse+hash once, then epochs "
+                         "stream memmapped slices ~10x faster than live "
+                         "TSV parsing")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -55,7 +60,14 @@ def main():
                             donate=False)
 
     path = criteo.available(args.data)
-    if path:
+    if path and args.cache_dir:
+        print("using binary cache:", args.cache_dir, "(source:", path + ")")
+        cache = criteo.BinaryCriteoCache(
+            criteo.build_binary_cache(path, args.cache_dir))
+        train_iter = cache.batches(args.batch_size, args.train_batches,
+                                   loop=True)
+        eval_iter = cache.batches(args.batch_size, args.eval_batches)
+    elif path:
         print("using real criteo data:", path)
         # threads>1 → native multithreaded prefetching loader (io/native.py)
         train_iter = criteo.batches(path, args.batch_size, args.train_batches,
