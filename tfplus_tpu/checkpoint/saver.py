@@ -61,6 +61,62 @@ def shard_name(name: str, i: int, n: int) -> str:
     return name if n == 1 else f"{name}/part_{i}"
 
 
+def _next_pow2(x: int) -> int:
+    p = 1
+    while p < x:
+        p *= 2
+    return p
+
+
+def _encode_pad_keys(keys_np: np.ndarray, cr: int) -> np.ndarray:
+    """Host-side uint64 → int32[cr, 2] split, tail-padded with the EMPTY
+    sentinel (reserved ids are masked out device-side, so padding rows are
+    inert)."""
+    u = np.asarray(keys_np).astype(np.uint64)
+    out = np.full((cr, 2), -1, np.int32)
+    out[:len(u), 0] = (u & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(
+        np.int32)
+    out[:len(u), 1] = (u >> np.uint64(32)).astype(np.uint32).astype(np.int32)
+    return out
+
+
+def _pad_rows(arr: np.ndarray, cr: int) -> np.ndarray:
+    if len(arr) == cr:
+        return arr
+    out = np.zeros((cr,) + arr.shape[1:], arr.dtype)
+    out[:len(arr)] = arr
+    return out
+
+
+def _restore_import_chunk_fn(table, q, vals, freq, days, black):
+    """One donated streaming-restore step: upsert a chunk with exact packed
+    meta and report how many VALID keys failed placement. jitted+donated so
+    a restore costs O(chunk) per chunk — the eager per-chunk import copied
+    the whole multi-GB payload every chunk (measured 0.008 GB/s at 4 GB on
+    the CPU backend; scripts/prof_checkpoint_io.py found it)."""
+    import jax.numpy as jnp
+    table = kvt.insert(table, q, vals, freq=freq, blacklist=black, day=days)
+    valid = ~hashing.is_reserved_id(q)
+    fr = kvt.find(table, q, valid)
+    return table, jnp.sum(valid & ~fr.found, dtype=jnp.int32)
+
+
+_restore_import_chunk = jax.jit(_restore_import_chunk_fn,
+                                donate_argnums=(0,))
+
+
+def _restore_slot_chunk_fn(table, q, rows, sname):
+    import jax.numpy as jnp
+    valid = ~hashing.is_reserved_id(q)
+    fr = kvt.find(table, q, valid)
+    idx = jnp.where(valid & fr.found, fr.slot, -1)
+    return kvt.set_slot_rows(table, sname, idx, rows)
+
+
+_restore_slot_chunk = jax.jit(_restore_slot_chunk_fn, static_argnums=(3,),
+                              donate_argnums=(0,))
+
+
 def _stream_payload_cols(writer, tensor_name: str, table: kvt.KvTable,
                          idx: np.ndarray, col0: int, ncols: int,
                          chunk_rows: Optional[int]):
@@ -221,19 +277,64 @@ def restore_table(reader: bundle.BundleReader, name: str,
         qd = hashing.encode_ids_np_to_device(np.asarray(delete_keys))
         table, _ = kvt.delete(table, qd)
 
-    cr = _chunk_rows(table.dim * 4, chunk_rows)
+    # clamp the chunk to the next pow2 >= n: small restores stay one small
+    # dispatch, and padded tail shapes land in O(log) jit cache classes
+    cr = min(_chunk_rows(table.dim * 4, chunk_rows), _next_pow2(n or 1))
     vname = name + "-values"
     if n:
-        for start, vals in reader.stream(vname, cr):
-            rows = len(vals)
-            sub = {"keys": keys[start:start + rows], "values": vals}
+        # pre-grow ONCE to fit every incoming row (per-chunk load checks
+        # re-sized the table mid-stream and cost a device_get per chunk)
+        cap = table.capacity
+        cur = 0 if not delta else int(jax.device_get(kvt.size(table)))
+        while (cur + n) > kvt.GROW_LOAD_FACTOR * cap:
+            cap *= 2
+        if cap != table.capacity:
+            table = kvt.grow(table, cap)
+
+        day_now = np.uint32(packing.current_day() & packing.DAY_MASK)
+        bl_u64 = blacklist.astype(np.uint64) if blacklist.size else None
+
+        def chunk_aux(start: int, rows: int):
+            """(freq, days, black) numpy chunk planes, tail-padded."""
             if meta is not None:
-                sub["meta"] = meta[start:start + rows]
+                m = meta[start:start + rows].astype(np.uint32)
+                fq, dy = m & packing.FREQ_MASK, m >> 16
             elif freq is not None:
-                sub["freq_values"] = freq[start:start + rows]
-            if blacklist.size:
-                sub["blacklist"] = blacklist
-            table = kvt.import_arrays(table, sub, clear=False)
+                fq = freq[start:start + rows].astype(np.uint32)
+                dy = np.full((rows,), day_now, np.uint32)
+            else:
+                fq = np.zeros((rows,), np.uint32)
+                dy = np.full((rows,), day_now, np.uint32)
+            bk = (np.isin(keys[start:start + rows].astype(np.uint64),
+                          bl_u64) if bl_u64 is not None
+                  else np.zeros((rows,), bool))
+            return (_pad_rows(fq, cr), _pad_rows(dy, cr), _pad_rows(bk, cr))
+
+        def value_pass(table):
+            """One full streamed upsert pass; returns (table, missing)."""
+            missing = 0
+            for start, vals in reader.stream(vname, cr):
+                rows = len(vals)
+                q = _encode_pad_keys(keys[start:start + rows], cr)
+                fq, dy, bk = chunk_aux(start, rows)
+                vals = _pad_rows(np.asarray(vals, np.float32), cr)
+                table, miss = _restore_import_chunk(table, q, vals, fq,
+                                                    dy, bk)
+                missing += int(jax.device_get(miss))
+            return table, missing
+
+        table, missing = value_pass(table)
+        # bucket-pair overflow can reject placements even under the load
+        # threshold; a RESTORE must never lose rows — grow (disperses the
+        # colliding buckets) and re-run the idempotent upsert pass
+        for _ in range(4):
+            if not missing:
+                break
+            table = kvt.grow(table)
+            table, missing = value_pass(table)
+        else:
+            raise RuntimeError(
+                f"restore could not place {missing} rows after 4 grows")
 
     # restore optimizer slot rows (streamed per chunk). load_slots=False
     # drops them — serving-side delta refresh must NOT widen a slot-less
@@ -246,14 +347,12 @@ def restore_table(reader: bundle.BundleReader, name: str,
             k = reader.shape(tname)[1] // table.dim
             if sname not in table.config.slot_columns():
                 table = kvt.ensure_slots(table, {sname: k})
-            scr = _chunk_rows(k * table.dim * 4, chunk_rows)
+            scr = min(_chunk_rows(k * table.dim * 4, chunk_rows),
+                      _next_pow2(n))
             for start, rows in reader.stream(tname, scr):
-                q = hashing.encode_ids_np_to_device(
-                    keys[start:start + len(rows)])
-                fr = kvt.find(table, q)
-                idx = jnp.where(fr.found, fr.slot, -1)
-                table = kvt.set_slot_rows(table, sname, idx,
-                                          jnp.asarray(rows))
+                q = _encode_pad_keys(keys[start:start + len(rows)], scr)
+                rows = _pad_rows(np.asarray(rows, np.float32), scr)
+                table = _restore_slot_chunk(table, q, rows, sname)
     return table
 
 
