@@ -79,6 +79,57 @@ class TestKernelInterpret:
                                    atol=1e-3, rtol=1e-3)
 
 
+class TestInnerKSplit:
+    """The two-level K structure (``block_k_inner``): one block_k-wide DMA
+    per grid step, statically-unrolled MXU/VPU sub-tiles with the online-
+    softmax carry in registers. Must be bit-compatible with the reference
+    math for every mask/dropout combination."""
+
+    @pytest.mark.parametrize("causal", [False, True])
+    @pytest.mark.parametrize("p_dropout", [0.0, 0.25])
+    def test_matches_reference(self, causal, p_dropout):
+        q, k, v = make_qkv(b=1, h=2, sq=256, skv=256, d=64)
+        rng = np.random.RandomState(3)
+        seg = jnp.asarray(rng.randint(0, 3, (1, 256)), jnp.int32)
+        out = fa.flash_attention(q, k, v, causal=causal, p_dropout=p_dropout,
+                                 dropout_seed=11, q_segment_ids=seg,
+                                 kv_segment_ids=seg, block_q=128, block_k=128,
+                                 block_k_inner=64 if causal else 128,
+                                 interpret=True)
+        ref = fa.reference_attention(q, k, v, causal=causal,
+                                     p_dropout=p_dropout, dropout_seed=11,
+                                     q_segment_ids=seg, kv_segment_ids=seg)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+    def test_grads_match_base_kernel(self):
+        q, k, v = make_qkv(b=1, h=1, sq=256, skv=256, d=32)
+
+        def loss(inner):
+            def f(a, b, c):
+                o = fa.flash_attention(a, b, c, causal=True, block_q=128,
+                                       block_k=128, block_k_inner=inner,
+                                       interpret=True)
+                return jnp.sum(o ** 2)
+            return f
+
+        g0 = jax.grad(loss(None), argnums=(0, 1, 2))(q, k, v)
+        g1 = jax.grad(loss(64), argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g0, g1):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-5, rtol=2e-5)
+
+    def test_degenerate_split_falls_back(self):
+        # block_k_inner that doesn't divide block_k → single-tile behavior
+        q, k, v = make_qkv(b=1, h=1, sq=256, skv=256, d=32)
+        out = fa.flash_attention(q, k, v, causal=True, block_q=128,
+                                 block_k=128, block_k_inner=96,
+                                 interpret=True)
+        ref = fa.reference_attention(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-3, rtol=1e-3)
+
+
 class TestArbitraryLengths:
     """Sequence lengths that do NOT divide the block sizes are auto-padded
     with segment −1 inside flash_attention (the reference's cu_seqlens API

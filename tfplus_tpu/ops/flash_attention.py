@@ -92,7 +92,7 @@ def _dropout_keep_dense(seed, b: int, h: int, sq: int, skv: int,
 def _fwd_kernel(qseg_ref, kseg_ref, seed_ref, q_ref, k_ref, v_ref,
                 *out_and_scratch,
                 causal, sm_scale, block_q, block_k, kv_len, mask_value,
-                use_segments, save_residuals, p_dropout):
+                use_segments, save_residuals, p_dropout, block_k_inner=None):
     # l/m residuals are only materialised on the VJP path — the plain
     # forward call skips two [B,H,S,LANES] f32 HBM writes (they dominated
     # fwd-only time: 512 MB/call at the bench shape)
@@ -112,54 +112,65 @@ def _fwd_kernel(qseg_ref, kseg_ref, seed_ref, q_ref, k_ref, v_ref,
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
+    # inner-K split (the official kernel's two-level K structure): the grid
+    # step still DMAs one block_k-wide K/V block, but the MXU/VPU work runs
+    # over statically-unrolled block_k_inner sub-tiles with the m/l/acc
+    # carry in REGISTERS — scratch is read/written once per grid step and
+    # Mosaic can overlap sub-tile t's softmax VPU work with t+1's matmul.
+    bki = block_k_inner or block_k
+    k_splits = block_k // bki
+
     def _run(apply_causal_mask):
         # feed native (bf16) operands to the MXU, accumulate f32 — casting
         # to f32 first would force 4-8x slower f32 MXU passes
         q = q_ref[0, 0]                              # [bq, d]
-        k = k_ref[0, 0]                              # [bk, d]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        if sm_scale != 1.0:
-            s = s * sm_scale
-
-        mask = None
-        if apply_causal_mask:
-            row = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0) \
-                + q_idx * block_q
-            col = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1) \
-                + kv_idx * block_k
-            mask = col <= row
-        if use_segments:
-            qs = qseg_ref[0, 0]                       # [bq]
-            ks = kseg_ref[0, 0]                       # [bk]
-            seg = (qs[:, None] == ks[None, :]) & (qs[:, None] >= 0) \
-                & (ks[None, :] >= 0)
-            mask = seg if mask is None else (mask & seg)
-        if mask is not None:
-            s = s + jnp.where(mask, 0.0, mask_value)
+        qs = qseg_ref[0, 0] if use_segments else None
 
         m_prev = m_scr[...]                           # [bq, LANES]
         l_prev = l_scr[...]
-        m_curr = jnp.max(s, axis=1)[:, None]          # [bq, 1]
-        m_next = jnp.maximum(m_prev, m_curr)          # broadcast to [bq, LANES]
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next[:, :1])                # [bq, bk]
-        l_corr = alpha * l_prev
-        # l (the lse residual) accumulates PRE-dropout probabilities —
-        # dropout only gates the value accumulation (flash-attn v1 order)
-        l_next = l_corr + jnp.sum(p, axis=1)[:, None]
-        m_scr[...] = m_next
-        l_scr[...] = l_next
-
-        if p_dropout > 0.0:
-            keep = _dropout_keep(seed_ref[0], bi, hi, q_idx * block_q,
-                                 kv_idx * block_k, block_q, block_k,
-                                 p_dropout)
-            p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - p_dropout))
-        acc_scr[...] = acc_scr[...] * alpha[:, :1]
-        v = v_ref[0, 0]
-        acc_scr[...] += jax.lax.dot(p.astype(v.dtype), v,
+        acc = acc_scr[...]
+        for j in range(k_splits):
+            k = k_ref[0, 0][j * bki:(j + 1) * bki]    # [bki, d] static slice
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
+            if sm_scale != 1.0:
+                s = s * sm_scale
+
+            col0 = kv_idx * block_k + j * bki
+            mask = None
+            if apply_causal_mask:
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, bki), 0) + q_idx * block_q
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, bki), 1) + col0
+                mask = col <= row
+            if use_segments:
+                ks = kseg_ref[0, 0][j * bki:(j + 1) * bki]   # [bki]
+                seg = (qs[:, None] == ks[None, :]) & (qs[:, None] >= 0) \
+                    & (ks[None, :] >= 0)
+                mask = seg if mask is None else (mask & seg)
+            if mask is not None:
+                s = s + jnp.where(mask, 0.0, mask_value)
+
+            m_curr = jnp.max(s, axis=1)[:, None]      # [bq, 1]
+            m_next = jnp.maximum(m_prev, m_curr)      # broadcast [bq, LANES]
+            alpha = jnp.exp(m_prev - m_next)
+            p = jnp.exp(s - m_next[:, :1])            # [bq, bki]
+            # l (the lse residual) accumulates PRE-dropout probabilities —
+            # dropout only gates the value accumulation (flash-attn v1 order)
+            l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
+
+            if p_dropout > 0.0:
+                keep = _dropout_keep(seed_ref[0], bi, hi, q_idx * block_q,
+                                     col0, block_q, bki, p_dropout)
+                p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - p_dropout))
+            v = v_ref[0, 0][j * bki:(j + 1) * bki]    # [bki, d]
+            acc = acc * alpha[:, :1] + jax.lax.dot(
+                p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+            m_prev, l_prev = m_next, l_next
+        m_scr[...] = m_prev
+        l_scr[...] = l_prev
+        acc_scr[...] = acc
 
     if causal:
         # run only tiles touching/below the diagonal; pay the iota-mask VPU
@@ -294,9 +305,9 @@ _SINGLE_STEP_MAX_KV = 4096
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sm_scale", "block_q", "block_k", "interpret",
-                     "save_residuals", "p_dropout"))
+                     "save_residuals", "p_dropout", "block_k_inner"))
 def _fwd(q, k, v, q_seg, kv_seg, seed, *, causal, sm_scale, block_q, block_k,
-         interpret, save_residuals=True, p_dropout=0.0):
+         interpret, save_residuals=True, p_dropout=0.0, block_k_inner=None):
     b, h, sq, d = q.shape
     skv = k.shape[2]
     block_q = min(block_q, sq)
@@ -305,6 +316,9 @@ def _fwd(q, k, v, q_seg, kv_seg, seed, *, causal, sm_scale, block_q, block_k,
         raise ValueError(
             f"sequence lengths ({sq}, {skv}) must be divisible by block sizes "
             f"({block_q}, {block_k}) — pad with segment_id=-1")
+    if block_k_inner and (block_k_inner > block_k
+                          or block_k % block_k_inner):
+        block_k_inner = None            # degenerate split → single tile
     grid = (b, h, sq // block_q, skv // block_k)
     use_segments = q_seg is not None
     if q_seg is None:
@@ -318,7 +332,7 @@ def _fwd(q, k, v, q_seg, kv_seg, seed, *, causal, sm_scale, block_q, block_k,
         _fwd_kernel, causal=causal, sm_scale=sm_scale, block_q=block_q,
         block_k=block_k, kv_len=skv, mask_value=DEFAULT_MASK_VALUE,
         use_segments=use_segments, save_residuals=save_residuals,
-        p_dropout=p_dropout)
+        p_dropout=p_dropout, block_k_inner=block_k_inner)
 
     lm_specs = [
         pl.BlockSpec((1, 1, block_q, _LANES), lambda bi, hi, qi, ki: (bi, hi, qi, 0)),
@@ -680,7 +694,8 @@ def reference_attention(q, k, v, *, causal=False, sm_scale=None,
 
 
 def _fwd_dispatch(q, k, v, q_seg, kv_seg, seed, causal, sm_scale, block_q,
-                  block_k, interpret, save_residuals, p_dropout=0.0):
+                  block_k, interpret, save_residuals, p_dropout=0.0,
+                  block_k_inner=None):
     """Route to the single-step kernel when the whole KV sequence fits one
     VMEM block and there is no causal tile-skipping to exploit (causal
     measured FASTER tiled: skipping above-diagonal tiles outweighs the
@@ -693,29 +708,31 @@ def _fwd_dispatch(q, k, v, q_seg, kv_seg, seed, causal, sm_scale, block_q,
     return _fwd(q, k, v, q_seg, kv_seg, seed, causal=causal,
                 sm_scale=sm_scale, block_q=block_q, block_k=block_k,
                 interpret=interpret, save_residuals=save_residuals,
-                p_dropout=p_dropout)
+                p_dropout=p_dropout, block_k_inner=block_k_inner)
 
 
 @functools.partial(jax.custom_vjp,
-                   nondiff_argnums=(6, 7, 8, 9, 10, 11))
+                   nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
 def _flash(q, k, v, q_seg, kv_seg, seed, causal, sm_scale, block_q, block_k,
-           interpret, p_dropout):
+           interpret, p_dropout, block_k_inner=None):
     out, _, _ = _fwd_dispatch(q, k, v, q_seg, kv_seg, seed, causal, sm_scale,
                               block_q, block_k, interpret,
-                              save_residuals=False, p_dropout=p_dropout)
+                              save_residuals=False, p_dropout=p_dropout,
+                              block_k_inner=block_k_inner)
     return out
 
 
 def _flash_fwd(q, k, v, q_seg, kv_seg, seed, causal, sm_scale, block_q,
-               block_k, interpret, p_dropout):
+               block_k, interpret, p_dropout, block_k_inner=None):
     out, l, m = _fwd_dispatch(q, k, v, q_seg, kv_seg, seed, causal, sm_scale,
                               block_q, block_k, interpret,
-                              save_residuals=True, p_dropout=p_dropout)
+                              save_residuals=True, p_dropout=p_dropout,
+                              block_k_inner=block_k_inner)
     return out, (q, k, v, q_seg, kv_seg, seed, out, l, m)
 
 
 def _flash_bwd(causal, sm_scale, block_q, block_k, interpret, p_dropout,
-               res, do):
+               block_k_inner, res, do):
     """Standard flash backward from (o, l, m) residuals:
     p = exp(s−m)/l; di = Σ(do·o); ds = p∘(do·vᵀ − di); dq = ds·k; dk = dsᵀ·q;
     dv = p_dᵀ·do (cf. the reference backward consuming softmax_lse +
@@ -815,6 +832,7 @@ def flash_attention(q, k, v, *, causal: bool = False,
                     sm_scale: Optional[float] = None,
                     q_segment_ids=None, kv_segment_ids=None,
                     block_q: int = 1024, block_k: int = 1024,
+                    block_k_inner: Optional[int] = None,
                     p_dropout: float = 0.0, dropout_seed=0,
                     interpret: Optional[bool] = None):
     """Blockwise flash attention.
@@ -853,17 +871,20 @@ def flash_attention(q, k, v, *, causal: bool = False,
             q, k, v, q_segment_ids, kv_segment_ids, block_q, block_k)
         out = _flash(q, k, v, q_segment_ids, kv_segment_ids,
                      _seed_array(dropout_seed), causal, sm_scale,
-                     block_q, block_k, interpret, float(p_dropout))
+                     block_q, block_k, interpret, float(p_dropout),
+                     block_k_inner)
         return out[:, :, :sq]
     return _flash(q, k, v, q_segment_ids, kv_segment_ids,
                   _seed_array(dropout_seed), causal, sm_scale,
-                  block_q, block_k, interpret, float(p_dropout))
+                  block_q, block_k, interpret, float(p_dropout),
+                  block_k_inner)
 
 
 def flash_attention_with_lse(q, k, v, *, causal: bool = False,
                              sm_scale: Optional[float] = None,
                              q_segment_ids=None, kv_segment_ids=None,
                              block_q: int = 1024, block_k: int = 1024,
+                             block_k_inner: Optional[int] = None,
                              p_dropout: float = 0.0, dropout_seed=0,
                              interpret: Optional[bool] = None):
     """Forward pass returning ``(out, softmax_lse)`` — the reference
@@ -885,7 +906,8 @@ def flash_attention_with_lse(q, k, v, *, causal: bool = False,
     out, l, m = _fwd_dispatch(q, k, v, q_segment_ids, kv_segment_ids,
                               _seed_array(dropout_seed), causal, sm_scale,
                               block_q, block_k, interpret,
-                              save_residuals=True, p_dropout=float(p_dropout))
+                              save_residuals=True, p_dropout=float(p_dropout),
+                              block_k_inner=block_k_inner)
     lse = jnp.where(l > 0.0, m + jnp.log(jnp.where(l > 0.0, l, 1.0)),
                     -jnp.inf)
     return out[:, :, :sq], lse[:, :, :sq]
