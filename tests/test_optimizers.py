@@ -900,32 +900,57 @@ class TestHalfValueDtypeGolden:
     """fp16/bf16 value_dtype through the SAME golden harness (the reference
     registers half optimizer kernels — kv_variable_ops.cc:153-156,
     training_ops.cc's V=Eigen::half instantiations). Update math runs in
-    f32 (rules upcast), only the stored var rows are half — tolerance is
-    the half-precision storage error, not a looser math bar."""
+    f32 (rules upcast) but EVERYTHING stored — var rows AND the optimizer
+    slots, which live in the same half payload — re-quantizes every step.
+    The numpy twin emulates that store/load rounding exactly, so the
+    tolerance is a couple of final-store ulps (rounding-decision flips from
+    f32 association order), not an accumulated-drift allowance. Uses a
+    LOCAL RandomState: the module-level RNG stream position depends on
+    which tests ran before, and this comparison's margin is data-dependent."""
 
-    @pytest.mark.parametrize("vdt,tol", [("float16", 2e-3),
-                                         ("bfloat16", 1.6e-2)])
+    @staticmethod
+    def _cast(x, vdt):
+        """Round-trip through the storage dtype with XLA's own rounding."""
+        return np.asarray(jnp.asarray(np.asarray(x, np.float32),
+                                      jnp.dtype(vdt)), np.float32)
+
+    @pytest.mark.parametrize("vdt,tol", [("float16", 1e-3),
+                                         ("bfloat16", 8e-3)])
     def test_adam_matches_dense_reference(self, vdt, tol):
-        init = RNG.randn(N, DIM).astype(np.float32) * 0.5
-        grads = [RNG.randn(N, DIM).astype(np.float32) for _ in range(STEPS)]
-        # quantize the start point the same way the table will store it
-        init_h = np.asarray(jnp.asarray(init, jnp.dtype(vdt)), np.float32)
-        got = run_sparse(tft.AdamOptimizer(), grads, 0.01, init,
+        rng = np.random.RandomState(42)
+        init = rng.randn(N, DIM).astype(np.float32) * 0.5
+        grads = [rng.randn(N, DIM).astype(np.float32) for _ in range(STEPS)]
+        cast = lambda x: self._cast(x, vdt)
+        b1, b2, eps, lr = 0.9, 0.999, 1e-8, 0.01
+        var = cast(init)
+        m = np.zeros_like(var)
+        v = np.zeros_like(var)
+        for t, g in enumerate(grads, start=1):
+            # f32 math on the upcast stored state, like the fused rule;
+            # the update consumes the UNROUNDED new m/v (they round only
+            # when stored back to the payload for the next step)
+            m_f = b1 * m + (1 - b1) * g
+            v_f = b2 * v + (1 - b2) * g * g
+            lr_t = lr * np.sqrt(1 - b2 ** t) / (1 - b1 ** t)
+            var = cast(var - lr_t * m_f / (eps + np.sqrt(v_f)))
+            m, v = cast(m_f), cast(v_f)
+        got = run_sparse(tft.AdamOptimizer(), grads, lr, init,
                          value_dtype=jnp.dtype(vdt))
-        want = TestAdamFamily().np_adam(init_h, grads, lr=0.01)
-        np.testing.assert_allclose(got, want, atol=tol)
+        np.testing.assert_allclose(got, var, atol=tol)
 
-    @pytest.mark.parametrize("vdt,tol", [("float16", 2e-3),
-                                         ("bfloat16", 1.6e-2)])
+    @pytest.mark.parametrize("vdt,tol", [("float16", 1e-3),
+                                         ("bfloat16", 8e-3)])
     def test_adagrad_matches_dense_reference(self, vdt, tol):
-        init = RNG.randn(N, DIM).astype(np.float32) * 0.5
-        grads = [RNG.randn(N, DIM).astype(np.float32) for _ in range(STEPS)]
-        init_h = np.asarray(jnp.asarray(init, jnp.dtype(vdt)), np.float32)
-        var = init_h.copy()
+        rng = np.random.RandomState(43)
+        init = rng.randn(N, DIM).astype(np.float32) * 0.5
+        grads = [rng.randn(N, DIM).astype(np.float32) for _ in range(STEPS)]
+        cast = lambda x: self._cast(x, vdt)
+        var = cast(init)
         accum = np.full_like(var, 0.1)
         for g in grads:
-            accum += g * g
-            var -= 0.05 * g / np.sqrt(accum)
+            acc_f = accum + g * g
+            var = cast(var - 0.05 * g / np.sqrt(acc_f))
+            accum = cast(acc_f)
         got = run_sparse(tft.AdagradOptimizer(), grads, 0.05, init,
                          value_dtype=jnp.dtype(vdt))
         np.testing.assert_allclose(got, var, atol=tol)

@@ -109,8 +109,15 @@ class SparseOptimizer:
         else:
             state = jnp.zeros((n, 0), dtype=var.dtype)
 
+        # Update math runs in f32 regardless of the storage dtype: half
+        # payloads (fp16/bf16) upcast for the rule and round ONCE at the
+        # store below — per-op half rounding loses v's small-increment
+        # accumulation entirely (bf16 has 7 mantissa bits; (1-b2)·g² terms
+        # fall below v's half-ulp within a few steps). Costs nothing on
+        # TPU: the VPU computes in f32 anyway.
         new_var, new_state, black = self.rule.update(
-            var, state, grads.astype(var.dtype), lr=lr, step=step, extra=extra)
+            var.astype(jnp.float32), state.astype(jnp.float32),
+            grads.astype(jnp.float32), lr=lr, step=step, extra=extra)
 
         idx = jnp.where(ok, slot_idx, cap)  # OOB rows dropped
         # ONE wide scatter writes variable + slot state together (random row
