@@ -89,6 +89,17 @@ def _dropout_keep_dense(seed, b: int, h: int, sq: int, skv: int,
     return x >= thresh
 
 
+def _tile_lanes(x: jnp.ndarray, width: int) -> jnp.ndarray:
+    """Repeat a lane-replicated [rows, LANES] stat register out to
+    ``width`` lanes (identity when width == LANES; falls back to the
+    sub-lane broadcast when width doesn't tile evenly)."""
+    if width == _LANES:
+        return x
+    if width % _LANES == 0:
+        return jnp.tile(x, (1, width // _LANES))
+    return x[:, :1]
+
+
 def _fwd_kernel(qseg_ref, kseg_ref, seed_ref, q_ref, k_ref, v_ref,
                 *out_and_scratch,
                 causal, sm_scale, block_q, block_k, kv_len, mask_value,
@@ -155,7 +166,11 @@ def _fwd_kernel(qseg_ref, kseg_ref, seed_ref, q_ref, k_ref, v_ref,
             m_curr = jnp.max(s, axis=1)[:, None]      # [bq, 1]
             m_next = jnp.maximum(m_prev, m_curr)      # broadcast [bq, LANES]
             alpha = jnp.exp(m_prev - m_next)
-            p = jnp.exp(s - m_next[:, :1])            # [bq, bki]
+            # subtract a TILED lane-replicated m (full-register repeat)
+            # instead of broadcasting the [bq, 1] sub-lane slice — Mosaic
+            # lowers the 1-lane broadcast to a per-use lane splat, measured
+            # slower than register tiling (official-kernel idiom)
+            p = jnp.exp(s - _tile_lanes(m_next, bki))  # [bq, bki]
             # l (the lse residual) accumulates PRE-dropout probabilities —
             # dropout only gates the value accumulation (flash-attn v1 order)
             l_next = alpha * l_prev + jnp.sum(p, axis=1)[:, None]
@@ -165,7 +180,7 @@ def _fwd_kernel(qseg_ref, kseg_ref, seed_ref, q_ref, k_ref, v_ref,
                                      col0, block_q, bki, p_dropout)
                 p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - p_dropout))
             v = v_ref[0, 0][j * bki:(j + 1) * bki]    # [bki, d]
-            acc = acc * alpha[:, :1] + jax.lax.dot(
+            acc = acc * _tile_lanes(alpha, acc.shape[1]) + jax.lax.dot(
                 p.astype(v.dtype), v, preferred_element_type=jnp.float32)
             m_prev, l_prev = m_next, l_next
         m_scr[...] = m_prev
@@ -186,13 +201,17 @@ def _fwd_kernel(qseg_ref, kseg_ref, seed_ref, q_ref, k_ref, v_ref,
 
     @pl.when(kv_idx == (kv_len // block_k) - 1)
     def _store():
-        l = l_scr[...][:, :1]
+        l = l_scr[...]                                # [bq, LANES] replicated
         l_inv = jnp.where(l == 0.0, 1.0, 1.0 / l)
         # rows with no un-masked key ever (padding / empty segments) still
         # accumulate exp(mask_value - mask_value) = 1 terms; their running
         # max stays at mask_value — force their output to zero
-        never_hit = m_scr[...][:, :1] <= (0.5 * mask_value)
-        o = jnp.where(never_hit, 0.0, acc_scr[...] * l_inv)
+        d_out = acc_scr.shape[1]
+        # tile the f32 stat FIRST, compare after — Mosaic can't relayout
+        # sub-32-bit (bool) vectors (same constraint as _p_from_stats)
+        never_hit = _tile_lanes(m_scr[...], d_out) <= (0.5 * mask_value)
+        o = jnp.where(never_hit, 0.0,
+                      acc_scr[...] * _tile_lanes(l_inv, d_out))
         o_ref[0, 0] = o.astype(o_ref.dtype)
         if save_residuals:
             l_ref[0, 0] = jnp.where(never_hit, 0.0,
