@@ -123,16 +123,19 @@ def bench_flash_attention(grad=False, reps=REPS):
     return out
 
 
-def _build_bench_dcn(n_tab=6, bs=2048):
+def _build_bench_dcn(n_tab=6, bs=2048, capacity=1 << 14):
     """The headline DCN config (6 x 32d tables + cross net, batch 2048,
-    GroupAdam) shared by the compute-only and end-to-end legs."""
+    GroupAdam) shared by the compute-only and end-to-end legs.
+    ``capacity`` must hold the id stream's uniques under the grow
+    threshold — an overfull table turns every step into a miss-path
+    re-insert (measured 17 ms/step vs 0.9; the round-5 e2e fix)."""
     import optax
     from tfplus_tpu import kv, train as tft
     from tfplus_tpu.models import DCN, init_state, make_train_step
     model = DCN(uniform_dim=32, num_numeric=13, dnn_hidden=(256, 128),
-                capacity=1 << 14)
+                capacity=capacity)
     model.embedding_dims = (32,) * n_tab
-    model.table_specs = {f"C{i+1}": dict(dim=32, capacity=1 << 14)
+    model.table_specs = {f"C{i+1}": dict(dim=32, capacity=capacity)
                          for i in range(n_tab)}
     model.input_dim = 32 * n_tab + 13
     opt = tft.GroupAdamOptimizer()
@@ -233,9 +236,16 @@ def bench_dcn_end_to_end(reps=REPS):
         number below: the axon tunnel uploads at ~60 s/GB, ~500x slower
         than the PCIe/DMA path of a locally attached TPU.
       * dcn_end_to_end_examples_per_s — cache -> encode -> device_put ->
-        train step, chained with async dispatch (the real serving pattern);
-        on this rig the upload leg dominates, so this measures the TUNNEL,
-        not the design — PERF.md round-5 decomposes it.
+        train step, chained with async dispatch (per-step feed);
+      * ..._packed_... — whole batch crosses as ONE int32 buffer
+        (data/feed.py), unpacked inside the jitted step;
+      * ..._scan16_... — 16 train steps per dispatch over a stacked packed
+        buffer (make_train_step_scan, the TPU iterations_per_loop idiom).
+    Tables are sized for the stream's uniques and warmed with one full
+    epoch first: an overfull table re-runs the miss path every step
+    (measured 17 ms/step vs 0.9 — the round-5 correction), which measures
+    insert cost, not steady-state training. On this rig the steady state
+    is tunnel-upload/RPC bound; PERF.md round-5 decomposes the budget.
     """
     import jax
     import jax.numpy as jnp
@@ -281,16 +291,59 @@ def bench_dcn_end_to_end(reps=REPS):
         h2d_runs.append(up.nbytes / (time.perf_counter() - t0) / 1e9)
 
     # --- end to end: cache -> encode -> upload -> step --------------------
-    model, opt, tx, state = _build_bench_dcn(n_tab, bs)
+    import functools
+    from tfplus_tpu.data import make_packed_feed
+    from tfplus_tpu.utils import packing as _pk
+
+    # capacity holds the stream's per-table uniques (~100k for the bench
+    # cache) below the grow threshold — see the docstring correction note
+    model, opt, tx, state = _build_bench_dcn(n_tab, bs, capacity=1 << 18)
     step = make_train_step(model, opt, tx, sparse_lr=1e-3)
+    raw_step = make_train_step(model, opt, tx, sparse_lr=1e-3, jit=False)
     first = feed(next(cache.batches(bs)))
-    state, _, _ = step(state, jax.device_put(first))   # compile
+    pack, unpack = make_packed_feed(first)
+    day = jnp.uint32(_pk.current_day() % (1 << 13))
+    K = 16
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def packed_step(state, flat, day):
+        return raw_step(state, unpack(flat), day)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def scan_packed(state, flat, day):
+        def body(s, f):
+            s2, loss, _ = raw_step(s, unpack(f), day)
+            return s2, loss
+        return jax.lax.scan(body, state, flat)
+
+    def stack_packed(bs_iter):
+        return np.stack([pack(feed(b)) for b in bs_iter])
 
     def sync(s):
         np.asarray(jax.device_get(s.tables["C1"].meta[:8]))
 
+    # compile all three programs, then WARM: one full epoch of inserts so
+    # the timed windows measure steady-state training, not first-contact
+    # insert streaming
+    state, _, _ = step(state, jax.device_put(first))
+    state, _, _ = packed_step(state, jnp.asarray(pack(first)), day)
+    state, _ = scan_packed(
+        state, jnp.asarray(stack_packed(
+            cache.batches(bs, max_batches=K, loop=True))), day)
+    epoch = []
+    chunk = []
+    for b in cache.batches(bs, max_batches=None, loop=False):
+        chunk.append(b)
+        if len(chunk) == K:
+            epoch.append(np.stack([pack(feed(x)) for x in chunk]))
+            chunk = []
+    for s_ in epoch:
+        state, _ = scan_packed(state, jax.device_put(s_), day)
+    for b in chunk:                      # epoch tail (< K batches)
+        state, _, _ = step(state, jax.device_put(feed(b)))
     sync(state)
     rtt = _measure_rtt(sync, state)
+
     e2e_runs = []
     window = 60
     for _ in range(reps):
@@ -302,10 +355,36 @@ def bench_dcn_end_to_end(reps=REPS):
         sync(state)
         e2e_runs.append(tot / max(time.perf_counter() - t0 - rtt, 1e-9))
 
+    packed_runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        tot = 0
+        for b in cache.batches(bs, max_batches=window, loop=True):
+            state, _, _ = packed_step(state, jax.device_put(pack(feed(b))),
+                                      day)
+            tot += bs
+        sync(state)
+        packed_runs.append(tot / max(time.perf_counter() - t0 - rtt, 1e-9))
+
+    scan_runs = []
+    dispatches = max(window // K, 2)
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        tot = 0
+        for _ in range(dispatches):
+            flat = stack_packed(cache.batches(bs, max_batches=K, loop=True))
+            state, _ = scan_packed(state, jax.device_put(flat), day)
+            tot += bs * K
+        sync(state)
+        scan_runs.append(tot / max(time.perf_counter() - t0 - rtt, 1e-9))
+
     return {
         "input_pipeline_rows_per_s": _stats(pipe_runs),
         "host_to_device_gbps": _stats(h2d_runs),
         "dcn_end_to_end_examples_per_s": _stats(e2e_runs),
+        "dcn_end_to_end_packed_examples_per_s": _stats(packed_runs),
+        "dcn_end_to_end_scan16_examples_per_s": _stats(scan_runs),
+        "steps_per_dispatch": K,
         "batch_bytes": int(bs * (n_tab * 8 + 13 * 4 + 4)),
     }
 

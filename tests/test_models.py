@@ -382,3 +382,95 @@ class TestDayStamping:
         t2, evicted = kvt.delete_with_timestamp(state.tables["user"], 30,
                                                 packing.current_day())
         assert int(jax.device_get(jnp.sum(evicted))) == 0
+
+
+class TestScanStep:
+    """make_train_step_scan: K steps per dispatch (the TPU
+    iterations_per_loop idiom) must be numerically IDENTICAL to K
+    sequential single steps — same dedup, same optimizer math, same day
+    stamping — and compose with the packed one-buffer feed."""
+
+    def _setup(self, n_tab=3, bs=64):
+        model = DCN(uniform_dim=8, num_numeric=13, dnn_hidden=(16,),
+                    capacity=1 << 10)
+        model.embedding_dims = (8,) * n_tab
+        model.table_specs = {f"C{i+1}": dict(dim=8, capacity=1 << 10)
+                             for i in range(n_tab)}
+        model.input_dim = 8 * n_tab + 13
+        opt = tft.GroupAdamOptimizer()
+        tx = optax.adam(1e-3)
+        return model, opt, tx
+
+    def _batches(self, n_tab, bs, k, seed=0):
+        rng = np.random.RandomState(seed)
+        out = []
+        for _ in range(k):
+            out.append({
+                "ids": {f"C{i+1}": np.asarray(kv.encode_ids_np_to_device(
+                    rng.randint(1, 300, (bs,)).astype(np.int64)))
+                    for i in range(n_tab)},
+                "features": rng.randn(bs, 13).astype(np.float32),
+                "labels": rng.randint(0, 2, (bs,)).astype(np.float32),
+            })
+        return out
+
+    def test_matches_sequential_single_steps(self):
+        from tfplus_tpu.models import make_train_step_scan
+        model, opt, tx = self._setup()
+        k = 4
+        batches = self._batches(3, 64, k)
+
+        s1 = init_state(model, opt, tx, seed=0)
+        step = make_train_step(model, opt, tx, sparse_lr=1e-2, donate=False)
+        single_losses = []
+        for b in batches:
+            s1, loss, _ = step(s1, b)
+            single_losses.append(float(loss))
+
+        s2 = init_state(model, opt, tx, seed=0)
+        scan_step = make_train_step_scan(model, opt, tx, sparse_lr=1e-2,
+                                         donate=False)
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
+        s2, losses = scan_step(s2, stacked)
+        np.testing.assert_allclose(np.asarray(losses), single_losses,
+                                   rtol=2e-5, atol=2e-6)
+        for name in s1.tables:
+            np.testing.assert_allclose(np.asarray(s1.tables[name].payload),
+                                       np.asarray(s2.tables[name].payload),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_composes_with_packed_feed(self):
+        from tfplus_tpu.data import make_packed_feed
+        from tfplus_tpu.models import make_train_step_scan
+        from tfplus_tpu.models.common import make_train_step as _mts
+        from tfplus_tpu.utils import packing as _pk
+        import functools
+
+        model, opt, tx = self._setup()
+        k = 3
+        batches = self._batches(3, 64, k, seed=7)
+        pack, unpack = make_packed_feed(batches[0])
+        flat = np.stack([pack(b) for b in batches])        # [K, words]
+
+        raw = _mts(model, opt, tx, sparse_lr=1e-2, jit=False)
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scan_packed(state, flat, day):
+            def body(s, f):
+                s2, loss, _ = raw(s, unpack(f), day)
+                return s2, loss
+            return jax.lax.scan(body, state, flat)
+
+        day = jnp.uint32(_pk.current_day() % (1 << 13))
+        s0 = init_state(model, opt, tx, seed=0)
+        s_packed, losses_packed = scan_packed(s0, jnp.asarray(flat), day)
+
+        s1 = init_state(model, opt, tx, seed=0)
+        step = make_train_step(model, opt, tx, sparse_lr=1e-2, donate=False)
+        want = []
+        for b in batches:
+            s1, loss, _ = step(s1, b)
+            want.append(float(loss))
+        np.testing.assert_allclose(np.asarray(losses_packed), want,
+                                   rtol=2e-5, atol=2e-6)

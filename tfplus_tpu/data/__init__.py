@@ -1,1 +1,2 @@
-from . import criteo, synthetic
+from . import criteo, feed, synthetic
+from .feed import make_packed_feed

@@ -271,6 +271,43 @@ def make_train_step(model: SparseModel, sparse_opt: SparseOptimizer,
     return step
 
 
+def make_train_step_scan(model: SparseModel, sparse_opt: SparseOptimizer,
+                         dense_tx: optax.GradientTransformation, *,
+                         sparse_lr: float, donate: bool = True) -> Callable:
+    """Multi-step-per-dispatch trainer: ``step(state, batches) ->
+    (state, losses)`` runs ``lax.scan`` over a batch pytree with a leading
+    ``[K]`` axis — K train steps in ONE dispatch.
+
+    This is the TPU host-loop idiom (TF's ``iterations_per_loop`` /
+    TPUEstimator train loop, which the reference inherits through
+    Estimator training — example/dcn/train.py): per-dispatch overhead
+    (RPC latency on fabric/tunnel rigs, host scheduling on local ones)
+    amortizes over K steps, and one stacked host→device transfer replaces
+    K per-step transfers. Combine with ``data.make_packed_feed`` (stack
+    the packed buffers to ``[K, words]``) for one upload per K steps.
+
+    Growth cannot happen mid-scan (shapes are static inside jit) — call
+    ``grow_if_needed(state, K * max_unique_per_batch)`` between dispatches,
+    exactly like the single-step path but with the K-step horizon.
+    """
+    raw = make_train_step(model, sparse_opt, dense_tx, sparse_lr=sparse_lr,
+                          jit=False)
+
+    def multi(state: TrainState, batches, day):
+        def body(s, b):
+            s2, loss, _ = raw(s, b, day)
+            return s2, loss
+        return jax.lax.scan(body, state, batches)
+
+    jitted = jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+    def step(state, batches):
+        return jitted(state, batches,
+                      jnp.uint32(packing.current_day() % (1 << 13)))
+
+    return step
+
+
 def grow_if_needed(state: TrainState, incoming_per_table: int) -> TrainState:
     """Host-side between-steps growth check for every table."""
     tables = dict(state.tables)
