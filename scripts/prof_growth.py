@@ -78,16 +78,22 @@ def measure_shape(label, capacity, dim, fill_frac, reps=3):
     # rehash-only: the pure device-side bulk rebuild. The FIRST call pays
     # compilation — and a real training run recompiles at EVERY growth
     # event (each capacity is a new shape), so first-call time IS the
-    # realistic stall unless a persistent compilation cache is configured;
-    # report both.
-    rehash_ms = []
-    for _ in range(reps + 1):
-        t0 = time.perf_counter()
-        out = kvt._rehash(t, capacity * 2)
-        sync(out)
-        rehash_ms.append((time.perf_counter() - t0 - rtt) * 1e3)
-        del out
-    rehash_first, rehash_ms = rehash_ms[0], rehash_ms[1:]
+    # realistic stall unless a persistent compilation cache is configured
+    # (TFPLUS_TPU_COMPILE_CACHE); report both. Measures the SHIPPING
+    # doubling path (bucket-split permutation, round 5) and the generic
+    # claim rehash it replaced.
+    def timed_calls(fn):
+        ms = []
+        for _ in range(reps + 1):
+            t0 = time.perf_counter()
+            out = fn(t, capacity * 2)
+            sync(out)
+            ms.append((time.perf_counter() - t0 - rtt) * 1e3)
+            del out
+        return ms[0], ms[1:]
+
+    rehash_first, rehash_ms = timed_calls(kvt._rehash_fast)
+    generic_first, generic_ms = timed_calls(kvt._rehash)
     # grow() total: what a training loop actually pauses for (includes the
     # lost-row verification device_gets)
     grow_ms = []
@@ -109,6 +115,10 @@ def measure_shape(label, capacity, dim, fill_frac, reps=3):
         "rehash_first_call_ms": round(rehash_first, 1),
         "rehash_only_ms": {"median": round(med(rehash_ms), 1),
                            "runs": [round(x, 1) for x in rehash_ms]},
+        "generic_claim_rehash_ms": {"median": round(med(generic_ms), 1),
+                                    "runs": [round(x, 1)
+                                             for x in generic_ms],
+                                    "first_call_ms": round(generic_first, 1)},
         "grow_total_ms": {"median": round(med(grow_ms), 1),
                           "runs": [round(x, 1) for x in grow_ms]},
         # amortization: stall per row of NEW capacity bought (2x growth

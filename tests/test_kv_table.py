@@ -265,6 +265,64 @@ class TestGrow:
                                    np.arange(8.0))
 
 
+class TestDoublingRehash:
+    """The round-5 bucket-split doubling rehash (kv/table._rehash_double):
+    one sort + one scatter instead of the multi-round claim loop. Must be
+    a row-exact rebuild: every live row findable at the new capacity with
+    identical payload, meta (freq/day/flags) and slot state; tombstones
+    compacted away."""
+
+    def test_matches_generic_rehash_semantics(self):
+        from tfplus_tpu.kv import table as kvt
+        rng = np.random.RandomState(0)
+        for seed in range(4):
+            t = kv.create(8, 512, seed=seed)
+            t = kv.ensure_slots(t, {"acc": 1})
+            n = 300
+            raw = rng.randint(1, 1 << 60, n).astype(np.uint64)
+            raw = np.unique(raw)
+            q = kv.encode_ids_np_to_device(raw)
+            t = kv.lookup_or_insert(
+                t, q, counts=jnp.full((len(raw),), 3, jnp.int32)).table
+            # delete a third (tombstones must compact away on growth)
+            dead = q[::3]
+            t, _ = kvt.delete(t, dead)
+            live = np.asarray(
+                [i for i in range(len(raw)) if i % 3 != 0], np.int64)
+            q_live = q[live]
+            vals_before = np.asarray(kv.lookup_or_zeros(t, q_live))
+            cnt_before = np.asarray(kv.get_count(t, q_live))
+            size_before = int(kv.size(t))
+
+            fast = kvt._rehash_double(t, t.capacity * 2)
+            generic = kvt._rehash(t, t.capacity * 2)
+            for out, name in ((fast, "fast"), (generic, "generic")):
+                assert out.capacity == t.capacity * 2, name
+                assert int(kv.size(out)) == size_before, name
+                np.testing.assert_allclose(
+                    np.asarray(kv.lookup_or_zeros(out, q_live)),
+                    vals_before, err_msg=name)
+                np.testing.assert_array_equal(
+                    np.asarray(kv.get_count(out, q_live)), cnt_before,
+                    err_msg=name)
+                # deleted keys stay gone
+                fr = kv.find(out, dead)
+                assert not bool(np.asarray(fr.found).any()), name
+
+    def test_chained_doublings_via_grow_to_fit(self):
+        from tfplus_tpu.kv import table as kvt
+        t = kv.create(4, 128, seed=1)
+        q = kv.encode_ids_np_to_device(
+            (np.arange(70, dtype=np.int64) * 13 + 5))
+        t = kv.lookup_or_insert(t, q).table
+        before = np.asarray(kv.lookup_or_zeros(t, q))
+        t = kvt.grow_to_fit(t, incoming=600)     # needs 2 doublings
+        assert t.capacity == 1024
+        assert int(kv.size(t)) == 70
+        np.testing.assert_allclose(
+            np.asarray(kv.lookup_or_zeros(t, q)), before)
+
+
 class TestDuplicateMissSafety:
     def test_duplicate_misses_claim_one_slot(self):
         """Duplicated keys in one batch must not claim two slots: twins

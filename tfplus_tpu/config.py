@@ -58,6 +58,11 @@ class RuntimeConfig:
     enable_pallas_rowops: bool = False
     default_capacity: int = 1 << 14
     grow_load_factor: float = 0.7
+    # persistent XLA compilation cache dir. Every table capacity is its
+    # own program shape, so an uncached trainer re-pays a 10-40 s compile
+    # at EVERY growth event (PERF.md growth-stall table); with the cache
+    # each capacity compiles once ever per machine.
+    compile_cache_dir: Optional[str] = None
 
     @classmethod
     def from_env(cls) -> "RuntimeConfig":
@@ -70,6 +75,7 @@ class RuntimeConfig:
             support_prediction_delta_export=flag(
                 "SUPPORT_PREDICTION_DELTA_EXPORT", False),
             enable_pallas_rowops=flag("TFPLUS_TPU_ENABLE_PALLAS_ROWOPS", False),
+            compile_cache_dir=os.environ.get("TFPLUS_TPU_COMPILE_CACHE"),
         )
 
 
@@ -80,4 +86,11 @@ def runtime() -> RuntimeConfig:
     global _runtime
     if _runtime is None:
         _runtime = RuntimeConfig.from_env()
+        if _runtime.compile_cache_dir:
+            import jax
+            jax.config.update("jax_compilation_cache_dir",
+                              _runtime.compile_cache_dir)
+            # cache everything, including sub-second compiles — growth
+            # shapes are exactly the programs worth never recompiling
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     return _runtime

@@ -441,7 +441,7 @@ def _rehash_all(sharded: kvt.KvTable, target: int, ndim: int):
     from jax.sharding import PartitionSpec as P
     mesh, axes = _mesh_axes(sharded, ndim)
     if mesh is None:
-        fn = lambda t: kvt._rehash_core(t, target)          # noqa: E731
+        fn = lambda t: kvt._rehash_core_fast(t, target)     # noqa: E731
         for _ in range(ndim):
             fn = jax.vmap(fn)
         grown, lost = jax.jit(fn)(sharded)
@@ -454,7 +454,7 @@ def _rehash_all(sharded: kvt.KvTable, target: int, ndim: int):
     def rehash(tab):
         t = jax.tree_util.tree_map(
             lambda x: x.reshape(x.shape[ndim:]), tab)
-        nt, lost = kvt._rehash_core(t, target)
+        nt, lost = kvt._rehash_core_fast(t, target)
         for a in axes:
             lost = jax.lax.psum(lost, a)
         return jax.tree_util.tree_map(
