@@ -31,6 +31,12 @@ def main():
                          "use from --data): parse+hash once, then epochs "
                          "stream memmapped slices ~10x faster than live "
                          "TSV parsing")
+    ap.add_argument("--steps-per-loop", type=int, default=1,
+                    help=">1 runs K train steps per dispatch "
+                         "(make_train_step_scan + packed one-buffer feed, "
+                         "the TPU iterations_per_loop idiom — amortizes "
+                         "per-dispatch overhead and uploads one buffer "
+                         "per K steps)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -89,12 +95,60 @@ def main():
 
     t0 = time.time()
     seen = 0
-    for i, b in enumerate(train_iter):
-        state, loss, _ = step(state, to_batch(b))
-        seen += args.batch_size
-        if i % 20 == 0:
-            print(f"step {i} loss {float(loss):.5f} "
+    if args.steps_per_loop > 1:
+        import functools
+        import jax
+        from tfplus_tpu.data import make_packed_feed
+        from tfplus_tpu.utils import packing as _pk
+        K = args.steps_per_loop
+        raw_step = make_train_step(model, opt, tx, sparse_lr=args.lr,
+                                   jit=False)
+
+        def host_batch(b):
+            cats = b["categorical"]
+            u = cats.astype(np.uint64)
+            ids = np.stack(
+                [(u & np.uint64(0xFFFFFFFF)).astype(np.uint32).astype(np.int32),
+                 (u >> np.uint64(32)).astype(np.uint32).astype(np.int32)],
+                axis=-1)                                  # [N, 26, 2]
+            return {"ids": {f"C{i+1}": np.ascontiguousarray(ids[:, i])
+                            for i in range(26)},
+                    "features": np.ascontiguousarray(b["numeric"]),
+                    "labels": np.ascontiguousarray(b["label"])}
+
+        pack = unpack = scan_packed = None
+        chunk = []
+        i = 0
+        for b in train_iter:
+            chunk.append(host_batch(b))
+            if len(chunk) < K:
+                continue
+            if pack is None:
+                pack, unpack = make_packed_feed(chunk[0])
+
+                @functools.partial(jax.jit, donate_argnums=(0,))
+                def scan_packed(state, flat, day):
+                    def body(s, f):
+                        s2, loss, _ = raw_step(s, unpack(f), day)
+                        return s2, loss
+                    return jax.lax.scan(body, state, flat)
+
+            # one upload + one dispatch for K steps; unpack fuses in-step
+            flat = jnp.asarray(np.stack([pack(x) for x in chunk]))
+            day = jnp.uint32(_pk.current_day() % (1 << 13))
+            state, losses = scan_packed(state, flat, day)
+            chunk = []
+            seen += args.batch_size * K
+            i += K
+            print(f"step {i} loss {float(losses[-1]):.5f} "
                   f"({seen/(time.time()-t0):.0f} ex/s)", flush=True)
+    else:
+        for i, b in enumerate(train_iter):
+            state, loss, _ = step(state, to_batch(b))
+            seen += args.batch_size
+            if i % 20 == 0:
+                print(f"step {i} loss {float(loss):.5f} "
+                      f"({seen/(time.time()-t0):.0f} ex/s)", flush=True)
 
     labels, scores = [], []
     for b in eval_iter:
