@@ -82,18 +82,20 @@ def measure_shape(label, capacity, dim, fill_frac, reps=3):
     # (TFPLUS_TPU_COMPILE_CACHE); report both. Measures the SHIPPING
     # doubling path (bucket-split permutation, round 5) and the generic
     # claim rehash it replaced.
-    def timed_calls(fn):
+    def timed_calls(fn, tag):
         ms = []
-        for _ in range(reps + 1):
+        for k in range(reps + 1):
             t0 = time.perf_counter()
             out = fn(t, capacity * 2)
             sync(out)
             ms.append((time.perf_counter() - t0 - rtt) * 1e3)
+            print(f"# {label} {tag} call {k}: {ms[-1]:.0f} ms",
+                  file=sys.stderr, flush=True)
             del out
         return ms[0], ms[1:]
 
-    rehash_first, rehash_ms = timed_calls(kvt._rehash_fast)
-    generic_first, generic_ms = timed_calls(kvt._rehash)
+    rehash_first, rehash_ms = timed_calls(kvt._rehash_fast, "fast")
+    generic_first, generic_ms = timed_calls(kvt._rehash, "generic")
     # grow() total: what a training loop actually pauses for (includes the
     # lost-row verification device_gets)
     grow_ms = []
@@ -138,7 +140,13 @@ def main():
     ]
     if os.environ.get("GROWTH_SMALL"):
         shapes = [("64k->128k_2KB", 1 << 16, 128, 0.5)]
-    out["shapes"] = [measure_shape(*s) for s in shapes]
+    reps = int(os.environ.get("GROWTH_REPS", "3"))
+    out["shapes"] = []
+    for s in shapes:
+        rec = measure_shape(*s, reps=reps)
+        # emit per shape too — a later-shape stall must not lose this one
+        print("#RESULT " + json.dumps(rec), file=sys.stderr, flush=True)
+        out["shapes"].append(rec)
     print(json.dumps(out))
 
 

@@ -952,11 +952,12 @@ def _rehash_double_core(table: KvTable, new_capacity: int):
     are masked ``hash & (2g-1)``, so a resident row's new bucket is its
     old bucket plus (hash-bit ? g : 0) — computable arithmetically, no
     claim rounds. Every new bucket receives a SUBSET of exactly one old
-    bucket's ≤16 rows (guaranteed fit), except the rare ``b2 == b1 → +1``
-    adjustment edge, whose spill rows fall back to one claim-insert pass.
-    Cost: one argsort + one payload scatter vs the generic rehash's
-    multi-round O(C) claim loop — measured 19.8 s → sort+scatter floor at
-    8M × 256 B on v5e (PERF.md growth table).
+    bucket's ≤16 rows (guaranteed fit — the destination lane is a
+    per-source-bucket 16-wide exclusive cumsum, no global sort), except
+    the rare ``b2 == b1 → +1`` adjustment edge, whose spill rows fall
+    back to one claim-insert pass. Cost: elementwise hashing + one
+    payload scatter vs the generic rehash's multi-round O(C) claim loop
+    (PERF.md growth table).
 
     Returns ``(new_table, lost)`` like :func:`_rehash_core`.
     """
@@ -964,24 +965,27 @@ def _rehash_double_core(table: KvTable, new_capacity: int):
     assert new_capacity == 2 * cap
     occ = occupied_mask(table)                       # [C]
     keys = table.keys                                # [C, 2]
+    g_old = cap // _B
     g_new = new_capacity // _B
     b1o, b2o = hashing.bucket_choices(keys, cap)
     b1n, b2n = hashing.bucket_choices(keys, new_capacity)
     slot_bucket = (jnp.arange(cap, dtype=jnp.int32) // _B)
     via1 = slot_bucket == b1o
-    via2 = slot_bucket == b2o
-    target = jnp.where(via1, b1n, jnp.where(via2, b2n, g_new))
-    tb = jnp.where(occ & (target < g_new), target, g_new)   # sentinel: last
-    order = jnp.argsort(tb)                          # stable
-    tb_s = tb[order]
-    idx = jnp.arange(cap, dtype=jnp.int32)
-    newrun = jnp.concatenate(
-        [jnp.ones((1,), bool), tb_s[1:] != tb_s[:-1]])
-    run_start = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(newrun, idx, 0))
-    lane = idx - run_start
-    pos_s = jnp.where((tb_s < g_new) & (lane < _B), tb_s * _B + lane, -1)
-    placed = jnp.zeros((cap,), jnp.int32).at[order].set(pos_s)
+    via2 = (~via1) & (slot_bucket == b2o)
+    target = jnp.where(via1, b1n, jnp.where(via2, b2n, -1))
+    # a split row's target is its own bucket or its high half — ranking is
+    # LOCAL to the 16-lane source bucket (per-half exclusive cumsum), so no
+    # global sort is needed (an 8M argsort also wedged the remote XLA
+    # compiler for 30+ min; the cumsum compiles instantly)
+    in_split = occ & ((target == slot_bucket)
+                      | (target == slot_bucket + g_old))
+    beta = target == (slot_bucket + g_old)           # high-half bit
+    ind0 = (in_split & ~beta).reshape(g_old, _B).astype(jnp.int32)
+    ind1 = (in_split & beta).reshape(g_old, _B).astype(jnp.int32)
+    r0 = jnp.cumsum(ind0, axis=1) - ind0             # exclusive rank ≤ 15
+    r1 = jnp.cumsum(ind1, axis=1) - ind1
+    lane = jnp.where(beta, r1.reshape(-1), r0.reshape(-1))
+    placed = jnp.where(in_split, target * _B + lane, -1)
 
     dst = jnp.where(occ & (placed >= 0), placed, new_capacity)
     new_header = _empty_header(g_new)
